@@ -1,0 +1,875 @@
+"""N^3-branching sparse voxel octree with an indirected feature pool.
+
+API-parity rebuild of the reference `svox_t/svox.py:78-925` (`N3Tree`),
+re-architected for TPU:
+
+  * The tree is **three separate arrays** exactly like the reference —
+    structure (`child`), an int32 index table (`data`), and a dense,
+    caller-supplied feature pool — so per-frame animation swaps the
+    feature matrix without touching structure (the load-bearing svox_t
+    design; see SURVEY.md intro).
+  * Structure edits (refine / merge / shrink) are host-side NumPy over
+    pulled buffers, then pushed back — they are rare. Hot per-frame ops
+    (`construct_tree`, queries, renders) run on device through a cached
+    immutable `TreeSpec` pytree (utils/spec.py) so jit caches stay warm
+    until the structure actually changes.
+  * `.npz` save/load uses the exact reference schema (svox.py:679-752),
+    including legacy upstream-svox files whose `data` array holds float
+    leaf features: those are converted on load to (feature pool + identity
+    index table), giving PlenOctrees asset compatibility.
+
+Documented deviations from reference behavior (all safer supersets):
+  * `set()` / `N3TreeView.set` write feature-pool rows (the CUDA-path
+    semantics, svox_kernel.cu:96-108); the reference's CPU fallback wrote
+    into the int32 index table (a legacy-svox leftover).
+  * `merge()`/`reduce_frontier()` in the reference still operate on the
+    legacy float `data` array and are shape-broken for svox_t's int32
+    index table; here they operate on the feature pool via the index
+    table (the meaningful semantics).
+  * `partial()` selects channels of the *feature pool*, not of the index
+    table.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import query as query_ops
+from ..ops.traversal import pack_index as _pack_jnp
+from ..utils.dataformat import DataFormat
+from ..utils.spec import DATA_SENTINEL, TreeSpec, make_tree_spec
+
+
+class N3Tree:
+    """N^3 tree: 3D tree with branching factor N per interior node
+    (N=2 is the familiar octree).
+
+    .. warning::
+        Structure edits (`refine`, `shrink_to_fit`) change buffer shapes,
+        which invalidates jit caches and any optimizer state built on
+        `features` — re-make optimizers when such a call returns True
+        (same contract as the reference, svox.py:84-89).
+    """
+
+    def __init__(
+        self,
+        N=2,
+        data_dim=4,
+        depth_limit=10,
+        init_reserve=1,
+        init_refine=0,
+        geom_resize_fact=1.5,
+        radius=0.5,
+        center=[0.5, 0.5, 0.5],
+        data_format="RGBA",
+        extra_data=None,
+        map_location=None,  # accepted for API compat; JAX manages devices
+        dtype=jnp.float32,
+    ):
+        assert N >= 2
+        assert depth_limit >= 0
+        self.N: int = int(N)
+        self.data_dim: int = int(data_dim)
+        self.dtype = dtype
+
+        if init_refine > 0:
+            for i in range(1, init_refine + 1):
+                init_reserve += (N ** i) ** 3
+
+        self.features = jnp.zeros((init_reserve, data_dim), dtype)
+        self._data = np.full(
+            (init_reserve, N, N, N, 1), DATA_SENTINEL, dtype=np.int32
+        )
+        self._child = np.zeros((init_reserve, N, N, N), dtype=np.int32)
+        self._parent_depth = np.zeros((init_reserve, 2), dtype=np.int32)
+
+        self._n_internal = 1
+        self._n_free = 0
+
+        if isinstance(radius, (float, int)):
+            radius = [radius] * 3
+        radius = np.asarray(radius, np.float32)
+        center = np.asarray(center, np.float32)
+        self.invradius = 0.5 / radius
+        self.offset = 0.5 * (1.0 - center / radius)
+
+        self.depth_limit = int(depth_limit)
+        self.geom_resize_fact = float(geom_resize_fact)
+        self.data_format = DataFormat(data_format) if data_format is not None else None
+
+        if extra_data is not None:
+            self.extra_data = np.asarray(extra_data, np.float32)
+        else:
+            self.extra_data = None
+
+        self._ver = 0
+        self._invalidate()
+        self._lock_tree_structure = False
+        self._weight_accum = None
+        self._rng = np.random.RandomState(0)
+
+        self.filled = self._n_internal
+
+        self.refine(repeats=init_refine)
+
+    # ------------------------------------------------------------------
+    # Buffer views (exposed with reference-compatible names/shapes)
+    # ------------------------------------------------------------------
+
+    def _ensure_host_data(self):
+        """`_data` may transiently live on device after construct_tree();
+        pull it back before host-side mutation."""
+        if not isinstance(self._data, np.ndarray):
+            self._data = np.asarray(jax.device_get(self._data)).reshape(
+                -1, self.N, self.N, self.N, 1
+            )
+
+    @property
+    def data(self) -> np.ndarray:
+        """(capacity, N, N, N, 1) int32 index table into the feature pool."""
+        self._ensure_host_data()
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = np.asarray(value, np.int32).reshape(
+            -1, self.N, self.N, self.N, 1
+        )
+        self._invalidate_spec()
+
+    @property
+    def child(self) -> np.ndarray:
+        return self._child
+
+    @property
+    def parent_depth(self) -> np.ndarray:
+        return self._parent_depth
+
+    # ------------------------------------------------------------------
+    # Spec marshaling (parity: N3Tree._spec, svox.py:899-925)
+    # ------------------------------------------------------------------
+
+    def _spec(
+        self,
+        features=None,
+        joint_features=None,
+        skinning_weights=None,
+        joint_index=None,
+        transformation_matrices=None,
+        world=True,
+    ) -> TreeSpec:
+        """Build (and cache) the immutable device TreeSpec."""
+        key = world
+        if (
+            self._cached_spec.get(key) is None
+        ):
+            offset = self.offset if world else np.zeros(3, np.float32)
+            scaling = self.invradius if world else np.ones(3, np.float32)
+            self._cached_spec[key] = make_tree_spec(
+                self._child,
+                self._data,
+                self._parent_depth,
+                offset,
+                scaling,
+                n_internal=self.filled,
+                n_levels=self.depth_limit + 2,
+                extra_data=self.extra_data,
+            )
+        spec = self._cached_spec[key]
+        if (
+            joint_features is not None
+            or skinning_weights is not None
+            or joint_index is not None
+            or transformation_matrices is not None
+        ):
+            spec = spec.with_(
+                joint_features=None if joint_features is None else jnp.asarray(joint_features, jnp.float32),
+                skinning_weights=None if skinning_weights is None else jnp.asarray(skinning_weights, jnp.float32),
+                joint_index=None if joint_index is None else jnp.asarray(joint_index, jnp.int32),
+                transformation_matrices=None
+                if transformation_matrices is None
+                else jnp.asarray(transformation_matrices, jnp.float32),
+            )
+        return spec
+
+    # ------------------------------------------------------------------
+    # Real-time octree (re)pointing (parity: svox.py:160-161)
+    # ------------------------------------------------------------------
+
+    def construct_tree(self, indices):
+        """Attach a (Q, 3) world-space point cloud: point i's leaf index
+        slot is set to i. Runs fully on device; the index table stays on
+        device until a host-side structure op needs it."""
+        spec = self._spec()
+        new_data_flat = query_ops.construct_tree(spec, jnp.asarray(indices, self.dtype))
+        cap = spec.capacity
+        self._data = new_data_flat.reshape(cap, self.N, self.N, self.N, 1)
+        # Keep jit caches warm: splice the new table into cached specs
+        # instead of rebuilding them.
+        self._cached_spec = {
+            k: v.with_(data_flat=new_data_flat) for k, v in self._cached_spec.items()
+        }
+
+    def construct_tree_device(self, spec: TreeSpec, indices) -> TreeSpec:
+        """Functional on-device variant for jitted frame loops: returns a
+        new TreeSpec with the updated index table (no host sync)."""
+        new_data_flat = query_ops.construct_tree(spec, indices)
+        return spec.with_(data_flat=new_data_flat)
+
+    # ------------------------------------------------------------------
+    # Accessors (parity: svox.py:164-285)
+    # ------------------------------------------------------------------
+
+    def set(self, indices, values, cuda=True):
+        """Write `values` (Q, data_dim) into the feature rows addressed by
+        world points `indices` (Q, 3)."""
+        del cuda
+        spec = self._spec()
+        self.features = query_ops.assign(
+            spec,
+            jnp.asarray(self.features),
+            jnp.asarray(indices, self.dtype),
+            jnp.asarray(values, self.dtype),
+        )
+
+    def forward(
+        self,
+        features,
+        indices,
+        cuda=True,
+        want_node_ids=False,
+        world=True,
+        want_data_ids=False,
+        want_leaf_node=False,
+    ):
+        """Differentiable point query (parity: svox.py:216-285).
+
+        :return: values (Q, data_dim); plus packed node ids, data ids
+            and/or the unique hit-leaf list (n_hit, 4) when requested.
+        """
+        del cuda
+        indices = jnp.asarray(indices, self.dtype)
+        assert indices.ndim == 2
+        spec = self._spec(world=world)
+        values, node_ids, data_ids = query_ops.query(
+            spec, jnp.asarray(features), indices, world
+        )
+        if not (want_node_ids or want_data_ids or want_leaf_node):
+            return values
+        ret = [values]
+        if want_node_ids:
+            ret.append(node_ids)
+        if want_data_ids:
+            ret.append(data_ids)
+        if want_leaf_node:
+            packed = np.asarray(jax.device_get(node_ids))
+            uniq = np.unique(packed)
+            ret.append(jnp.asarray(self._unpack_index_np(uniq)))
+        return ret
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Special features (parity: svox.py:288-349)
+    # ------------------------------------------------------------------
+
+    def snap(self, indices):
+        """Snap points to the lowest corner of their leaf voxel."""
+        return self[jnp.asarray(indices, self.dtype)].corners
+
+    def partial(self, data_sel=None, device=None):
+        """Copy of the tree with a channel subset of the feature pool."""
+        if data_sel is None:
+            new_data_dim = self.data_dim
+            sel_indices = None
+        else:
+            sel_indices = np.arange(self.data_dim)[data_sel]
+            if sel_indices.ndim == 0:
+                sel_indices = sel_indices[None]
+            new_data_dim = sel_indices.size
+        t2 = N3Tree(
+            N=self.N,
+            data_dim=int(new_data_dim),
+            depth_limit=self.depth_limit,
+            geom_resize_fact=self.geom_resize_fact,
+        )
+        self._ensure_host_data()
+        t2.invradius = self.invradius.copy()
+        t2.offset = self.offset.copy()
+        t2._child = self._child.copy()
+        t2._parent_depth = self._parent_depth.copy()
+        t2._data = self._data.copy()
+        t2._n_internal = self._n_internal
+        t2._n_free = self._n_free
+        t2.filled = self.filled
+        t2.extra_data = None if self.extra_data is None else self.extra_data.copy()
+        t2.data_format = self.data_format
+        feats = np.asarray(jax.device_get(self.features))
+        if sel_indices is not None:
+            feats = feats[:, sel_indices]
+        t2.features = jnp.asarray(feats)
+        t2._invalidate()
+        return t2
+
+    def clone(self, device=None):
+        return self.partial(device=device)
+
+    # ------------------------------------------------------------------
+    # Frontier ops (parity: svox.py:352-483)
+    # ------------------------------------------------------------------
+
+    def _leaf_feature_values(self, features, nid: np.ndarray) -> np.ndarray:
+        """(len(nid), N^3, data_dim) feature values of each node's cells
+        (empty cells → zeros)."""
+        self._ensure_host_data()
+        feats = np.asarray(jax.device_get(features))
+        idx = self._data[nid, ..., 0].reshape(len(nid), -1)
+        valid = idx < feats.shape[0]
+        safe = np.where(valid, idx, 0)
+        vals = feats[safe]
+        vals[~valid] = 0.0
+        return vals
+
+    def merge(self, frontier_sel=None, op=None, features=None):
+        """Merge leaves into selected frontier nodes (nodes whose children
+        are all leaves). The parent becomes a leaf pointing at its first
+        non-empty child's feature row; if `op` and `features` are given,
+        that row is overwritten with op over the children's rows and the
+        updated feature pool is stored back on the tree.
+        Use shrink_to_fit() to recover the freed nodes."""
+        self._ensure_host_data()
+        if self.n_internal - self._n_free <= 1:
+            raise RuntimeError("Cannot merge root node")
+        nid = self._frontier if frontier_sel is None else self._frontier[frontier_sel]
+        nid = np.atleast_1d(np.asarray(nid))
+        if nid.size == 0:
+            return False
+        child_idx = self._data[nid, ..., 0].reshape(len(nid), -1)  # (K, N^3)
+        feats_np = np.asarray(jax.device_get(self.features if features is None else features))
+        valid = child_idx < feats_np.shape[0]
+        first_valid = np.where(
+            valid.any(axis=1), np.argmax(valid, axis=1), 0
+        )
+        parent_row = child_idx[np.arange(len(nid)), first_valid]
+        parent_row = np.where(valid.any(axis=1), parent_row, DATA_SENTINEL)
+
+        if op is not None:
+            vals = self._leaf_feature_values(
+                self.features if features is None else features, nid
+            )
+            reduced = op(vals, axis=1)
+            if isinstance(reduced, tuple):
+                reduced = reduced[0]
+            ok = parent_row < feats_np.shape[0]
+            feats_np[parent_row[ok]] = reduced[ok]
+            self.features = jnp.asarray(feats_np)
+
+        parent_sel = tuple(self._unpack_index_np(self._parent_depth[nid, 0]).T)
+        self._data[parent_sel + (0,)] = parent_row
+        self._child[parent_sel] = 0
+        self._parent_depth[nid] = -1
+        self._n_free += nid.shape[0]
+        self._invalidate()
+        return True
+
+    def reduce_frontier(self, op=np.mean, dim=None, features=None):
+        """Reduce child leaf feature values for each frontier node."""
+        nid = self._frontier
+        vals = self._leaf_feature_values(
+            self.features if features is None else features, nid
+        )
+        if dim is not None:
+            vals = vals[..., dim]
+        return op(vals, axis=1)
+
+    def max_frontier(self, dim=None, features=None):
+        return self.reduce_frontier(op=np.max, dim=dim, features=features)
+
+    def diam_frontier(self, dim=None, scale=1.0, features=None):
+        """Max pairwise distance among each frontier node's child values."""
+        vals = self._leaf_feature_values(
+            self.features if features is None else features, self._frontier
+        )
+        if dim is not None:
+            vals = vals[..., dim]
+        if vals.ndim == 2:
+            vals = vals[:, :, None]
+        delta = (vals[:, :, None, :] - vals[:, None, :, :]) * scale
+        return np.linalg.norm(delta, axis=-1).max(axis=(1, 2))
+
+    @property
+    def _frontier(self) -> np.ndarray:
+        """Internal nodes whose children are all leaves (svox.py:471-483)."""
+        if self._last_frontier is None:
+            ni = self.n_internal
+            sel = (self._child[:ni] == 0).reshape(ni, -1).all(axis=1)
+            sel &= self._parent_depth[:ni, 0] != -1
+            self._last_frontier = np.nonzero(sel)[0]
+        return self._last_frontier
+
+    # ------------------------------------------------------------------
+    # Refinement & memory management (parity: svox.py:488-642)
+    # ------------------------------------------------------------------
+
+    def refine(self, repeats=1, sel=None, leaf_node=None, node_id=None):
+        """Refine selected leaves (default: all below depth_limit).
+
+        :param sel: tuple of 4 index arrays (node, x, y, z), or None.
+        :return: True iff buffers were resized (re-make optimizers!).
+        """
+        if self._lock_tree_structure:
+            raise RuntimeError("Tree locked")
+        self._ensure_host_data()
+        resized = False
+        for repeat_id in range(repeats):
+            filled = self.filled
+            if sel is None:
+                all_leaves = self._all_leaves()
+                sel = tuple(all_leaves.T)
+                depths = self._parent_depth[sel[0], 1]
+                good_mask = (depths < self.depth_limit) & (self._child[sel] == 0)
+                sel = tuple(t[good_mask] for t in sel)
+            else:
+                sel = tuple(np.asarray(t) for t in sel)
+
+            if leaf_node is None:
+                leaf_node = np.stack(sel, axis=-1)
+            else:
+                leaf_node = np.asarray(leaf_node)
+
+            num_nc = len(sel[0])
+            if num_nc == 0:
+                return False
+            new_filled = filled + num_nc
+
+            cap_needed = new_filled - self.capacity
+            if cap_needed > 0:
+                self._resize_add_cap(cap_needed)
+                resized = True
+
+            new_idxs = np.arange(filled, filled + num_nc, dtype=np.int32)
+            self._child[sel] = new_idxs - leaf_node[:, 0].astype(np.int32)
+            self._data[filled:new_filled] = self._data[sel][:, None, None, None]
+            self._parent_depth[filled:new_filled, 0] = (
+                self._pack_index_np(leaf_node) if node_id is None else node_id
+            )
+            self._parent_depth[filled:new_filled, 1] = (
+                self._parent_depth[leaf_node[:, 0], 1] + 1
+            )
+
+            if repeat_id < repeats - 1:
+                t1 = np.repeat(np.arange(filled, new_filled), self.N ** 3)
+                rangen = np.arange(self.N)
+                t2 = np.tile(np.repeat(rangen, self.N ** 2), new_filled - filled)
+                t3 = np.tile(np.repeat(rangen, self.N), (new_filled - filled) * self.N)
+                t4 = np.tile(rangen, (new_filled - filled) * self.N ** 2)
+                sel = (t1, t2, t3, t4)
+                leaf_node = None
+            self._n_internal += num_nc
+            self.filled += num_nc
+        if repeats > 0:
+            self._invalidate()
+        return resized
+
+    def _refine_at(self, intnode_idx, xyzi):
+        """Refine one specific leaf (testing helper, svox.py:562-598)."""
+        if self._lock_tree_structure:
+            raise RuntimeError("Tree locked")
+        self._ensure_host_data()
+        assert min(xyzi) >= 0 and max(xyzi) < self.N
+        if self._parent_depth[intnode_idx, 1] >= self.depth_limit:
+            return
+        xi, yi, zi = xyzi
+        if self._child[intnode_idx, xi, yi, zi] != 0:
+            return
+        resized = False
+        filled = self.n_internal
+        if filled >= self.capacity:
+            self._resize_add_cap(1)
+            resized = True
+        self._child[filled] = 0
+        self._child[intnode_idx, xi, yi, zi] = filled - intnode_idx
+        depth = self._parent_depth[intnode_idx, 1] + 1
+        self._parent_depth[filled, 0] = self._pack_index_np(
+            np.array([[intnode_idx, xi, yi, zi]], dtype=np.int32)
+        )[0]
+        self._parent_depth[filled, 1] = depth
+        self._data[filled, :, :, :] = self._data[intnode_idx, xi, yi, zi]
+        self._data[intnode_idx, xi, yi, zi] = 0
+        self._n_internal += 1
+        self.filled += 1
+        self._invalidate()
+        return resized
+
+    def shrink_to_fit(self):
+        """Defragment & shrink buffers to the in-use node count
+        (svox.py:600-642). Breaks optimizers if it returns True."""
+        if self._lock_tree_structure:
+            raise RuntimeError("Tree locked")
+        self._ensure_host_data()
+        n_int = self.n_internal
+        n_free = self._n_free
+        new_cap = n_int - n_free
+        if new_cap >= self.capacity:
+            return False
+        if n_free > 0:
+            free = self._parent_depth[:n_int, 0] == -1
+            csum = np.cumsum(free)
+            remain_ids = np.arange(n_int, dtype=np.int64)[~free]
+            remain_parents = tuple(
+                self._unpack_index_np(self._parent_depth[remain_ids, 0]).T
+            )
+            par_shift = csum[remain_parents[0]]
+            self._child[remain_parents] -= (csum[remain_ids] - par_shift).astype(
+                np.int32
+            )
+            self._parent_depth[remain_ids, 0] -= par_shift.astype(np.int32)
+            self._data = self._data[remain_ids]
+            self._child = self._child[remain_ids]
+            self._parent_depth = self._parent_depth[remain_ids]
+            self._n_internal = new_cap
+            self._n_free = 0
+        else:
+            self._data = self._data[:new_cap]
+            self._child = self._child[:new_cap]
+            self._parent_depth = self._parent_depth[:new_cap]
+        self.filled = min(self.filled, new_cap)
+        self._invalidate()
+        return True
+
+    # ------------------------------------------------------------------
+    # Misc (parity: svox.py:645-676)
+    # ------------------------------------------------------------------
+
+    @property
+    def n_leaves(self):
+        return self._all_leaves().shape[0]
+
+    @property
+    def n_internal(self):
+        return self._n_internal
+
+    @property
+    def capacity(self):
+        return self._parent_depth.shape[0]
+
+    @property
+    def max_depth(self):
+        return int(self.depths.max())
+
+    def accumulate_weights(self):
+        """Context manager collecting per-leaf render contribution weights
+        (parity: svox.py:664-676)."""
+        return WeightAccumulator(self)
+
+    # ------------------------------------------------------------------
+    # Persistence (parity: svox.py:679-752)
+    # ------------------------------------------------------------------
+
+    def save(self, path, shrink=True, compress=True):
+        """Save structure to .npz with the exact reference schema."""
+        self._ensure_host_data()
+        if shrink:
+            self.shrink_to_fit()
+        data = {
+            "data_dim": self.data_dim,
+            "child": self._child,
+            "parent_depth": self._parent_depth,
+            "n_internal": self._n_internal,
+            "n_free": self._n_free,
+            "invradius3": self.invradius,
+            "offset": self.offset,
+            "depth_limit": self.depth_limit,
+            "geom_resize_fact": self.geom_resize_fact,
+            "data": self._data,
+        }
+        if self.data_format is not None:
+            data["data_format"] = repr(self.data_format)
+        if self.extra_data is not None:
+            data["extra_data"] = self.extra_data
+        # Extension over the reference schema: persist the feature pool
+        # alongside (the reference keeps features external; loading a file
+        # without this key simply leaves `features` at zeros).
+        data["features"] = np.asarray(jax.device_get(self.features))
+        if compress:
+            np.savez_compressed(path, **data)
+        else:
+            np.savez(path, **data)
+
+    @classmethod
+    def load(cls, path, map_location=None):
+        """Load from .npz — svox_t files (int32 index-table `data`),
+        legacy upstream-svox files (float leaf features in `data`), and
+        this framework's extended files (with a `features` key)."""
+        z = np.load(path)
+        tree = cls(
+            extra_data=z["extra_data"] if "extra_data" in z.files else None
+        )
+        tree.data_dim = int(z["data_dim"])
+        tree._child = np.asarray(z["child"], np.int32)
+        tree.N = int(tree._child.shape[-1])
+        tree._parent_depth = np.asarray(z["parent_depth"], np.int32)
+        tree._n_internal = int(z["n_internal"])
+        tree.filled = tree._n_internal
+        if "invradius3" in z.files:
+            tree.invradius = np.asarray(z["invradius3"], np.float32)
+        else:
+            tree.invradius = np.full((3,), float(z["invradius"]), np.float32)
+        tree.offset = np.asarray(z["offset"], np.float32)
+        tree.depth_limit = int(z["depth_limit"])
+        tree.geom_resize_fact = float(z["geom_resize_fact"])
+        raw = np.asarray(z["data"])
+        cap = tree._child.shape[0]
+        N = tree.N
+        if np.issubdtype(raw.dtype, np.floating):
+            # Legacy upstream-svox: `data` holds (cap,N,N,N,data_dim) float
+            # leaf features. Convert to pool + identity index table.
+            feats = raw.reshape(-1, tree.data_dim).astype(np.float32)
+            tree.features = jnp.asarray(feats)
+            tree._data = np.arange(cap * N ** 3, dtype=np.int32).reshape(
+                cap, N, N, N, 1
+            )
+        else:
+            tree._data = raw.astype(np.int32).reshape(cap, N, N, N, 1)
+            if "features" in z.files:
+                tree.features = jnp.asarray(np.asarray(z["features"], np.float32))
+            else:
+                tree.features = jnp.zeros((1, tree.data_dim), tree.dtype)
+        tree._n_free = int(z["n_free"]) if "n_free" in z.files else 0
+        tree.data_format = (
+            DataFormat(str(z["data_format"])) if "data_format" in z.files else None
+        )
+        tree._invalidate()
+        return tree
+
+    # ------------------------------------------------------------------
+    # Magic (parity: svox.py:755-801)
+    # ------------------------------------------------------------------
+
+    def __repr__(self):
+        return (
+            f"svox_t_tpu.N3Tree(N={self.N}, data_dim={self.data_dim}, "
+            f"depth_limit={self.depth_limit}, "
+            f"capacity:{self.n_internal - self._n_free}/{self.capacity}, "
+            f"data_format:{self.data_format or 'RGBA'})"
+        )
+
+    def __getitem__(self, key):
+        from .view import N3TreeView
+
+        return N3TreeView(self, key)
+
+    def __setitem__(self, key, val):
+        from .view import N3TreeView
+
+        N3TreeView(self, key).set(val)
+
+    def __iadd__(self, val):
+        self[:] += val
+        return self
+
+    def __isub__(self, val):
+        self[:] -= val
+        return self
+
+    def __imul__(self, val):
+        self[:] *= val
+        return self
+
+    def __idiv__(self, val):
+        self[:] /= val
+        return self
+
+    @property
+    def ndim(self):
+        return 2
+
+    @property
+    def shape(self):
+        return (self.n_leaves, self.data_dim)
+
+    def size(self, dim):
+        return self.data_dim if dim == 1 else self.n_leaves
+
+    def numel(self):
+        return self.data_dim * self.n_leaves
+
+    def __len__(self):
+        return self.n_leaves
+
+    # ------------------------------------------------------------------
+    # Internal utils (parity: svox.py:804-897)
+    # ------------------------------------------------------------------
+
+    def _calc_corners(self, nodes):
+        """Tree-space lower corners for (Q, 4) [node,x,y,z] selectors."""
+        spec = self._spec()
+        return query_ops.calc_corners(spec, jnp.asarray(np.asarray(nodes), jnp.int32))
+
+    def _pack_index_np(self, txyz: np.ndarray) -> np.ndarray:
+        N = self.N
+        return ((txyz[:, 0] * N + txyz[:, 1]) * N + txyz[:, 2]) * N + txyz[:, 3]
+
+    def _unpack_index_np(self, flat: np.ndarray) -> np.ndarray:
+        N = self.N
+        flat = np.asarray(flat).astype(np.int64)
+        z = flat % N
+        flat = flat // N
+        y = flat % N
+        flat = flat // N
+        x = flat % N
+        node = flat // N
+        return np.stack([node, x, y, z], axis=-1)
+
+    def _pack_index(self, txyz):
+        return _pack_jnp(jnp.asarray(txyz), self.N)
+
+    def _resize_add_cap(self, cap_needed):
+        """Geometric capacity growth (svox.py:841-863; the CPU-offload OOM
+        hack is unnecessary here — buffers live in host RAM)."""
+        cap_needed = max(
+            int(cap_needed), int(self.capacity * (self.geom_resize_fact - 1.0))
+        )
+        self._data = np.concatenate(
+            [
+                self._data,
+                np.full(
+                    (cap_needed, *self._data.shape[1:]), DATA_SENTINEL, np.int32
+                ),
+            ],
+            axis=0,
+        )
+        self._child = np.concatenate(
+            [self._child, np.zeros((cap_needed, *self._child.shape[1:]), np.int32)]
+        )
+        self._parent_depth = np.concatenate(
+            [
+                self._parent_depth,
+                np.zeros((cap_needed, *self._parent_depth.shape[1:]), np.int32),
+            ]
+        )
+
+    def _make_val_tensor(self, val):
+        val = np.asarray(val, np.float32)
+        while val.ndim < 2:
+            val = val[None]
+        if val.shape[-1] == 1:
+            val = np.broadcast_to(val, (*val.shape[:-1], self.data_dim)).copy()
+        else:
+            assert val.shape[-1] == self.data_dim
+        return val
+
+    def _all_leaves(self) -> np.ndarray:
+        if self._last_all_leaves is None:
+            self._last_all_leaves = np.stack(
+                np.nonzero(self._child[: self.n_internal] == 0), axis=-1
+            )
+        return self._last_all_leaves
+
+    def world2tree(self, indices):
+        return jnp.asarray(self.offset) + jnp.asarray(indices) * jnp.asarray(
+            self.invradius
+        )
+
+    def tree2world(self, indices):
+        return (jnp.asarray(indices) - jnp.asarray(self.offset)) / jnp.asarray(
+            self.invradius
+        )
+
+    def _invalidate(self):
+        self._ver += 1
+        self._last_all_leaves = None
+        self._last_frontier = None
+        self._cached_spec = {}
+
+    def _invalidate_spec(self):
+        """Contents-only change (index table): jit-relevant arrays change
+        but leaf-view keys remain valid (reference keeps _ver too)."""
+        self._cached_spec = {}
+
+    # Redirected leaf-view conveniences (parity: svox.py:929-946)
+    @property
+    def depths(self):
+        return self[:].depths
+
+    @property
+    def lengths(self):
+        return self[:].lengths
+
+    @property
+    def lengths_local(self):
+        return self[:].lengths_local
+
+    @property
+    def corners(self):
+        return self[:].corners
+
+    @property
+    def corners_local(self):
+        return self[:].corners_local
+
+    @property
+    def values(self):
+        return self[:].values
+
+    def sample(self, n_samples):
+        return self[:].sample(n_samples)
+
+    def sample_local(self, n_samples):
+        return self[:].sample_local(n_samples)
+
+    def aux(self, arr):
+        return self[:].aux(arr)
+
+    def normal_(self, mean=0.0, std=1.0):
+        return self[:].normal_(mean, std)
+
+    def clamp_(self, min=None, max=None):
+        return self[:].clamp_(min, max)
+
+    def uniform_(self, min=0.0, max=1.0):
+        return self[:].uniform_(min, max)
+
+    def relu_(self):
+        return self[:].relu_()
+
+    def sigmoid_(self):
+        return self[:].sigmoid_()
+
+    def nan_to_num_(self, inf_val=2e4):
+        return self[:].nan_to_num_(inf_val)
+
+
+class WeightAccumulator:
+    """Context manager for per-leaf render weight accumulation
+    (parity: svox.py:948-969). While active, the tree is structure-locked
+    and every `VolumeRenderer.forward` adds its per-leaf weights."""
+
+    def __init__(self, tree: N3Tree):
+        self.tree = tree
+
+    def __enter__(self):
+        self.tree._lock_tree_structure = True
+        self.tree._weight_accum = jnp.zeros(
+            self.tree._child.shape, jnp.float32
+        )
+        return self
+
+    def __exit__(self, type, value, traceback):
+        self.weight_accum = self.tree._weight_accum
+        self.tree._weight_accum = None
+        self.tree._lock_tree_structure = False
+
+    @property
+    def value(self):
+        wa = self.tree._weight_accum
+        return wa if wa is not None else self.weight_accum
+
+    def __call__(self):
+        return self.tree.aux(np.asarray(jax.device_get(self.value)))

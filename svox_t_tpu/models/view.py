@@ -1,0 +1,290 @@
+"""Leaf-set view over an N3Tree (parity: `N3TreeView`,
+svox_t/helpers.py:36-337).
+
+A view resolves an indexing key — int / slice / bool mask / (B, 3) point
+matrix / `LocalIndex` — into a set of leaf cells `(node, x, y, z)` and
+exposes their geometry (depths / lengths / corners / samples) and feature
+values. Point keys run a device query; the unique hit-leaf list is
+computed with a deterministic `np.unique` instead of the reference's
+atomic compaction kernel (svox_kernel.cu:239-269).
+
+`values` reads (and in-place helpers write) the **feature pool rows** the
+selected leaves point at; empty leaves read as zeros and ignore writes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dataformat import LocalIndex
+
+
+class N3TreeView:
+    def __init__(self, tree, key):
+        self.tree = tree
+        local = False
+        self.single_key = False
+        if isinstance(key, LocalIndex):
+            key = key.val
+            local = True
+        if isinstance(key, tuple) and len(key) >= 3 and not any(
+            isinstance(k, slice) for k in key[:3]
+        ):
+            main_key = np.asarray(key[:3], np.float32).reshape(1, 3)
+            key = (main_key, *key[3:]) if len(key) > 3 else main_key
+
+        leaf_key = key[0] if isinstance(key, tuple) else key
+        is_points = (
+            hasattr(leaf_key, "ndim")
+            and getattr(leaf_key, "ndim", 0) == 2
+            and leaf_key.shape[1] == 3
+            and np.issubdtype(np.asarray(leaf_key).dtype, np.floating)
+        )
+        if is_points:
+            pts = jnp.asarray(np.asarray(leaf_key, np.float32))
+            _, node_ids, _, unique_leaf_node = tree.forward(
+                tree.features,
+                pts,
+                want_node_ids=True,
+                world=not local,
+                want_leaf_node=True,
+            )
+            self._packed_ids = np.asarray(jax.device_get(node_ids))
+            self.unique_leaf_node = np.asarray(jax.device_get(unique_leaf_node))
+            self.leaf_node_id = self._packed_ids
+            leaf_node = self.unique_leaf_node
+        else:
+            self._packed_ids = None
+            self.unique_leaf_node = None
+            if isinstance(leaf_key, int):
+                leaf_key = np.asarray([leaf_key])
+                self.single_key = True
+            all_leaves = self.tree._all_leaves()
+            leaf_node = all_leaves[leaf_key]
+
+        self._leaf_node = np.asarray(leaf_node)  # (n, 4)
+        if isinstance(key, tuple) and len(key) > 1 and not is_points:
+            self._chan_key = key[1]
+        elif isinstance(key, tuple) and is_points and len(key) > 1:
+            self._chan_key = key[1]
+        else:
+            self._chan_key = None
+        self._tree_ver = tree._ver
+
+    # -- helpers --------------------------------------------------------
+
+    def _check_ver(self):
+        if self.tree._ver > self._tree_ver:
+            raise RuntimeError(
+                "N3TreeView has been invalidated because tree "
+                "data layout has changed"
+            )
+
+    def _data_ids(self) -> np.ndarray:
+        """Feature-pool row per selected leaf (may include the empty
+        sentinel)."""
+        self._check_ver()
+        self.tree._ensure_host_data()
+        ln = self._leaf_node
+        return self.tree._data[ln[:, 0], ln[:, 1], ln[:, 2], ln[:, 3], 0]
+
+    def _indexer(self):
+        return self._leaf_node
+
+    def __repr__(self):
+        self._check_ver()
+        return "N3TreeView(" + repr(self.values) + ")"
+
+    # -- values ---------------------------------------------------------
+
+    @property
+    def values(self):
+        """(n_leaves, data_dim) feature values (differentiable gather)."""
+        self._check_ver()
+        feats = jnp.asarray(self.tree.features)
+        ids = jnp.asarray(self._data_ids())
+        valid = ids < feats.shape[0]
+        vals = jnp.where(valid[:, None], feats[jnp.where(valid, ids, 0)], 0.0)
+        if self._chan_key is not None:
+            vals = vals[:, self._chan_key]
+        return vals[0] if self.single_key else vals
+
+    @property
+    def values_nograd(self):
+        self._check_ver()
+        return jax.lax.stop_gradient(self.values)
+
+    @property
+    def data_values(self):
+        """Raw int32 index-table entries for the selected leaves."""
+        return self._data_ids()
+
+    def set(self, value):
+        """Write (n_leaves, data_dim) values into the selected leaves'
+        feature rows (empty leaves ignored)."""
+        self._check_ver()
+        if isinstance(value, N3TreeView):
+            value = value.values_nograd
+        feats = jnp.asarray(self.tree.features)
+        ids = self._data_ids()
+        valid = ids < feats.shape[0]
+        if self._chan_key is None:
+            scat = jnp.asarray(np.where(valid, ids, feats.shape[0]))
+            value = jnp.broadcast_to(
+                jnp.asarray(value, feats.dtype), (len(ids), feats.shape[1])
+            )
+            self.tree.features = feats.at[scat].set(value, mode="drop")
+        else:
+            cur = np.asarray(jax.device_get(feats))
+            rows = cur[ids[valid]]
+            rows[:, self._chan_key] = np.asarray(jax.device_get(value))[valid] \
+                if np.ndim(value) > 0 and np.shape(value)[0] == len(ids) else value
+            cur[ids[valid]] = rows
+            self.tree.features = jnp.asarray(cur)
+
+    def __setitem__(self, key, value):
+        val = np.asarray(jax.device_get(self.values_nograd))
+        val[key] = value
+        self.set(val)
+
+    # -- geometry -------------------------------------------------------
+
+    @property
+    def shape(self):
+        self._check_ver()
+        return (self._leaf_node.shape[0], self.tree.data_dim)
+
+    @property
+    def ndim(self):
+        return 2
+
+    @property
+    def depths(self):
+        """Leaf depths (root children = 0), (n_leaves,) int32."""
+        self._check_ver()
+        return self.tree._parent_depth[self._leaf_node[:, 0], 1]
+
+    @property
+    def lengths(self):
+        """World-space side lengths, (n_leaves, 3)."""
+        self._check_ver()
+        return (2.0 ** (-self.depths.astype(np.float32) - 1.0))[
+            :, None
+        ] / self.tree.invradius
+
+    @property
+    def lengths_local(self):
+        """Tree-space side lengths, (n_leaves,)."""
+        self._check_ver()
+        return 2.0 ** (-self.depths.astype(np.float32) - 1.0)
+
+    @property
+    def corners(self):
+        """World-space lower corners, (n_leaves, 3)."""
+        self._check_ver()
+        local = np.asarray(jax.device_get(self.tree._calc_corners(self._indexer())))
+        return (local - self.tree.offset) / self.tree.invradius
+
+    @property
+    def corners_local(self):
+        self._check_ver()
+        return np.asarray(jax.device_get(self.tree._calc_corners(self._indexer())))
+
+    def sample(self, n_samples):
+        """(n_leaves, n_samples, 3) uniform world-space samples per leaf."""
+        self._check_ver()
+        corn = self.corners
+        length = self.lengths
+        u = self.tree._rng.rand(corn.shape[0], n_samples, 3).astype(np.float32)
+        return corn[:, None] + u * length[:, None]
+
+    def sample_local(self, n_samples):
+        self._check_ver()
+        corn = self.corners_local
+        length = self.lengths_local
+        u = self.tree._rng.rand(corn.shape[0], n_samples, 3).astype(np.float32)
+        return corn[:, None] + u * length[:, None, None]
+
+    def aux(self, arr):
+        """Index an auxiliary (capacity, N, N, N[, ...]) array by this
+        view's leaf cells."""
+        arr = np.asarray(arr)
+        ln = self._leaf_node
+        return arr[ln[:, 0], ln[:, 1], ln[:, 2], ln[:, 3]]
+
+    # -- in-place feature modification helpers --------------------------
+
+    def _map_rows(self, fn):
+        feats = np.asarray(jax.device_get(self.tree.features))
+        ids = self._data_ids()
+        valid = ids < feats.shape[0]
+        rows = ids[valid]
+        feats[rows] = fn(feats[rows])
+        self.tree.features = jnp.asarray(feats)
+
+    def normal_(self, mean=0.0, std=1.0):
+        self._check_ver()
+        rng = self.tree._rng
+        self._map_rows(lambda v: rng.randn(*v.shape).astype(v.dtype) * std + mean)
+
+    def uniform_(self, min=0.0, max=1.0):
+        self._check_ver()
+        rng = self.tree._rng
+        self._map_rows(
+            lambda v: rng.rand(*v.shape).astype(v.dtype) * (max - min) + min
+        )
+
+    def clamp_(self, min=None, max=None):
+        self._check_ver()
+        self._map_rows(lambda v: np.clip(v, min, max))
+
+    def relu_(self):
+        self._check_ver()
+        self._map_rows(lambda v: np.maximum(v, 0.0))
+
+    def sigmoid_(self):
+        self._check_ver()
+        self._map_rows(lambda v: 1.0 / (1.0 + np.exp(-v)))
+
+    def nan_to_num_(self, inf_val=2e4):
+        self._check_ver()
+
+        def fix(v):
+            v = np.nan_to_num(v, nan=0.0, posinf=inf_val, neginf=-inf_val)
+            return v
+
+        self._map_rows(fix)
+
+    def refine(self, repeats=1):
+        """Refine the selected leaves via tree.refine."""
+        self._check_ver()
+        sel = tuple(self._leaf_node.T)
+        return self.tree.refine(repeats, sel=sel, leaf_node=self._leaf_node)
+
+    # -- numeric dunders (redirect to values) ---------------------------
+
+    def __len__(self):
+        return self._leaf_node.shape[0]
+
+
+def _redirect_funcs():
+    redir_grad_funcs = [
+        "__add__", "__mul__", "__sub__", "__mod__", "__truediv__",
+        "__radd__", "__rsub__", "__rmul__", "__abs__", "__pos__",
+        "__neg__", "__eq__", "__ne__", "__ge__", "__gt__", "__le__",
+        "__lt__", "clip", "max", "min", "mean", "sum", "__getitem__",
+    ]
+
+    def redirect_func(name):
+        def impl(self, *args, **kwargs):
+            return getattr(self.values, name)(*args, **kwargs)
+
+        setattr(N3TreeView, name, impl)
+
+    for name in redir_grad_funcs:
+        redirect_func(name)
+
+
+_redirect_funcs()

@@ -1,0 +1,94 @@
+"""Slow, trivially-correct scan-based renderer — the numerical oracle.
+
+This mirrors the semantics of `ops/render.py` (and therefore the reference
+CUDA `trace_ray`, rt_kernel.cu:221-328) but uses a fixed-length
+`lax.scan`, so it is **reverse-mode differentiable by plain autodiff**.
+Tests compare:
+  * its forward output against the production while-loop forward,
+  * its `jax.grad` against the production hand-written two-pass VJP.
+
+Under default options (sigma_thresh=0, stop_thresh=0) no early stops
+occur and backward's `sigma > 0` condition coincides with forward's, so
+the autodiff gradient of this oracle equals the reference CUDA backward
+exactly (see ops/render.py parity notes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.spec import FORMAT_RGBA, RenderOptions, TreeSpec, get_out_data_dim
+from .render import _basis_window, _colors, _ray_setup, _sample, _step_basis
+from .sh import eval_basis
+
+
+def volume_render_oracle(
+    spec: TreeSpec,
+    features: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    vdirs: jax.Array,
+    opt: RenderOptions,
+) -> jax.Array:
+    """Scan-based forward render, (B, n_color+1). Differentiable wrt
+    `features` by autodiff."""
+    B = origins.shape[0]
+    D = features.shape[1]
+    n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
+    dtype = origins.dtype
+
+    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+
+    if opt.format != FORMAT_RGBA:
+        window = jnp.asarray(_basis_window(opt))
+        base_basis = eval_basis(opt.format, opt.basis_dim, vdirs, spec.extra_data) * window
+    else:
+        window = None
+        base_basis = None
+
+    def step(carry, _):
+        t, L, out_c, alpha, active, stopped = carry
+        leaf, feat, delta_t, sigma, valid, idx = _sample(
+            spec, features, o, d, invdir, t, opt.step_size
+        )
+        contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
+        att = jnp.exp(-delta_t * delta_scale * sigma)
+        weight = L * (1.0 - att)
+        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
+        s = _colors(feat, basis_step, opt, n_color)
+        out_c = out_c + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
+        newL = jnp.where(contrib, L * att, L)
+
+        stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
+        scale = 1.0 / (1.0 - newL)
+        out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
+        alpha = jnp.where(stop_now, 1.0 - newL, alpha)
+        stopped = jnp.logical_or(stopped, stop_now)
+
+        t = t + delta_t
+        active = jnp.logical_and(
+            active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
+        )
+        return (t, newL, out_c, alpha, active, stopped), None
+
+    init = (
+        tmin,
+        jnp.ones((B,), dtype),
+        jnp.zeros((B, n_color), dtype),
+        jnp.zeros((B,), dtype),
+        hit,
+        jnp.zeros((B,), bool),
+    )
+    (t, L, out_c, alpha, active, stopped), _ = jax.lax.scan(
+        step, init, None, length=opt.max_steps
+    )
+
+    bg = opt.background_brightness
+    out_c = jnp.where(
+        hit[:, None],
+        jnp.where(stopped[:, None], out_c, out_c + (L * bg)[:, None]),
+        jnp.full((B, n_color), bg, dtype),
+    )
+    alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
+    return jnp.concatenate([out_c, alpha[:, None]], axis=-1)

@@ -1,0 +1,445 @@
+"""Differentiable volume rendering over the sparse voxel octree — TPU-native.
+
+This module replaces the reference CUDA ray-marching kernels
+(`svox_t/csrc/rt_kernel.cu`: `trace_ray` 221-328, `trace_ray_backward`
+330-496, launchers 1362-1452) with batched JAX:
+
+  * One **batch-level bounded march loop** (`lax.while_loop`) advances all
+    rays together; each iteration performs one octree descent (fixed-depth
+    loop of coalesced gathers, see ops/traversal.py), one feature gather,
+    and masked front-to-back compositing. The loop exits as soon as every
+    ray has terminated — the TPU analogue of CUDA per-thread `while (t <
+    tmax)` with warp divergence.
+  * The backward pass is a hand-written `custom_vjp` that **re-marches
+    twice** instead of storing per-sample state, exactly like the
+    reference (rt_kernel.cu:364 "PASS 1", 438 "PASS 2") — on TPU this is
+    also the right trade (VMEM/HBM are better spent on batch width than
+    sample tapes).
+  * Gradient scatters use deterministic XLA scatter-adds instead of the
+    reference's nondeterministic float `atomicAdd` — a deliberate
+    determinism upgrade.
+
+Radiometry parity checklist (each replicated bit-carefully):
+  - tree-space dir scaling + `delta_scale = 1/||scaling*dir||`
+    (rt_kernel.cu:187-199);
+  - `invdir = 1/(dir + 1e-9)`, DDA on the unit cube (201-218);
+  - `delta_t = (subcube_tmax - subcube_tmin)/cube_sz + step_size` (273-276);
+  - `att = exp(-delta_t*delta_scale*sigma)`, composite only when
+    `sigma > sigma_thresh` (279-307);
+  - per-voxel view-direction rotation by `transformation_matrices[data_idx]`
+    with basis re-evaluation (283-291);
+  - SH/SG/ASG basis windowed to `[min_comp, max_comp]`, then sigmoid
+    (293-306);
+  - early stop at `light_intensity <= stop_thresh` with renormalization
+    `1/(1-light)` (313-319); final alpha channel `1 - light` (317, 326);
+  - miss rays output background with alpha 0 (241-247);
+  - backward composites only where `sigma > 0` (not sigma_thresh) and
+    ignores forward early-stop renormalization, as the reference does
+    (382, 456) — identical under default thresholds;
+  - the alpha-channel gradient term `delta_t*delta_scale*grad_alpha*
+    light_intensity_ray` (486-490).
+
+One deliberate fix vs the reference: when transformation matrices are
+active, reference PASS 2 reuses whatever basis values PASS 1 left behind
+(stale registers); we re-evaluate the rotated basis per sample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.spec import (FORMAT_RGBA, RenderOptions, TreeSpec,
+                          get_out_data_dim)
+from .sh import eval_basis
+from .traversal import dda_unit, descend, get_delta_scale, world2tree
+
+
+def _basis_window(opt: RenderOptions) -> np.ndarray:
+    """Static 0/1 mask over basis components [min_comp, max_comp]."""
+    idx = np.arange(opt.basis_dim)
+    return ((idx >= opt.min_comp) & (idx <= opt.max_comp)).astype(np.float32)
+
+
+def _ray_setup(spec: TreeSpec, origins, dirs):
+    """Transform rays to tree space; returns (o, d, invdir, delta_scale,
+    tmin, tmax, hit)."""
+    o = world2tree(origins, spec.offset, spec.scaling)
+    d, delta_scale = get_delta_scale(spec.scaling, dirs)
+    invdir = 1.0 / (d + 1e-9)
+    tmin, tmax = dda_unit(o, invdir)
+    hit = jnp.logical_not(jnp.logical_or(tmax < 0, tmin > tmax))
+    return o, d, invdir, delta_scale, tmin, tmax, hit
+
+
+def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
+    """One march sample for the whole batch: leaf lookup + step length +
+    density. Returns (leaf, delta_t, sigma, valid, idx)."""
+    pos = o + t[:, None] * d
+    leaf = descend(spec, pos)
+    sub_tmin, sub_tmax = dda_unit(leaf.frac, invdir)
+    delta_t = (sub_tmax - sub_tmin) / leaf.cube_sz + step_size
+    M, D = features.shape
+    B = pos.shape[0]
+    if M == 0:
+        # Empty feature pool: every leaf is empty space.
+        valid = jnp.zeros((B,), bool)
+        idx = jnp.zeros((B,), jnp.int32)
+        feat = jnp.zeros((B, D), features.dtype)
+        sigma = jnp.zeros((B,), features.dtype)
+        return leaf, feat, delta_t, sigma, valid, idx
+    valid = leaf.data_idx < M
+    idx = jnp.where(valid, leaf.data_idx, 0)
+    feat = features[idx]
+    sigma = jnp.where(valid, feat[:, -1], 0.0)
+    return leaf, feat, delta_t, sigma, valid, idx
+
+
+def _step_basis(spec, opt, vdirs, idx, base_basis, window):
+    """Per-sample basis values, applying the per-voxel view-direction
+    rotation when transformation matrices are present
+    (rt_kernel.cu:283-291)."""
+    if opt.format == FORMAT_RGBA:
+        return None
+    if spec.transformation_matrices is None:
+        return base_basis
+    rot = spec.transformation_matrices[idx][:, :3, :3]
+    rd = jnp.einsum("bij,bj->bi", rot, vdirs)
+    return eval_basis(opt.format, opt.basis_dim, rd, spec.extra_data) * window
+
+
+def _colors(feat, basis_step, opt, n_color):
+    """Sigmoid colors per sample, (B, n_color)."""
+    if opt.format == FORMAT_RGBA:
+        return jax.nn.sigmoid(feat[:, :n_color])
+    B = feat.shape[0]
+    coeffs = feat[:, : n_color * opt.basis_dim].reshape(B, n_color, opt.basis_dim)
+    tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs)
+    return jax.nn.sigmoid(tmp)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _volume_render_fwd_impl(
+    spec: TreeSpec,
+    features: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    vdirs: jax.Array,
+    opt: RenderOptions,
+    want_weight_accum: bool,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Forward ray march. Returns ((B, n_color+1) color+alpha,
+    optional flat (capacity*N^3,) weight accumulation)."""
+    B = origins.shape[0]
+    D = features.shape[1]
+    n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
+    dtype = origins.dtype
+
+    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+
+    if opt.format != FORMAT_RGBA:
+        window = jnp.asarray(_basis_window(opt))
+        base_basis = eval_basis(opt.format, opt.basis_dim, vdirs, spec.extra_data) * window
+    else:
+        window = None
+        base_basis = None
+
+    waccum0 = (
+        jnp.zeros((spec.child_flat.shape[0],), dtype)
+        if want_weight_accum
+        else jnp.zeros((1,), dtype)
+    )
+    n_cells = spec.child_flat.shape[0]
+
+    def cond(carry):
+        step, t, L, out_c, alpha, active, stopped, waccum = carry
+        return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+
+    def body(carry):
+        step, t, L, out_c, alpha, active, stopped, waccum = carry
+        leaf, feat, delta_t, sigma, valid, idx = _sample(
+            spec, features, o, d, invdir, t, opt.step_size
+        )
+        contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
+        att = jnp.exp(-delta_t * delta_scale * sigma)
+        weight = L * (1.0 - att)
+
+        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
+        s = _colors(feat, basis_step, opt, n_color)
+        out_c = out_c + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
+        newL = jnp.where(contrib, L * att, L)
+
+        if want_weight_accum:
+            w_idx = jnp.where(contrib, leaf.node_flat, n_cells)
+            waccum = waccum.at[w_idx].add(weight, mode="drop")
+
+        stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
+        scale = 1.0 / (1.0 - newL)
+        out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
+        alpha = jnp.where(stop_now, 1.0 - newL, alpha)
+        stopped = jnp.logical_or(stopped, stop_now)
+
+        t = t + delta_t
+        active = jnp.logical_and(active, jnp.logical_and(~stop_now, t < tmax))
+        return step + 1, t, newL, out_c, alpha, active, stopped, waccum
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        tmin,
+        jnp.ones((B,), dtype),
+        jnp.zeros((B, n_color), dtype),
+        jnp.zeros((B,), dtype),
+        hit,
+        jnp.zeros((B,), bool),
+        waccum0,
+    )
+    _, t, L, out_c, alpha, active, stopped, waccum = jax.lax.while_loop(cond, body, init)
+
+    bg = opt.background_brightness
+    out_c = jnp.where(
+        hit[:, None],
+        jnp.where(stopped[:, None], out_c, out_c + (L * bg)[:, None]),
+        jnp.full((B, n_color), bg, dtype),
+    )
+    alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
+    out = jnp.concatenate([out_c, alpha[:, None]], axis=-1)
+    return out, (waccum if want_weight_accum else None)
+
+
+# ---------------------------------------------------------------------------
+# Backward (two re-march passes, parity: rt_kernel.cu:330-496)
+# ---------------------------------------------------------------------------
+
+
+def _volume_render_bwd_impl(
+    spec: TreeSpec,
+    features: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    vdirs: jax.Array,
+    grad_out: jax.Array,
+    opt: RenderOptions,
+) -> jax.Array:
+    """Gradient of the render wrt the feature pool, dense (M, D)."""
+    B = origins.shape[0]
+    M, D = features.shape
+    n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
+    dtype = origins.dtype
+
+    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+
+    if opt.format != FORMAT_RGBA:
+        window = jnp.asarray(_basis_window(opt))
+        base_basis = eval_basis(opt.format, opt.basis_dim, vdirs, spec.extra_data) * window
+    else:
+        window = None
+        base_basis = None
+
+    g_color = grad_out[:, :n_color]
+    g_alpha = grad_out[:, n_color]
+
+    # ---- PASS 1: color gradients + accum ---------------------------------
+    def cond1(carry):
+        step, t, L, accum, grad_f = carry
+        return jnp.logical_and(
+            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+        )
+
+    def body1(carry):
+        step, t, L, accum, grad_f = carry
+        active = jnp.logical_and(hit, t < tmax)
+        leaf, feat, delta_t, sigma, valid, idx = _sample(
+            spec, features, o, d, invdir, t, opt.step_size
+        )
+        contrib = jnp.logical_and(active, sigma > 0.0)
+        att = jnp.exp(-delta_t * sigma * delta_scale)
+        weight = L * (1.0 - att)
+
+        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
+        if opt.format != FORMAT_RGBA:
+            coeffs = feat[:, : n_color * opt.basis_dim].reshape(
+                B, n_color, opt.basis_dim
+            )
+            tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs)
+            s = jax.nn.sigmoid(tmp)
+            gs = s * (1.0 - s)
+            g_coeff = (
+                weight[:, None, None]
+                * (gs * g_color)[:, :, None]
+                * basis_step[:, None, :]
+            ).reshape(B, n_color * opt.basis_dim)
+            rows = jnp.pad(g_coeff, ((0, 0), (0, D - n_color * opt.basis_dim)))
+        else:
+            s = jax.nn.sigmoid(feat[:, :n_color])
+            rows = jnp.pad(
+                weight[:, None] * s * (1.0 - s) * g_color,
+                ((0, 0), (0, D - n_color)),
+            )
+        total_color = jnp.sum(s * g_color, axis=-1)
+
+        scat_idx = jnp.where(contrib, idx, M)
+        grad_f = grad_f.at[scat_idx].add(rows, mode="drop")
+
+        L = jnp.where(contrib, L * att, L)
+        accum = accum + jnp.where(contrib, weight * total_color, 0.0)
+        return step + 1, t + delta_t, L, accum, grad_f
+
+    init1 = (
+        jnp.zeros((), jnp.int32),
+        tmin,
+        jnp.ones((B,), dtype),
+        jnp.zeros((B,), dtype),
+        jnp.zeros((M, D), dtype),
+    )
+    _, _, L_ray, accum, grad_f = jax.lax.while_loop(cond1, body1, init1)
+    total_grad = jnp.sum(g_color, axis=-1)
+    accum = accum + L_ray * opt.background_brightness * total_grad
+
+    # ---- PASS 2: sigma gradients -----------------------------------------
+    def cond2(carry):
+        step, t, L, acc, grad_f = carry
+        return jnp.logical_and(
+            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+        )
+
+    def body2(carry):
+        step, t, L, acc, grad_f = carry
+        active = jnp.logical_and(hit, t < tmax)
+        leaf, feat, delta_t, sigma, valid, idx = _sample(
+            spec, features, o, d, invdir, t, opt.step_size
+        )
+        contrib = jnp.logical_and(active, sigma > 0.0)
+        att = jnp.exp(-delta_t * sigma * delta_scale)
+        weight = L * (1.0 - att)
+
+        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
+        s = _colors(feat, basis_step, opt, n_color)
+        total_color = jnp.sum(s * g_color, axis=-1)
+
+        newL = jnp.where(contrib, L * att, L)
+        new_acc = acc - jnp.where(contrib, weight * total_color, 0.0)
+        g_sigma = delta_t * delta_scale * (
+            total_color * newL - new_acc
+        ) + delta_t * delta_scale * g_alpha * L_ray
+
+        scat_idx = jnp.where(contrib, idx, M)
+        grad_f = grad_f.at[scat_idx, D - 1].add(
+            jnp.where(contrib, g_sigma, 0.0), mode="drop"
+        )
+        return step + 1, t + delta_t, newL, new_acc, grad_f
+
+    init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_f)
+    _, _, _, _, grad_f = jax.lax.while_loop(cond2, body2, init2)
+    return grad_f
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wiring
+# ---------------------------------------------------------------------------
+
+
+def _zero_cotangent(tree):
+    """Zero cotangents for a pytree, using float0 for non-inexact leaves."""
+
+    def zero(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(zero, tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def volume_render(spec, features, origins, dirs, vdirs, opt: RenderOptions):
+    """Differentiable per-ray volume render (parity: renderer.py:207-308 →
+    rt_kernel.cu volume_render/volume_render_backward).
+
+    :return: (B, n_color + 1) colors + alpha.
+    """
+    out, _ = _volume_render_fwd_impl(spec, features, origins, dirs, vdirs, opt, False)
+    return out
+
+
+def _vr_fwd(spec, features, origins, dirs, vdirs, opt):
+    out, _ = _volume_render_fwd_impl(spec, features, origins, dirs, vdirs, opt, False)
+    return out, (spec, features, origins, dirs, vdirs)
+
+
+def _vr_bwd(opt, res, g):
+    spec, features, origins, dirs, vdirs = res
+    grad_features = _volume_render_bwd_impl(
+        spec, features, origins, dirs, vdirs, g, opt
+    )
+    return (
+        _zero_cotangent(spec),
+        grad_features,
+        jnp.zeros_like(origins),
+        jnp.zeros_like(dirs),
+        jnp.zeros_like(vdirs),
+    )
+
+
+volume_render.defvjp(_vr_fwd, _vr_bwd)
+
+
+def volume_render_with_weight_accum(spec, features, origins, dirs, vdirs, opt):
+    """Render that also returns per-leaf summed contribution weights
+    (parity: WeightAccumulator, svox_t/svox.py:948-969 +
+    rt_kernel.cu:309-311). Returns (out, weight_accum_flat)."""
+    return _volume_render_fwd_impl(spec, features, origins, dirs, vdirs, opt, True)
+
+
+def volume_render_backward(spec, features, origins, dirs, vdirs, grad_out, opt):
+    """Expose the raw backward (used by tests and opacity parity checks)."""
+    return _volume_render_bwd_impl(spec, features, origins, dirs, vdirs, grad_out, opt)
+
+
+# ---------------------------------------------------------------------------
+# Camera/image rendering (parity: rt_kernel.cu:1152-1238)
+# ---------------------------------------------------------------------------
+
+
+def cam2world_rays(c2w, width: int, height: int, fx: float, fy: float):
+    """Generate pinhole rays for every pixel (parity: rt_kernel.cu:1152-1166).
+
+    :return: (origins (H*W, 3), dirs (H*W, 3))
+    """
+    c2w = jnp.asarray(c2w, jnp.float32)
+    ix = jnp.arange(width, dtype=jnp.float32)
+    iy = jnp.arange(height, dtype=jnp.float32)
+    x = (ix[None, :] - 0.5 * width) / fx
+    y = -(iy[:, None] - 0.5 * height) / fy
+    x, y = jnp.broadcast_arrays(x, y)
+    z = jnp.sqrt(x * x + y * y + 1.0)
+    x, y, z = x / z, y / z, -1.0 / z
+    dirs_cam = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    dirs = jnp.einsum("ij,bj->bi", c2w[:3, :3], dirs_cam)
+    origins = jnp.broadcast_to(c2w[:3, 3], dirs.shape)
+    return origins, dirs
+
+
+def world2ndc(opt: RenderOptions, dirs, origins, near: float = 1.0):
+    """NDC warp (parity: rt_kernel.cu:1169-1190). Returns (dirs, origins)."""
+    t = -(near + origins[..., 2]) / dirs[..., 2]
+    origins = origins + t[..., None] * dirs
+    ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
+    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ndx = -((2 * opt.ndc_focal) / opt.ndc_width) * (dx / dz - ox / oz)
+    ndy = -((2 * opt.ndc_focal) / opt.ndc_height) * (dy / dz - oy / oz)
+    ndz = -2 * near / oz
+    nox = -((2 * opt.ndc_focal) / opt.ndc_width) * (ox / oz)
+    noy = -((2 * opt.ndc_focal) / opt.ndc_height) * (oy / oz)
+    noz = 1 + 2 * near / oz
+    new_dirs = jnp.stack([ndx, ndy, ndz], axis=-1)
+    new_dirs = new_dirs / jnp.linalg.norm(new_dirs, axis=-1, keepdims=True)
+    return new_dirs, jnp.stack([nox, noy, noz], axis=-1)

@@ -1,0 +1,3 @@
+from .dataformat import DataFormat, LocalIndex
+from .spec import (CameraSpec, DATA_SENTINEL, NDCConfig, Rays, RenderOptions,
+                   TreeSpec, get_out_data_dim, make_tree_spec)

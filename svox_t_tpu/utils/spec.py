@@ -1,0 +1,182 @@
+"""Immutable pytree specs marshaled into the TPU render/query ops.
+
+These play the role of the reference's pybind11 spec structs
+(`svox_t/csrc/include/data_spec.hpp:52-145`: ``TreeSpec``, ``RaysSpec``,
+``CameraSpec``, ``RenderOptions``) — but instead of host-side POD structs
+handed to CUDA launchers, they are JAX pytrees (array leaves traced under
+`jit`) with hashable static metadata, so one compiled executable is reused
+across frames as long as shapes/format stay fixed.
+
+Design notes (TPU-first):
+  * ``child``/``data`` are stored **flattened** to 1-D ``(capacity * N^3,)``
+    so octree descent is a pure batched gather with precomputed flat
+    indices — no 4-D indexing in the hot loop.
+  * ``n_levels`` (max descent iterations) is static metadata so the
+    traversal loop has a fixed trip count (XLA requires static bounds).
+  * The empty-leaf sentinel is any ``data`` entry >= features.shape[0]
+    (the reference initializes the index table with ``int32(1e10)`` =
+    1410065408 after wraparound; svox_t/svox.py:123-124). We keep the
+    same sentinel value for .npz compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import namedtuple
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Empty-leaf sentinel: int32 wraparound of 1e10, matching the reference's
+# `torch.ones(...) * int(1e10)` int32 buffer init (svox_t/svox.py:123-124).
+DATA_SENTINEL = np.int32(np.uint64(10_000_000_000) & 0xFFFFFFFF)  # 1410065408
+
+NDCConfig = namedtuple("NDCConfig", ["width", "height", "focal"])
+Rays = namedtuple("Rays", ["origins", "dirs", "viewdirs"])
+
+# Format codes mirror DataFormat (utils/dataformat.py).
+FORMAT_RGBA = 0
+FORMAT_SH = 1
+FORMAT_SG = 2
+FORMAT_ASG = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static render configuration (parity: data_spec.hpp:129-145).
+
+    Hashable & frozen: passed as a static argument to jitted render ops.
+    """
+
+    step_size: float = 1e-3
+    background_brightness: float = 1.0
+    format: int = FORMAT_RGBA
+    basis_dim: int = -1
+    ndc_width: int = -1
+    ndc_height: int = -1
+    ndc_focal: float = -1.0
+    min_comp: int = 0
+    max_comp: int = -1
+    sigma_thresh: float = 0.0
+    stop_thresh: float = 0.0
+    # TPU-specific: static bound on march iterations (the reference's
+    # while(t < tmax) has a data-dependent trip count; XLA wants a bound).
+    # delta_t >= step_size so the march is guaranteed to terminate in
+    # ~sqrt(3)/step_size steps; leaf-adaptive stepping makes the practical
+    # count far smaller. 1024 covers depth<=9 trees comfortably.
+    max_steps: int = 1024
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TreeSpec:
+    """Octree structure + auxiliary tensors as a JAX pytree.
+
+    Array fields (pytree leaves):
+      child_flat:    (capacity * N^3,) int32, relative child offsets in
+                     units of nodes; 0 = leaf cell.
+      data_flat:     (capacity * N^3,) int32, feature-pool row index per
+                     leaf cell; >= n_features means empty space.
+      parent_depth:  (capacity, 2) int32 (packed parent id, depth).
+      offset:        (3,) float32 world->tree offset.
+      scaling:       (3,) float32 world->tree scale (invradius).
+      extra_data:    (K, E) float32 or None (SG/ASG params, joint positions).
+      joint_features / skinning_weights / joint_index /
+      transformation_matrices: optional per-call animation tensors
+                     (parity: data_spec.hpp:67-111).
+
+    Static metadata:
+      N:        branching factor.
+      n_levels: max number of descent iterations (tree depth + 1).
+      n_internal: number of in-use internal nodes (first dim of buffers
+                  actually populated); used to size query masks.
+    """
+
+    child_flat: jax.Array
+    data_flat: jax.Array
+    parent_depth: jax.Array
+    offset: jax.Array
+    scaling: jax.Array
+    extra_data: Optional[jax.Array] = None
+    joint_features: Optional[jax.Array] = None
+    skinning_weights: Optional[jax.Array] = None
+    joint_index: Optional[jax.Array] = None
+    transformation_matrices: Optional[jax.Array] = None
+    N: int = dataclasses.field(default=2, metadata=dict(static=True))
+    n_levels: int = dataclasses.field(default=11, metadata=dict(static=True))
+    n_internal: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.child_flat.shape[0] // (self.N ** 3)
+
+    def with_(self, **kw) -> "TreeSpec":
+        return dataclasses.replace(self, **kw)
+
+
+def make_tree_spec(
+    child: Any,
+    data: Any,
+    parent_depth: Any,
+    offset: Any,
+    scaling: Any,
+    *,
+    n_internal: int,
+    n_levels: Optional[int] = None,
+    extra_data: Any = None,
+    joint_features: Any = None,
+    skinning_weights: Any = None,
+    joint_index: Any = None,
+    transformation_matrices: Any = None,
+) -> TreeSpec:
+    """Build a TreeSpec from (capacity, N, N, N[, 1])-shaped tables.
+
+    ``n_levels`` defaults to (max depth stored in parent_depth) + 2, which
+    bounds root-to-leaf descent for any point.
+    """
+    child = jnp.asarray(child, jnp.int32)
+    N = int(child.shape[1])
+    data = jnp.asarray(data, jnp.int32).reshape(child.shape[0], N, N, N)
+    parent_depth = jnp.asarray(parent_depth, jnp.int32)
+    if n_levels is None:
+        pd = np.asarray(jax.device_get(parent_depth))
+        max_depth = int(pd[:max(n_internal, 1), 1].max()) if pd.size else 0
+        n_levels = max_depth + 2
+    return TreeSpec(
+        child_flat=child.reshape(-1),
+        data_flat=data.reshape(-1),
+        parent_depth=parent_depth,
+        offset=jnp.asarray(offset, jnp.float32),
+        scaling=jnp.asarray(scaling, jnp.float32),
+        extra_data=None if extra_data is None else jnp.asarray(extra_data, jnp.float32),
+        joint_features=None if joint_features is None else jnp.asarray(joint_features, jnp.float32),
+        skinning_weights=None if skinning_weights is None else jnp.asarray(skinning_weights, jnp.float32),
+        joint_index=None if joint_index is None else jnp.asarray(joint_index, jnp.int32),
+        transformation_matrices=None
+        if transformation_matrices is None
+        else jnp.asarray(transformation_matrices, jnp.float32),
+        N=N,
+        n_levels=int(n_levels),
+        n_internal=int(n_internal),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraSpec:
+    """Pinhole camera (parity: data_spec.hpp:113-126)."""
+
+    c2w: jax.Array  # (3, 4) or (4, 4)
+    fx: float = dataclasses.field(default=1111.111, metadata=dict(static=True))
+    fy: float = dataclasses.field(default=1111.111, metadata=dict(static=True))
+    width: int = dataclasses.field(default=800, metadata=dict(static=True))
+    height: int = dataclasses.field(default=800, metadata=dict(static=True))
+
+
+def get_out_data_dim(format: int, basis_dim: int, in_data_dim: int) -> int:
+    """Color output dims for a render (parity: rt_kernel.cu:1351-1358)."""
+    if format != FORMAT_RGBA:
+        return (in_data_dim - 1) // basis_dim + 1
+    return in_data_dim
