@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: forward volume-render throughput at 800x800 on a
+PlenOctree-scale SH9 shell scene, on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
+
+vs_baseline is against the north-star target of 100 Mrays/s/chip forward
+(BASELINE.json; the PlenOctrees paper's ~100 Mrays/s on a V100 is the
+only hard number in the reference's lineage). Extra keys report the
+fwd+bwd rate (target >= 25 Mrays/s) and scene stats.
+
+NOTE: inputs are perturbed every timed iteration — the axon TPU relay can
+serve repeated identical dispatches from a cache, which silently inflates
+naive benchmark loops by orders of magnitude.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Persistent compile cache: first-run XLA compiles of the march loop cost
+# minutes on this host; cache them across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import svox_t_tpu as st
+    from benchmarks.scenes import build_shell_tree, orbit_camera
+    from svox_t_tpu.ops.render import cam2world_rays, volume_render
+
+    W = H = 800
+    depth = 7
+
+    t0 = time.time()
+    tree, feats = build_shell_tree(depth=depth, data_format="SH9", data_dim=28)
+    build_s = time.time() - t0
+    t0 = time.time()
+    baked = tree._baked_spec()
+    bake_s = time.time() - t0
+
+    r = st.VolumeRenderer(tree, step_size=1e-3)
+    opt = r._get_options(False)
+    c2w = orbit_camera()
+    origins, dirs = cam2world_rays(c2w, W, H, fx=W * 1.1, fy=W * 1.1)
+    vdirs = dirs
+    n_rays = origins.shape[0]
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def fwd(sp, f, o, d, v, opt_):
+        return volume_render(sp, f, o, d, v, opt_)
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def fwdbwd(sp, f, o, d, v, opt_):
+        return jax.grad(
+            lambda ff: jnp.sum(volume_render(sp, ff, o, d, v, opt_))
+        )(f)
+
+    # Warmup (compile)
+    out = fwd(baked, feats, origins, dirs, vdirs, opt)
+    out.block_until_ready()
+    g = fwdbwd(baked, feats, origins, dirs, vdirs, opt)
+    g.block_until_ready()
+
+    def bench(fn, n_iter=5):
+        # Honest timing through the axon relay requires (a) perturbing the
+        # inputs each iteration (identical dispatches can be served from a
+        # cache) and (b) fetching a value that depends on the whole result
+        # (block_until_ready alone returns early). Anything less inflates
+        # the numbers by orders of magnitude.
+        times = []
+        for i in range(n_iter):
+            f_i = feats * (1.0 + 1e-7 * (i + 1))
+            _ = float(jnp.sum(f_i))
+            t0 = time.time()
+            res = fn(baked, f_i, origins, dirs, vdirs, opt)
+            _ = float(jnp.sum(res))
+            times.append(time.time() - t0)
+        return min(times)
+
+    fwd_s = bench(fwd)
+    fwd_mrays = n_rays / fwd_s / 1e6
+    bwd_s = bench(fwdbwd, n_iter=3)
+    bwd_mrays = n_rays / bwd_s / 1e6
+
+    alpha = float(jnp.mean(out[:, -1]))
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_render_throughput_800x800_sh9",
+                "value": round(fwd_mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(fwd_mrays / 100.0, 4),
+                "fwd_ms": round(fwd_s * 1e3, 1),
+                "fwd_bwd_mrays_s": round(bwd_mrays, 3),
+                "fwd_bwd_ms": round(bwd_s * 1e3, 1),
+                "fwd_bwd_vs_target": round(bwd_mrays / 25.0, 4),
+                "n_rays": int(n_rays),
+                "tree_internal_nodes": int(tree.n_internal),
+                "tree_leaves": int(tree.n_leaves),
+                "n_features": int(feats.shape[0]),
+                "mean_alpha": round(alpha, 4),
+                "scene_build_s": round(build_s, 2),
+                "bake_s": round(bake_s, 2),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,13 @@ class VolumeRenderer:
         min_comp: int = 0,
         max_comp: int = -1,
         max_steps: int = 1024,
+        backend: str = "baked",
     ):
+        """`backend`: "baked" (default) renders through the baked dense-top
+        + brick structure (ops/bake.py — 2 gathers/sample); "tree" walks
+        the raw octree (parity-identical semantics, slower)."""
+        assert backend in ("tree", "baked")
+        self.backend = backend
         self.tree = tree
         self.step_size = step_size
         self.background_brightness = background_brightness
@@ -132,9 +138,7 @@ class VolumeRenderer:
         :return: (B, n_color + 1) colors + alpha
         """
         del cuda
-        spec = self.tree._spec(
-            features, transformation_matrices=transformation_matrices
-        )
+        spec = self._render_spec(transformation_matrices)
         opt = self._get_options(fast)
         origins, dirs, vdirs = (
             jnp.asarray(rays.origins),
@@ -169,7 +173,7 @@ class VolumeRenderer:
         opt = self._get_options(fast)
         if self.ndc_config is not None:
             dirs, origins = render_ops.world2ndc(opt, dirs, origins)
-        spec = self.tree._spec(features)
+        spec = self._render_spec()
         features = jnp.asarray(features)
         if self.tree._weight_accum is not None:
             out, waccum = _render_weights_jit(
@@ -189,7 +193,7 @@ class VolumeRenderer:
         assert self.tree.extra_data is not None, (
             "Need extra data to store skeleton postion."
         )
-        spec = self.tree._spec(features)
+        spec = self._render_spec()
         return _motion_jit(
             spec,
             jnp.asarray(features),
@@ -201,7 +205,7 @@ class VolumeRenderer:
     def render_depth(self, features, rays: Rays, cuda=True, fast=False):
         """First-hit depth map, (B, 1)."""
         del cuda
-        spec = self.tree._spec(features)
+        spec = self._render_spec()
         return _depth_jit(
             spec,
             jnp.asarray(features),
@@ -233,7 +237,7 @@ class VolumeRenderer:
     def opacity_render(self, features, rays: Rays, cuda=True, fast=False):
         """Alpha-only render, (B, 1); differentiable wrt `features`."""
         del cuda
-        spec = self.tree._spec(features)
+        spec = self._render_spec()
         return _opacity_jit(
             spec,
             jnp.asarray(features),
@@ -243,6 +247,15 @@ class VolumeRenderer:
         )
 
     # ------------------------------------------------------------------
+
+    def _render_spec(self, transformation_matrices=None):
+        if self.backend == "baked":
+            return self.tree._baked_spec(
+                transformation_matrices=transformation_matrices
+            )
+        return self.tree._spec(
+            None, transformation_matrices=transformation_matrices
+        )
 
     def _get_options(self, fast=False) -> RenderOptions:
         """Build the static RenderOptions (parity: renderer.py:408-439)."""

@@ -125,7 +125,8 @@ class N3Tree:
         """`_data` may transiently live on device after construct_tree();
         pull it back before host-side mutation."""
         if not isinstance(self._data, np.ndarray):
-            self._data = np.asarray(jax.device_get(self._data)).reshape(
+            # np.array (not asarray): device_get may return a read-only view.
+            self._data = np.array(jax.device_get(self._data)).reshape(
                 -1, self.N, self.N, self.N, 1
             )
 
@@ -197,6 +198,36 @@ class N3Tree:
             )
         return spec
 
+    def _baked_spec(self, transformation_matrices=None):
+        """Baked render structure (ops/bake.py): dense top grid + brick
+        atlas — 2 gathers per sample instead of ~depth. Cached; refreshed
+        cheaply (one gather) after construct_tree re-points the index
+        table."""
+        from ..ops import bake as bake_ops
+
+        if self._cached_baked is None:
+            self._ensure_host_data()
+            self._cached_baked = bake_ops.bake_arrays(
+                self._child,
+                self._data,
+                self._parent_depth,
+                self.offset,
+                self.invradius,
+                self.filled,
+                extra_data=self.extra_data,
+            )
+        baked = self._cached_baked
+        if transformation_matrices is not None:
+            import dataclasses as _dc
+
+            baked = _dc.replace(
+                baked,
+                transformation_matrices=jnp.asarray(
+                    transformation_matrices, jnp.float32
+                ),
+            )
+        return baked
+
     # ------------------------------------------------------------------
     # Real-time octree (re)pointing (parity: svox.py:160-161)
     # ------------------------------------------------------------------
@@ -214,6 +245,12 @@ class N3Tree:
         self._cached_spec = {
             k: v.with_(data_flat=new_data_flat) for k, v in self._cached_spec.items()
         }
+        if self._cached_baked is not None:
+            from ..ops import bake as bake_ops
+
+            self._cached_baked = bake_ops.refresh(
+                self._cached_baked, new_data_flat
+            )
 
     def construct_tree_device(self, spec: TreeSpec, indices) -> TreeSpec:
         """Functional on-device variant for jitted frame loops: returns a
@@ -351,7 +388,7 @@ class N3Tree:
         if nid.size == 0:
             return False
         child_idx = self._data[nid, ..., 0].reshape(len(nid), -1)  # (K, N^3)
-        feats_np = np.asarray(jax.device_get(self.features if features is None else features))
+        feats_np = np.array(jax.device_get(self.features if features is None else features))
         valid = child_idx < feats_np.shape[0]
         first_valid = np.where(
             valid.any(axis=1), np.argmax(valid, axis=1), 0
@@ -787,11 +824,13 @@ class N3Tree:
         self._last_all_leaves = None
         self._last_frontier = None
         self._cached_spec = {}
+        self._cached_baked = None
 
     def _invalidate_spec(self):
         """Contents-only change (index table): jit-relevant arrays change
         but leaf-view keys remain valid (reference keeps _ver too)."""
         self._cached_spec = {}
+        self._cached_baked = None
 
     # Redirected leaf-view conveniences (parity: svox.py:929-946)
     @property

@@ -44,7 +44,7 @@ class N3TreeView:
         )
         if is_points:
             pts = jnp.asarray(np.asarray(leaf_key, np.float32))
-            _, node_ids, _, unique_leaf_node = tree.forward(
+            _, node_ids, unique_leaf_node = tree.forward(
                 tree.features,
                 pts,
                 want_node_ids=True,
@@ -137,7 +137,7 @@ class N3TreeView:
             )
             self.tree.features = feats.at[scat].set(value, mode="drop")
         else:
-            cur = np.asarray(jax.device_get(feats))
+            cur = np.array(jax.device_get(feats))
             rows = cur[ids[valid]]
             rows[:, self._chan_key] = np.asarray(jax.device_get(value))[valid] \
                 if np.ndim(value) > 0 and np.shape(value)[0] == len(ids) else value
@@ -217,7 +217,7 @@ class N3TreeView:
     # -- in-place feature modification helpers --------------------------
 
     def _map_rows(self, fn):
-        feats = np.asarray(jax.device_get(self.tree.features))
+        feats = np.array(jax.device_get(self.tree.features))
         ids = self._data_ids()
         valid = ids < feats.shape[0]
         rows = ids[valid]

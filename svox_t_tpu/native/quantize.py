@@ -75,9 +75,12 @@ def _quantize_numpy(data: np.ndarray, weights: Optional[np.ndarray],
         if weights is None:
             m = idx.size // 2
         else:
+            # First index whose inclusive prefix weight strictly exceeds
+            # half the total goes to the RIGHT cluster (matches the C++
+            # `break` semantics in quantizer.cpp).
             pfx = np.cumsum(weights[srt])
-            m = int(np.searchsorted(pfx, 0.5 * pfx[-1], side="right")) + 1
-            m = min(m, idx.size)
+            m = int(np.searchsorted(pfx, 0.5 * pfx[-1], side="right"))
+            m = min(m, idx.size - 1)
         rec(srt[:m], depth - 1)
         rec(srt[m:], depth - 1)
 

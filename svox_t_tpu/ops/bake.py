@@ -1,0 +1,355 @@
+"""Baked render structure: dense top grid + brick atlas, packed entries.
+
+The reference traverses root-to-leaf per sample (common.cuh:62-100) —
+~depth dependent gathers. That walk is the TPU bottleneck: each level is
+a random gather the VPU must wait on. This module *bakes* the octree
+into a structure where locating a leaf costs **two gathers + arithmetic**:
+
+  * ``top``: a dense (R^3,) grid at tree level T (R = N^T). A negative
+    entry means the cell contains deeper subdivision and encodes a brick
+    id (``-(brick_id + 1)``); otherwise the entry packs the covering
+    leaf's (depth, feature row) in one int32: ``(depth << 27) | row``.
+  * ``brick``: an atlas of (B^3,)-cell bricks (B = N^(D-T)) of the same
+    packed entries at the finest level — bricks exist only under
+    subdivided top cells, so memory stays O(occupied).
+
+Per sample: gather top cell -> maybe gather brick cell -> unpack
+``depth``, compute ``cube_sz = N^(depth+1)`` and the in-leaf fractional
+coordinates arithmetically (`frac = pos * cube_sz mod 1`). This
+reproduces the reference's leaf-adaptive stepping exactly (up to float
+rounding in the fraction computation, ~1e-6 — validated exact on the
+test scenes), while replacing ~`depth` dependent gathers with 2.
+
+Empty cells pack the row sentinel ``EMPTY_ROW`` (2^27 - 1); any packed
+row >= n_features means empty space, mirroring the index-table contract.
+Feature pools are limited to 2^27 - 1 rows (134M) in baked mode.
+
+Per-frame `construct_tree` updates only change the *index table*; the
+bake keeps a source map (baked cell -> flat tree cell) and the packed
+depth parts, so refreshing after re-pointing is one gather + or
+(`refresh`), entirely on device.
+
+Baking itself runs on host NumPy arrays (pass them directly via
+``bake_arrays`` — pulling spec tensors back through the device relay is
+slow).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.spec import TreeSpec
+
+ROW_BITS = 27
+EMPTY_ROW = (1 << ROW_BITS) - 1
+ROW_MASK = EMPTY_ROW
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BakedTree:
+    """Render-optimized octree (see module docstring).
+
+    Array leaves:
+      top:   (R^3,) int32 — packed (depth<<27|row), or -(brick_id+1).
+      brick: (n_bricks * B^3,) int32 — packed entries.
+      src_map: (R^3 + n_bricks * B^3,) int32 — flat tree-cell index each
+               baked cell's row came from (for refresh / weight accum).
+      depth_parts: same length — precomputed (depth << 27) per baked cell.
+      offset / scaling: world->tree transform (copied from the spec).
+      extra_data / transformation_matrices: optional aux (as TreeSpec).
+    """
+
+    top: jax.Array
+    brick: jax.Array
+    src_map: jax.Array
+    depth_parts: jax.Array
+    offset: jax.Array
+    scaling: jax.Array
+    extra_data: Optional[jax.Array] = None
+    transformation_matrices: Optional[jax.Array] = None
+    N: int = dataclasses.field(default=2, metadata=dict(static=True))
+    top_levels: int = dataclasses.field(default=5, metadata=dict(static=True))
+    brick_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_tree_cells: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def R(self) -> int:
+        return self.N ** self.top_levels
+
+    @property
+    def B(self) -> int:
+        return self.N ** self.brick_levels
+
+
+def _leaf_cells(child: np.ndarray, parent_depth: np.ndarray, n_internal: int):
+    """Enumerate all leaf cells breadth-first (host NumPy).
+
+    :param child: (n_nodes, N, N, N) int32 relative offsets
+    :return: (corner_f (L,3) int64 finest-grid units, depth (L,),
+              src_flat (L,), D) with D = max node depth + 1.
+    """
+    N = child.shape[1]
+    max_depth = int(parent_depth[: max(n_internal, 1), 1].max()) if len(parent_depth) else 0
+    D = max_depth + 1
+    F = N ** D
+
+    cells_corner, cells_depth, cells_src = [], [], []
+    nodes = np.array([0], np.int64)
+    corners = np.zeros((1, 3), np.int64)
+    u, v, w = np.meshgrid(np.arange(N), np.arange(N), np.arange(N), indexing="ij")
+    uvw = np.stack([u.ravel(), v.ravel(), w.ravel()], -1)
+
+    child_flat = child.reshape(-1)
+    for level in range(D):
+        cell_f = F // (N ** (level + 1))
+        n = len(nodes)
+        all_nodes = np.repeat(nodes, N ** 3)
+        all_corners = np.repeat(corners, N ** 3, axis=0) + np.tile(uvw, (n, 1)) * cell_f
+        tiled_uvw = np.tile(uvw, (n, 1))
+        flat = (
+            (all_nodes * N + tiled_uvw[:, 0]) * N + tiled_uvw[:, 1]
+        ) * N + tiled_uvw[:, 2]
+        skips = child_flat[flat]
+        is_leaf = skips == 0
+        cells_corner.append(all_corners[is_leaf])
+        cells_depth.append(np.full(int(is_leaf.sum()), level, np.int64))
+        cells_src.append(flat[is_leaf])
+        nxt = ~is_leaf
+        nodes = all_nodes[nxt] + skips[nxt]
+        corners = all_corners[nxt]
+        if len(nodes) == 0:
+            break
+
+    return (
+        np.concatenate(cells_corner),
+        np.concatenate(cells_depth),
+        np.concatenate(cells_src),
+        D,
+    )
+
+
+def _paint(dst, dst_aux, idx3, span, values, depths, srcs, aux3=None):
+    """Paint (possibly multi-cell) regions into a dense 3-D grid."""
+    for s in np.unique(span):
+        m = span == s
+        cs = idx3[m]
+        packed = values[m]
+        dp = depths[m]
+        sr = srcs[m]
+        if s == 1:
+            sel = (cs[:, 0], cs[:, 1], cs[:, 2])
+            dst[sel] = packed
+            dst_aux[0][sel] = dp
+            dst_aux[1][sel] = sr
+        else:
+            off = np.arange(s)
+            ox, oy, oz = np.meshgrid(off, off, off, indexing="ij")
+            ox, oy, oz = ox.ravel(), oy.ravel(), oz.ravel()
+            rep = int(s ** 3)
+            X = (cs[:, 0, None] + ox).ravel()
+            Y = (cs[:, 1, None] + oy).ravel()
+            Z = (cs[:, 2, None] + oz).ravel()
+            dst[X, Y, Z] = np.repeat(packed, rep)
+            dst_aux[0][X, Y, Z] = np.repeat(dp, rep)
+            dst_aux[1][X, Y, Z] = np.repeat(sr, rep)
+
+
+def bake_arrays(
+    child: np.ndarray,
+    data: np.ndarray,
+    parent_depth: np.ndarray,
+    offset,
+    scaling,
+    n_internal: int,
+    extra_data=None,
+    transformation_matrices=None,
+    top_levels: Optional[int] = None,
+) -> BakedTree:
+    """Bake from host-side (capacity, N, N, N[, 1]) arrays."""
+    child = np.asarray(child)
+    N = child.shape[1]
+    data_flat = np.asarray(data).reshape(-1).astype(np.int64)
+    parent_depth = np.asarray(parent_depth)
+
+    corners, depths, srcs, D = _leaf_cells(child, parent_depth, n_internal)
+    if top_levels is None:
+        top_levels = min(D, 6 if N == 2 else 3)
+    top_levels = min(top_levels, D)
+    brick_levels = D - top_levels
+    R = N ** top_levels
+    B = N ** brick_levels
+    F = N ** D
+
+    rows = np.minimum(data_flat[srcs], EMPTY_ROW).astype(np.int64)
+    rows = np.where(rows < 0, EMPTY_ROW, rows)
+    packed = ((depths.astype(np.int64) << ROW_BITS) | rows).astype(np.int64)
+
+    top = np.full((R, R, R), EMPTY_ROW, np.int64)
+    top_depth = np.zeros((R, R, R), np.int64)
+    top_src = np.zeros((R, R, R), np.int64)
+
+    top_cell_f = F // R
+    corner_top = corners // top_cell_f
+    shallow = depths < top_levels
+    deep = ~shallow
+
+    span = (R // (N ** (depths[shallow] + 1))).astype(np.int64)
+    _paint(
+        top,
+        (top_depth, top_src),
+        corner_top[shallow],
+        span,
+        packed[shallow],
+        depths[shallow],
+        srcs[shallow],
+    )
+
+    if brick_levels > 0 and deep.any():
+        dp_c_top = corner_top[deep]
+        uniq_cells, brick_of = np.unique(
+            (dp_c_top[:, 0] * R + dp_c_top[:, 1]) * R + dp_c_top[:, 2],
+            return_inverse=True,
+        )
+        n_bricks = len(uniq_cells)
+        ux = uniq_cells // (R * R)
+        uy = (uniq_cells // R) % R
+        uz = uniq_cells % R
+        top.reshape(-1)[uniq_cells] = -(np.arange(n_bricks, dtype=np.int64) + 1)
+
+        brick = np.full((n_bricks, B, B, B), EMPTY_ROW, np.int64)
+        brick_depth = np.zeros((n_bricks, B, B, B), np.int64)
+        brick_src = np.zeros((n_bricks, B, B, B), np.int64)
+
+        dp_corner_in = corners[deep] % top_cell_f  # brick units (finest)
+        size_f = (F // (N ** (depths[deep] + 1))).astype(np.int64)
+        # paint per span group inside bricks
+        for s in np.unique(size_f):
+            m = size_f == s
+            bi = brick_of[m]
+            cs = dp_corner_in[m]
+            pk = packed[deep][m]
+            dpv = depths[deep][m]
+            srv = srcs[deep][m]
+            if s == 1:
+                brick[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = pk
+                brick_depth[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = dpv
+                brick_src[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = srv
+            else:
+                off = np.arange(s)
+                ox, oy, oz = np.meshgrid(off, off, off, indexing="ij")
+                ox, oy, oz = ox.ravel(), oy.ravel(), oz.ravel()
+                rep = int(s ** 3)
+                BI = np.repeat(bi, rep)
+                X = (cs[:, 0, None] + ox).ravel()
+                Y = (cs[:, 1, None] + oy).ravel()
+                Z = (cs[:, 2, None] + oz).ravel()
+                brick[BI, X, Y, Z] = np.repeat(pk, rep)
+                brick_depth[BI, X, Y, Z] = np.repeat(dpv, rep)
+                brick_src[BI, X, Y, Z] = np.repeat(srv, rep)
+    else:
+        brick = np.full((1, B, B, B), EMPTY_ROW, np.int64)
+        brick_depth = np.zeros((1, B, B, B), np.int64)
+        brick_src = np.zeros((1, B, B, B), np.int64)
+
+    src_map = np.concatenate([top_src.reshape(-1), brick_src.reshape(-1)])
+    depth_parts = (
+        np.concatenate([top_depth.reshape(-1), brick_depth.reshape(-1)]) << ROW_BITS
+    )
+
+    return BakedTree(
+        top=jnp.asarray(top.reshape(-1).astype(np.int32)),
+        brick=jnp.asarray(brick.reshape(-1).astype(np.int32)),
+        src_map=jnp.asarray(src_map.astype(np.int32)),
+        depth_parts=jnp.asarray(depth_parts.astype(np.int32)),
+        offset=jnp.asarray(np.asarray(offset), jnp.float32),
+        scaling=jnp.asarray(np.asarray(scaling), jnp.float32),
+        extra_data=None if extra_data is None else jnp.asarray(extra_data, jnp.float32),
+        transformation_matrices=None
+        if transformation_matrices is None
+        else jnp.asarray(transformation_matrices, jnp.float32),
+        N=N,
+        top_levels=int(top_levels),
+        brick_levels=int(brick_levels),
+        n_tree_cells=int(child.size),
+    )
+
+
+def bake(spec: TreeSpec, top_levels: Optional[int] = None) -> BakedTree:
+    """Bake a device TreeSpec (pulls tables to host first)."""
+    N = spec.N
+    child = np.asarray(jax.device_get(spec.child_flat)).reshape(-1, N, N, N)
+    data = np.asarray(jax.device_get(spec.data_flat))
+    pd = np.asarray(jax.device_get(spec.parent_depth))
+    return bake_arrays(
+        child,
+        data,
+        pd,
+        np.asarray(jax.device_get(spec.offset)),
+        np.asarray(jax.device_get(spec.scaling)),
+        spec.n_internal,
+        extra_data=None if spec.extra_data is None else np.asarray(jax.device_get(spec.extra_data)),
+        transformation_matrices=None
+        if spec.transformation_matrices is None
+        else np.asarray(jax.device_get(spec.transformation_matrices)),
+        top_levels=top_levels,
+    )
+
+
+def refresh(baked: BakedTree, data_flat: jax.Array) -> BakedTree:
+    """On-device re-bake after construct_tree re-pointed the index table
+    (structure unchanged): one gather + repack."""
+    n_top = baked.top.shape[0]
+    rows = jnp.minimum(data_flat[baked.src_map], EMPTY_ROW)
+    rows = jnp.where(rows < 0, EMPTY_ROW, rows)
+    packed = baked.depth_parts | rows
+    new_top = jnp.where(baked.top < 0, baked.top, packed[:n_top])
+    return dataclasses.replace(baked, top=new_top, brick=packed[n_top:])
+
+
+def lookup(baked: BakedTree, pos: jax.Array):
+    """Locate leaves for (B, 3) tree-space points — 2 gathers.
+
+    :return: (data_idx (B,), cube_sz (B,), frac (B,3), cell_id (B,))
+        with cube_sz/frac semantics matching ops.traversal.descend
+        (cube_sz = N^(depth+1)); cell_id is the global baked-cell index
+        (top cells first, then brick atlas) usable with ``src_map``.
+    """
+    N = baked.N
+    R = baked.R
+    Bk = baked.B
+    n_top = baked.top.shape[0]
+    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+
+    pf = pos * R
+    cell = jnp.minimum(pf.astype(jnp.int32), R - 1)
+    top_idx = (cell[:, 0] * R + cell[:, 1]) * R + cell[:, 2]
+    e = baked.top[top_idx]
+
+    if baked.brick_levels > 0:
+        in_brick = e < 0
+        bid = -e - 1
+        pb = pos * (R * Bk)
+        sub = jnp.minimum(pb.astype(jnp.int32), R * Bk - 1) % Bk
+        b_idx = (
+            (jnp.maximum(bid, 0) * Bk + sub[:, 0]) * Bk + sub[:, 1]
+        ) * Bk + sub[:, 2]
+        be = baked.brick[b_idx]
+        e = jnp.where(in_brick, be, e)
+        cell_id = jnp.where(in_brick, n_top + b_idx, top_idx)
+    else:
+        cell_id = top_idx
+
+    depth = jax.lax.shift_right_logical(e, ROW_BITS)
+    data_idx = jax.lax.bitwise_and(e, ROW_MASK)
+    cube_sz = jnp.exp2((depth + 1).astype(pos.dtype)) if N == 2 else (
+        jnp.asarray(float(N)) ** (depth + 1).astype(pos.dtype)
+    )
+    scaled = pos * cube_sz[:, None]
+    frac = scaled - jnp.floor(scaled)
+    return data_idx, cube_sz, frac, cell_id

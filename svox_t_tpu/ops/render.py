@@ -55,8 +55,10 @@ import numpy as np
 
 from ..utils.spec import (FORMAT_RGBA, RenderOptions, TreeSpec,
                           get_out_data_dim)
-from .sh import eval_basis
-from .traversal import dda_unit, descend, get_delta_scale, world2tree
+from .bake import BakedTree
+from .bake import lookup as _baked_lookup
+from .sh import _PREC, eval_basis
+from .traversal import LeafInfo, dda_unit, descend, get_delta_scale, world2tree
 
 
 def _basis_window(opt: RenderOptions) -> np.ndarray:
@@ -80,7 +82,15 @@ def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
     """One march sample for the whole batch: leaf lookup + step length +
     density. Returns (leaf, delta_t, sigma, valid, idx)."""
     pos = o + t[:, None] * d
-    leaf = descend(spec, pos)
+    if isinstance(spec, BakedTree):
+        # Baked structure: 2 gathers + arithmetic (see ops/bake.py);
+        # node_flat carries the baked cell id (translate via src_map for
+        # weight accumulation).
+        data_idx, cube_sz, frac, cell_id = _baked_lookup(spec, pos)
+        leaf = LeafInfo(data_idx=data_idx, node_flat=cell_id,
+                        cube_sz=cube_sz, frac=frac)
+    else:
+        leaf = descend(spec, pos)
     sub_tmin, sub_tmax = dda_unit(leaf.frac, invdir)
     delta_t = (sub_tmax - sub_tmin) / leaf.cube_sz + step_size
     M, D = features.shape
@@ -108,7 +118,7 @@ def _step_basis(spec, opt, vdirs, idx, base_basis, window):
     if spec.transformation_matrices is None:
         return base_basis
     rot = spec.transformation_matrices[idx][:, :3, :3]
-    rd = jnp.einsum("bij,bj->bi", rot, vdirs)
+    rd = jnp.einsum("bij,bj->bi", rot, vdirs, precision=_PREC)
     return eval_basis(opt.format, opt.basis_dim, rd, spec.extra_data) * window
 
 
@@ -118,8 +128,94 @@ def _colors(feat, basis_step, opt, n_color):
         return jax.nn.sigmoid(feat[:, :n_color])
     B = feat.shape[0]
     coeffs = feat[:, : n_color * opt.basis_dim].reshape(B, n_color, opt.basis_dim)
-    tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs)
+    tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs, precision=_PREC)
     return jax.nn.sigmoid(tmp)
+
+
+# ---------------------------------------------------------------------------
+# Ray chunking
+#
+# Each chunk's march loop exits when its own rays are done — the whole
+# batch no longer pays for the slowest ray. Image-order chunks are
+# spatially coherent, so per-chunk step counts track the local scene.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_shape(opt: RenderOptions, B: int):
+    C = opt.chunk_size
+    if C <= 0 or B <= C:
+        return None
+    n = -(-B // C)
+    return n, C
+
+
+def _pad_chunk(arr, B, n, C, fill):
+    """(B, ...) -> (n, C, ...). Padding rays must do no work and leave no
+    trace (gradients, weight accumulation), so they are filled with
+    constants that form a guaranteed-miss ray (origin 1e9, dir 1) or
+    zeros (gradient rows)."""
+    pad = n * C - B
+    if pad:
+        arr = jnp.concatenate(
+            [arr, jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)]
+        )
+    return arr.reshape((n, C) + arr.shape[1:])
+
+
+# Fill values for (origins, dirs, viewdirs, grad_out) ray tuples.
+_RAY_FILLS = (1e9, 1.0, 1.0, 0.0)
+
+
+def _chunked_outputs(single_fn, opt, ray_arrays, carry_init=None, fills=_RAY_FILLS):
+    """Run `single_fn(*chunk_rays[, carry])` chunk by chunk via lax.scan.
+
+    single_fn returns (out[, new_carry]); outputs are stacked and
+    un-padded to (B, ...). Returns (out, carry).
+    """
+    B = ray_arrays[0].shape[0]
+    shape = _chunk_shape(opt, B)
+    has_carry = carry_init is not None
+    if shape is None:
+        if has_carry:
+            out, carry = single_fn(*ray_arrays, carry_init)
+            return out, carry
+        return single_fn(*ray_arrays), None
+    n, C = shape
+    chunks = tuple(
+        _pad_chunk(a, B, n, C, f) for a, f in zip(ray_arrays, fills)
+    )
+
+    def body(carry, xs):
+        if has_carry:
+            out, carry = single_fn(*xs, carry)
+        else:
+            out = single_fn(*xs)
+        return carry, out
+
+    carry, outs = jax.lax.scan(body, carry_init, chunks)
+    out = jax.tree_util.tree_map(
+        lambda y: y.reshape((n * C,) + y.shape[2:])[:B], outs
+    )
+    return out, carry
+
+
+def _chunked_carry(single_fn, opt, ray_arrays, carry_init, fills=_RAY_FILLS):
+    """Like _chunked_outputs but single_fn only updates a carry (used by
+    backward passes accumulating gradient buffers)."""
+    B = ray_arrays[0].shape[0]
+    shape = _chunk_shape(opt, B)
+    if shape is None:
+        return single_fn(*ray_arrays, carry_init)
+    n, C = shape
+    chunks = tuple(
+        _pad_chunk(a, B, n, C, f) for a, f in zip(ray_arrays, fills)
+    )
+
+    def body(carry, xs):
+        return single_fn(*xs, carry), None
+
+    carry, _ = jax.lax.scan(body, carry_init, chunks)
+    return carry
 
 
 # ---------------------------------------------------------------------------
@@ -136,81 +232,99 @@ def _volume_render_fwd_impl(
     opt: RenderOptions,
     want_weight_accum: bool,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Forward ray march. Returns ((B, n_color+1) color+alpha,
+    """Forward ray march (chunked). Returns ((B, n_color+1) color+alpha,
     optional flat (capacity*N^3,) weight accumulation)."""
-    B = origins.shape[0]
     D = features.shape[1]
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     dtype = origins.dtype
 
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
-
-    if opt.format != FORMAT_RGBA:
-        window = jnp.asarray(_basis_window(opt))
-        base_basis = eval_basis(opt.format, opt.basis_dim, vdirs, spec.extra_data) * window
-    else:
-        window = None
-        base_basis = None
-
+    is_baked = isinstance(spec, BakedTree)
+    n_cells = spec.n_tree_cells if is_baked else spec.child_flat.shape[0]
     waccum0 = (
-        jnp.zeros((spec.child_flat.shape[0],), dtype)
+        jnp.zeros((n_cells,), dtype)
         if want_weight_accum
         else jnp.zeros((1,), dtype)
     )
-    n_cells = spec.child_flat.shape[0]
 
-    def cond(carry):
-        step, t, L, out_c, alpha, active, stopped, waccum = carry
-        return jnp.logical_and(step < opt.max_steps, jnp.any(active))
-
-    def body(carry):
-        step, t, L, out_c, alpha, active, stopped, waccum = carry
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
+    def single(origins_, dirs_, vdirs_, waccum0_):
+        B = origins_.shape[0]
+        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
         )
-        contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
-        att = jnp.exp(-delta_t * delta_scale * sigma)
-        weight = L * (1.0 - att)
+        if opt.format != FORMAT_RGBA:
+            window = jnp.asarray(_basis_window(opt))
+            base_basis = (
+                eval_basis(opt.format, opt.basis_dim, vdirs_, spec.extra_data)
+                * window
+            )
+        else:
+            window = None
+            base_basis = None
 
-        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
-        s = _colors(feat, basis_step, opt, n_color)
-        out_c = out_c + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
-        newL = jnp.where(contrib, L * att, L)
+        def cond(carry):
+            step, t, L, out_c, alpha, active, stopped, waccum = carry
+            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
 
-        if want_weight_accum:
-            w_idx = jnp.where(contrib, leaf.node_flat, n_cells)
-            waccum = waccum.at[w_idx].add(weight, mode="drop")
+        def body(carry):
+            step, t, L, out_c, alpha, active, stopped, waccum = carry
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
+            att = jnp.exp(-delta_t * delta_scale * sigma)
+            weight = L * (1.0 - att)
 
-        stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-        scale = 1.0 / (1.0 - newL)
-        out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
-        alpha = jnp.where(stop_now, 1.0 - newL, alpha)
-        stopped = jnp.logical_or(stopped, stop_now)
+            basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
+            s = _colors(feat, basis_step, opt, n_color)
+            out_c = out_c + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
+            newL = jnp.where(contrib, L * att, L)
 
-        t = t + delta_t
-        active = jnp.logical_and(active, jnp.logical_and(~stop_now, t < tmax))
-        return step + 1, t, newL, out_c, alpha, active, stopped, waccum
+            if want_weight_accum:
+                node_flat = (
+                    spec.src_map[leaf.node_flat] if is_baked else leaf.node_flat
+                )
+                w_idx = jnp.where(contrib, node_flat, n_cells)
+                waccum = waccum.at[w_idx].add(weight, mode="drop")
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        tmin,
-        jnp.ones((B,), dtype),
-        jnp.zeros((B, n_color), dtype),
-        jnp.zeros((B,), dtype),
-        hit,
-        jnp.zeros((B,), bool),
-        waccum0,
+            stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
+            scale = 1.0 / (1.0 - newL)
+            out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
+            alpha = jnp.where(stop_now, 1.0 - newL, alpha)
+            stopped = jnp.logical_or(stopped, stop_now)
+
+            t = t + delta_t
+            active = jnp.logical_and(
+                active, jnp.logical_and(~stop_now, t < tmax)
+            )
+            return step + 1, t, newL, out_c, alpha, active, stopped, waccum
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            tmin,
+            jnp.ones((B,), dtype),
+            jnp.zeros((B, n_color), dtype),
+            jnp.zeros((B,), dtype),
+            hit,
+            jnp.zeros((B,), bool),
+            waccum0_,
+        )
+        _, t, L, out_c, alpha, active, stopped, waccum = jax.lax.while_loop(
+            cond, body, init
+        )
+
+        bg = opt.background_brightness
+        out_c = jnp.where(
+            hit[:, None],
+            jnp.where(stopped[:, None], out_c, out_c + (L * bg)[:, None]),
+            jnp.full((B, n_color), bg, dtype),
+        )
+        alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
+        out = jnp.concatenate([out_c, alpha[:, None]], axis=-1)
+        return out, waccum
+
+    out, waccum = _chunked_outputs(
+        single, opt, (origins, dirs, vdirs), waccum0
     )
-    _, t, L, out_c, alpha, active, stopped, waccum = jax.lax.while_loop(cond, body, init)
-
-    bg = opt.background_brightness
-    out_c = jnp.where(
-        hit[:, None],
-        jnp.where(stopped[:, None], out_c, out_c + (L * bg)[:, None]),
-        jnp.full((B, n_color), bg, dtype),
-    )
-    alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
-    out = jnp.concatenate([out_c, alpha[:, None]], axis=-1)
     return out, (waccum if want_weight_accum else None)
 
 
@@ -228,117 +342,123 @@ def _volume_render_bwd_impl(
     grad_out: jax.Array,
     opt: RenderOptions,
 ) -> jax.Array:
-    """Gradient of the render wrt the feature pool, dense (M, D)."""
-    B = origins.shape[0]
+    """Gradient of the render wrt the feature pool, dense (M, D) —
+    chunked: grad_features is the scan carry across ray chunks."""
     M, D = features.shape
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     dtype = origins.dtype
 
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+    def single(origins_, dirs_, vdirs_, grad_out_, grad_f0):
+      B = origins_.shape[0]
+      o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins_, dirs_)
 
-    if opt.format != FORMAT_RGBA:
+      if opt.format != FORMAT_RGBA:
         window = jnp.asarray(_basis_window(opt))
-        base_basis = eval_basis(opt.format, opt.basis_dim, vdirs, spec.extra_data) * window
-    else:
+        base_basis = eval_basis(opt.format, opt.basis_dim, vdirs_, spec.extra_data) * window
+      else:
         window = None
         base_basis = None
 
-    g_color = grad_out[:, :n_color]
-    g_alpha = grad_out[:, n_color]
+      g_color = grad_out_[:, :n_color]
+      g_alpha = grad_out_[:, n_color]
 
-    # ---- PASS 1: color gradients + accum ---------------------------------
-    def cond1(carry):
-        step, t, L, accum, grad_f = carry
-        return jnp.logical_and(
-            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
-        )
+      # ---- PASS 1: color gradients + accum ---------------------------------
+      def cond1(carry):
+          step, t, L, accum, grad_f = carry
+          return jnp.logical_and(
+              step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+          )
 
-    def body1(carry):
-        step, t, L, accum, grad_f = carry
-        active = jnp.logical_and(hit, t < tmax)
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
-        )
-        contrib = jnp.logical_and(active, sigma > 0.0)
-        att = jnp.exp(-delta_t * sigma * delta_scale)
-        weight = L * (1.0 - att)
+      def body1(carry):
+          step, t, L, accum, grad_f = carry
+          active = jnp.logical_and(hit, t < tmax)
+          leaf, feat, delta_t, sigma, valid, idx = _sample(
+              spec, features, o, d, invdir, t, opt.step_size
+          )
+          contrib = jnp.logical_and(active, sigma > 0.0)
+          att = jnp.exp(-delta_t * sigma * delta_scale)
+          weight = L * (1.0 - att)
 
-        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
-        if opt.format != FORMAT_RGBA:
-            coeffs = feat[:, : n_color * opt.basis_dim].reshape(
-                B, n_color, opt.basis_dim
-            )
-            tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs)
-            s = jax.nn.sigmoid(tmp)
-            gs = s * (1.0 - s)
-            g_coeff = (
-                weight[:, None, None]
-                * (gs * g_color)[:, :, None]
-                * basis_step[:, None, :]
-            ).reshape(B, n_color * opt.basis_dim)
-            rows = jnp.pad(g_coeff, ((0, 0), (0, D - n_color * opt.basis_dim)))
-        else:
-            s = jax.nn.sigmoid(feat[:, :n_color])
-            rows = jnp.pad(
-                weight[:, None] * s * (1.0 - s) * g_color,
-                ((0, 0), (0, D - n_color)),
-            )
-        total_color = jnp.sum(s * g_color, axis=-1)
+          basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
+          if opt.format != FORMAT_RGBA:
+              coeffs = feat[:, : n_color * opt.basis_dim].reshape(
+                  B, n_color, opt.basis_dim
+              )
+              tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs, precision=_PREC)
+              s = jax.nn.sigmoid(tmp)
+              gs = s * (1.0 - s)
+              g_coeff = (
+                  weight[:, None, None]
+                  * (gs * g_color)[:, :, None]
+                  * basis_step[:, None, :]
+              ).reshape(B, n_color * opt.basis_dim)
+              rows = jnp.pad(g_coeff, ((0, 0), (0, D - n_color * opt.basis_dim)))
+          else:
+              s = jax.nn.sigmoid(feat[:, :n_color])
+              rows = jnp.pad(
+                  weight[:, None] * s * (1.0 - s) * g_color,
+                  ((0, 0), (0, D - n_color)),
+              )
+          total_color = jnp.sum(s * g_color, axis=-1)
 
-        scat_idx = jnp.where(contrib, idx, M)
-        grad_f = grad_f.at[scat_idx].add(rows, mode="drop")
+          scat_idx = jnp.where(contrib, idx, M)
+          grad_f = grad_f.at[scat_idx].add(rows, mode="drop")
 
-        L = jnp.where(contrib, L * att, L)
-        accum = accum + jnp.where(contrib, weight * total_color, 0.0)
-        return step + 1, t + delta_t, L, accum, grad_f
+          L = jnp.where(contrib, L * att, L)
+          accum = accum + jnp.where(contrib, weight * total_color, 0.0)
+          return step + 1, t + delta_t, L, accum, grad_f
 
-    init1 = (
-        jnp.zeros((), jnp.int32),
-        tmin,
-        jnp.ones((B,), dtype),
-        jnp.zeros((B,), dtype),
-        jnp.zeros((M, D), dtype),
+      init1 = (
+          jnp.zeros((), jnp.int32),
+          tmin,
+          jnp.ones((B,), dtype),
+          jnp.zeros((B,), dtype),
+          grad_f0,
+      )
+      _, _, L_ray, accum, grad_f = jax.lax.while_loop(cond1, body1, init1)
+      total_grad = jnp.sum(g_color, axis=-1)
+      accum = accum + L_ray * opt.background_brightness * total_grad
+
+      # ---- PASS 2: sigma gradients -----------------------------------------
+      def cond2(carry):
+          step, t, L, acc, grad_f = carry
+          return jnp.logical_and(
+              step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+          )
+
+      def body2(carry):
+          step, t, L, acc, grad_f = carry
+          active = jnp.logical_and(hit, t < tmax)
+          leaf, feat, delta_t, sigma, valid, idx = _sample(
+              spec, features, o, d, invdir, t, opt.step_size
+          )
+          contrib = jnp.logical_and(active, sigma > 0.0)
+          att = jnp.exp(-delta_t * sigma * delta_scale)
+          weight = L * (1.0 - att)
+
+          basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
+          s = _colors(feat, basis_step, opt, n_color)
+          total_color = jnp.sum(s * g_color, axis=-1)
+
+          newL = jnp.where(contrib, L * att, L)
+          new_acc = acc - jnp.where(contrib, weight * total_color, 0.0)
+          g_sigma = delta_t * delta_scale * (
+              total_color * newL - new_acc
+          ) + delta_t * delta_scale * g_alpha * L_ray
+
+          scat_idx = jnp.where(contrib, idx, M)
+          grad_f = grad_f.at[scat_idx, D - 1].add(
+              jnp.where(contrib, g_sigma, 0.0), mode="drop"
+          )
+          return step + 1, t + delta_t, newL, new_acc, grad_f
+
+      init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_f)
+      _, _, _, _, grad_f = jax.lax.while_loop(cond2, body2, init2)
+      return grad_f
+
+    return _chunked_carry(
+        single, opt, (origins, dirs, vdirs, grad_out), jnp.zeros((M, D), dtype)
     )
-    _, _, L_ray, accum, grad_f = jax.lax.while_loop(cond1, body1, init1)
-    total_grad = jnp.sum(g_color, axis=-1)
-    accum = accum + L_ray * opt.background_brightness * total_grad
-
-    # ---- PASS 2: sigma gradients -----------------------------------------
-    def cond2(carry):
-        step, t, L, acc, grad_f = carry
-        return jnp.logical_and(
-            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
-        )
-
-    def body2(carry):
-        step, t, L, acc, grad_f = carry
-        active = jnp.logical_and(hit, t < tmax)
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
-        )
-        contrib = jnp.logical_and(active, sigma > 0.0)
-        att = jnp.exp(-delta_t * sigma * delta_scale)
-        weight = L * (1.0 - att)
-
-        basis_step = _step_basis(spec, opt, vdirs, idx, base_basis, window)
-        s = _colors(feat, basis_step, opt, n_color)
-        total_color = jnp.sum(s * g_color, axis=-1)
-
-        newL = jnp.where(contrib, L * att, L)
-        new_acc = acc - jnp.where(contrib, weight * total_color, 0.0)
-        g_sigma = delta_t * delta_scale * (
-            total_color * newL - new_acc
-        ) + delta_t * delta_scale * g_alpha * L_ray
-
-        scat_idx = jnp.where(contrib, idx, M)
-        grad_f = grad_f.at[scat_idx, D - 1].add(
-            jnp.where(contrib, g_sigma, 0.0), mode="drop"
-        )
-        return step + 1, t + delta_t, newL, new_acc, grad_f
-
-    init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_f)
-    _, _, _, _, grad_f = jax.lax.while_loop(cond2, body2, init2)
-    return grad_f
 
 
 # ---------------------------------------------------------------------------
@@ -423,7 +543,7 @@ def cam2world_rays(c2w, width: int, height: int, fx: float, fy: float):
     z = jnp.sqrt(x * x + y * y + 1.0)
     x, y, z = x / z, y / z, -1.0 / z
     dirs_cam = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
-    dirs = jnp.einsum("ij,bj->bi", c2w[:3, :3], dirs_cam)
+    dirs = jnp.einsum("ij,bj->bi", c2w[:3, :3], dirs_cam, precision=_PREC)
     origins = jnp.broadcast_to(c2w[:3, 3], dirs.shape)
     return origins, dirs
 

@@ -1,5 +1,6 @@
 """Auxiliary render passes: opacity, depth, first-hit motion features, and
-volumetric LBS motion-feature rendering.
+volumetric LBS motion-feature rendering. All passes march in ray chunks
+(see ops/render.py chunking) so each chunk's loop exits independently.
 
 Parity targets in the reference:
   * opacity_render fwd: rt_kernel.cu:499-560 (+ its backward, which the
@@ -24,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.spec import RenderOptions, TreeSpec
-from .render import _ray_setup, _sample, _zero_cotangent
+from .render import (_chunked_carry, _chunked_outputs, _ray_setup, _sample,
+                     _zero_cotangent)
+from .sh import _PREC
 from .traversal import tree2world
 
 
@@ -34,42 +37,48 @@ from .traversal import tree2world
 
 
 def _opacity_fwd_impl(spec, features, origins, dirs, opt):
-    B = origins.shape[0]
-    dtype = origins.dtype
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
-
-    def cond(carry):
-        step, t, L, active, stopped, alpha = carry
-        return jnp.logical_and(step < opt.max_steps, jnp.any(active))
-
-    def body(carry):
-        step, t, L, active, stopped, alpha = carry
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
+    def single(origins_, dirs_):
+        B = origins_.shape[0]
+        dtype = origins_.dtype
+        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
         )
-        contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
-        att = jnp.exp(-delta_t * delta_scale * sigma)
-        newL = jnp.where(contrib, L * att, L)
-        stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-        alpha = jnp.where(stop_now, 1.0 - newL, alpha)
-        stopped = jnp.logical_or(stopped, stop_now)
-        t = t + delta_t
-        active = jnp.logical_and(
-            active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
-        )
-        return step + 1, t, newL, active, stopped, alpha
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        tmin,
-        jnp.ones((B,), dtype),
-        hit,
-        jnp.zeros((B,), bool),
-        jnp.zeros((B,), dtype),
-    )
-    _, _, L, _, stopped, alpha = jax.lax.while_loop(cond, body, init)
-    alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
-    return alpha[:, None]
+        def cond(carry):
+            step, t, L, active, stopped, alpha = carry
+            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+
+        def body(carry):
+            step, t, L, active, stopped, alpha = carry
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
+            att = jnp.exp(-delta_t * delta_scale * sigma)
+            newL = jnp.where(contrib, L * att, L)
+            stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
+            alpha = jnp.where(stop_now, 1.0 - newL, alpha)
+            stopped = jnp.logical_or(stopped, stop_now)
+            t = t + delta_t
+            active = jnp.logical_and(
+                active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
+            )
+            return step + 1, t, newL, active, stopped, alpha
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            tmin,
+            jnp.ones((B,), dtype),
+            hit,
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), dtype),
+        )
+        _, _, L, _, stopped, alpha = jax.lax.while_loop(cond, body, init)
+        alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
+        return alpha[:, None]
+
+    out, _ = _chunked_outputs(single, opt, (origins, dirs))
+    return out
 
 
 def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt):
@@ -77,59 +86,71 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt):
     L_ray, where L_ray is the final transmittance over samples with
     sigma > 0 (equivalent to both reference backward paths; see module
     docstring)."""
-    B = origins.shape[0]
     M, D = features.shape
-    dtype = origins.dtype
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
-    g = grad_out[:, 0]
 
-    # Pass A: final transmittance with the backward's sigma > 0 rule.
-    def condA(carry):
-        step, t, L = carry
-        return jnp.logical_and(
-            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+    def single(origins_, dirs_, grad_out_, grad_f):
+        B = origins_.shape[0]
+        dtype = origins_.dtype
+        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
+        )
+        g = grad_out_[:, 0]
+
+        # Pass A: final transmittance with the backward's sigma > 0 rule.
+        def condA(carry):
+            step, t, L = carry
+            return jnp.logical_and(
+                step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+            )
+
+        def bodyA(carry):
+            step, t, L = carry
+            active = jnp.logical_and(hit, t < tmax)
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            contrib = jnp.logical_and(active, sigma > 0.0)
+            att = jnp.exp(-delta_t * sigma * delta_scale)
+            L = jnp.where(contrib, L * att, L)
+            return step + 1, t + delta_t, L
+
+        _, _, L_ray = jax.lax.while_loop(
+            condA, bodyA, (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype))
         )
 
-    def bodyA(carry):
-        step, t, L = carry
-        active = jnp.logical_and(hit, t < tmax)
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
-        )
-        contrib = jnp.logical_and(active, sigma > 0.0)
-        att = jnp.exp(-delta_t * sigma * delta_scale)
-        L = jnp.where(contrib, L * att, L)
-        return step + 1, t + delta_t, L
+        # Pass B: scatter sigma grads.
+        def condB(carry):
+            step, t, gf = carry
+            return jnp.logical_and(
+                step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+            )
 
-    _, _, L_ray = jax.lax.while_loop(
-        condA, bodyA, (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype))
+        def bodyB(carry):
+            step, t, gf = carry
+            active = jnp.logical_and(hit, t < tmax)
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            contrib = jnp.logical_and(active, sigma > 0.0)
+            g_sigma = delta_t * delta_scale * g * L_ray
+            scat_idx = jnp.where(contrib, idx, M)
+            gf = gf.at[scat_idx, D - 1].add(
+                jnp.where(contrib, g_sigma, 0.0), mode="drop"
+            )
+            return step + 1, t + delta_t, gf
+
+        _, _, grad_f = jax.lax.while_loop(
+            condB, bodyB, (jnp.zeros((), jnp.int32), tmin, grad_f)
+        )
+        return grad_f
+
+    return _chunked_carry(
+        single,
+        opt,
+        (origins, dirs, grad_out),
+        jnp.zeros((M, D), origins.dtype),
+        fills=(1e9, 1.0, 0.0),
     )
-
-    # Pass B: scatter sigma grads.
-    def condB(carry):
-        step, t, grad_f = carry
-        return jnp.logical_and(
-            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
-        )
-
-    def bodyB(carry):
-        step, t, grad_f = carry
-        active = jnp.logical_and(hit, t < tmax)
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
-        )
-        contrib = jnp.logical_and(active, sigma > 0.0)
-        g_sigma = delta_t * delta_scale * g * L_ray
-        scat_idx = jnp.where(contrib, idx, M)
-        grad_f = grad_f.at[scat_idx, D - 1].add(
-            jnp.where(contrib, g_sigma, 0.0), mode="drop"
-        )
-        return step + 1, t + delta_t, grad_f
-
-    _, _, grad_f = jax.lax.while_loop(
-        condB, bodyB, (jnp.zeros((), jnp.int32), tmin, jnp.zeros((M, D), dtype))
-    )
-    return grad_f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -164,47 +185,56 @@ opacity_render.defvjp(_op_fwd, _op_bwd)
 
 def _first_hit(spec, features, origins, dirs, opt):
     """March until sigma > sigma_thresh; returns (found (B,), t_hit (B,),
-    pos_tree (B,3), data_idx (B,))."""
-    B = origins.shape[0]
-    dtype = origins.dtype
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+    pos_tree (B,3), data_idx (B,), delta_scale (B,))."""
 
-    def cond(carry):
-        step, t, active, found, t_hit, pos_hit, idx_hit = carry
-        return jnp.logical_and(step < opt.max_steps, jnp.any(active))
-
-    def body(carry):
-        step, t, active, found, t_hit, pos_hit, idx_hit = carry
-        pos = o + t[:, None] * d
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
+    def single(origins_, dirs_):
+        B = origins_.shape[0]
+        dtype = origins_.dtype
+        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
         )
-        hit_now = jnp.logical_and(active, sigma > opt.sigma_thresh)
-        # NOTE: the hit position recorded by the reference is the clamped
-        # in-tree sample point transformed back to world space
-        # (rt_kernel.cu:756-761); we record the unclamped sample position,
-        # identical for points inside the volume.
-        t_hit = jnp.where(hit_now, t, t_hit)
-        pos_hit = jnp.where(hit_now[:, None], pos, pos_hit)
-        idx_hit = jnp.where(hit_now, leaf.data_idx, idx_hit)
-        found = jnp.logical_or(found, hit_now)
-        t = t + delta_t
-        active = jnp.logical_and(
-            active, jnp.logical_and(jnp.logical_not(hit_now), t < tmax)
-        )
-        return step + 1, t, active, found, t_hit, pos_hit, idx_hit
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        tmin,
-        hit,
-        jnp.zeros((B,), bool),
-        jnp.zeros((B,), dtype),
-        jnp.zeros((B, 3), dtype),
-        jnp.zeros((B,), jnp.int32),
-    )
-    _, _, _, found, t_hit, pos_hit, idx_hit = jax.lax.while_loop(cond, body, init)
-    return found, t_hit, pos_hit, idx_hit, delta_scale
+        def cond(carry):
+            step, t, active, found, t_hit, pos_hit, idx_hit = carry
+            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+
+        def body(carry):
+            step, t, active, found, t_hit, pos_hit, idx_hit = carry
+            pos = o + t[:, None] * d
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            hit_now = jnp.logical_and(active, sigma > opt.sigma_thresh)
+            # NOTE: the hit position recorded by the reference is the
+            # clamped in-tree sample point transformed back to world space
+            # (rt_kernel.cu:756-761); we record the unclamped sample
+            # position, identical for points inside the volume.
+            t_hit = jnp.where(hit_now, t, t_hit)
+            pos_hit = jnp.where(hit_now[:, None], pos, pos_hit)
+            idx_hit = jnp.where(hit_now, leaf.data_idx, idx_hit)
+            found = jnp.logical_or(found, hit_now)
+            t = t + delta_t
+            active = jnp.logical_and(
+                active, jnp.logical_and(jnp.logical_not(hit_now), t < tmax)
+            )
+            return step + 1, t, active, found, t_hit, pos_hit, idx_hit
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            tmin,
+            hit,
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), dtype),
+            jnp.zeros((B, 3), dtype),
+            jnp.zeros((B,), jnp.int32),
+        )
+        _, _, _, found, t_hit, pos_hit, idx_hit = jax.lax.while_loop(
+            cond, body, init
+        )
+        return found, t_hit, pos_hit, idx_hit, delta_scale
+
+    out, _ = _chunked_outputs(single, opt, (origins, dirs))
+    return out
 
 
 def render_depth(spec, features, origins, dirs, opt: RenderOptions):
@@ -253,57 +283,64 @@ def _mf_blend(spec, joint_features, idx, valid, out_dim):
     jidx = spec.joint_index[idx]           # (B, n_bones)
     jf = joint_features[jidx][..., :out_dim]  # (B, n_bones, out_dim)
     w = jnp.where(jnp.logical_and(sw > 0, valid[:, None]), sw, 0.0)
-    return jnp.einsum("bn,bnk->bk", w, jf)
+    return jnp.einsum("bn,bnk->bk", w, jf, precision=_PREC)
 
 
 def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt):
-    B = origins.shape[0]
-    dtype = origins.dtype
     out_dim = joint_features.shape[1]
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
 
-    def cond(carry):
-        step, t, L, out, active, stopped = carry
-        return jnp.logical_and(step < opt.max_steps, jnp.any(active))
-
-    def body(carry):
-        step, t, L, out, active, stopped = carry
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
+    def single(origins_, dirs_):
+        B = origins_.shape[0]
+        dtype = origins_.dtype
+        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
         )
-        contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
-        att = jnp.exp(-delta_t * delta_scale * sigma)
-        weight = L * (1.0 - att)
-        blended = _mf_blend(spec, joint_features, idx, valid, out_dim)
-        s = jax.nn.sigmoid(blended)
-        out = out + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
-        newL = jnp.where(contrib, L * att, L)
-        stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-        scale = 1.0 / (1.0 - newL)
-        out = jnp.where(stop_now[:, None], out * scale[:, None], out)
-        stopped = jnp.logical_or(stopped, stop_now)
-        t = t + delta_t
-        active = jnp.logical_and(
-            active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
-        )
-        return step + 1, t, newL, out, active, stopped
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        tmin,
-        jnp.ones((B,), dtype),
-        jnp.zeros((B, out_dim), dtype),
-        hit,
-        jnp.zeros((B,), bool),
-    )
-    _, _, L, out, _, stopped = jax.lax.while_loop(cond, body, init)
-    bg = opt.background_brightness
-    # Miss rays output zeros (NOT background) — rt_kernel.cu:912-918.
-    out = jnp.where(
-        hit[:, None],
-        jnp.where(stopped[:, None], out, out + (L * bg)[:, None]),
-        0.0,
-    )
+        def cond(carry):
+            step, t, L, out, active, stopped = carry
+            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+
+        def body(carry):
+            step, t, L, out, active, stopped = carry
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
+            att = jnp.exp(-delta_t * delta_scale * sigma)
+            weight = L * (1.0 - att)
+            blended = _mf_blend(spec, joint_features, idx, valid, out_dim)
+            s = jax.nn.sigmoid(blended)
+            out = out + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
+            newL = jnp.where(contrib, L * att, L)
+            stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
+            scale = 1.0 / (1.0 - newL)
+            out = jnp.where(stop_now[:, None], out * scale[:, None], out)
+            stopped = jnp.logical_or(stopped, stop_now)
+            t = t + delta_t
+            active = jnp.logical_and(
+                active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
+            )
+            return step + 1, t, newL, out, active, stopped
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            tmin,
+            jnp.ones((B,), dtype),
+            jnp.zeros((B, out_dim), dtype),
+            hit,
+            jnp.zeros((B,), bool),
+        )
+        _, _, L, out, _, stopped = jax.lax.while_loop(cond, body, init)
+        bg = opt.background_brightness
+        # Miss rays output zeros (NOT background) — rt_kernel.cu:912-918.
+        out = jnp.where(
+            hit[:, None],
+            jnp.where(stopped[:, None], out, out + (L * bg)[:, None]),
+            0.0,
+        )
+        return out
+
+    out, _ = _chunked_outputs(single, opt, (origins, dirs))
     return out
 
 
@@ -312,50 +349,58 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     skinning weights. This is the *corrected* version of
     rt_kernel.cu:982-1065 (the reference reads an uninitialized buffer and
     scatters with a wrong index; SURVEY.md K14)."""
-    B = origins.shape[0]
     J, K = joint_features.shape
-    dtype = origins.dtype
-    o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
-    n_bones = spec.joint_index.shape[1]
 
-    def cond(carry):
-        step, t, L, grad_jf = carry
-        return jnp.logical_and(
-            step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+    def single(origins_, dirs_, grad_out_, grad_jf):
+        B = origins_.shape[0]
+        dtype = origins_.dtype
+        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
         )
 
-    def body(carry):
-        step, t, L, grad_jf = carry
-        active = jnp.logical_and(hit, t < tmax)
-        leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
-        )
-        contrib = jnp.logical_and(active, sigma > 0.0)
-        att = jnp.exp(-delta_t * sigma * delta_scale)
-        weight = L * (1.0 - att)
+        def cond(carry):
+            step, t, L, gjf = carry
+            return jnp.logical_and(
+                step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+            )
 
-        blended = _mf_blend(spec, joint_features, idx, valid, K)
-        s = jax.nn.sigmoid(blended)
-        g_blend = weight[:, None] * s * (1.0 - s) * grad_out  # (B, K)
+        def body(carry):
+            step, t, L, gjf = carry
+            active = jnp.logical_and(hit, t < tmax)
+            leaf, feat, delta_t, sigma, valid, idx = _sample(
+                spec, features, o, d, invdir, t, opt.step_size
+            )
+            contrib = jnp.logical_and(active, sigma > 0.0)
+            att = jnp.exp(-delta_t * sigma * delta_scale)
+            weight = L * (1.0 - att)
 
-        sw = spec.skinning_weights[idx]
-        jidx = spec.joint_index[idx]
-        bone_ok = jnp.logical_and(sw > 0, contrib[:, None])
-        rows = jnp.where(bone_ok[:, :, None], sw[:, :, None] * g_blend[:, None, :], 0.0)
-        scat = jnp.where(bone_ok, jidx, J).reshape(-1)
-        grad_jf = grad_jf.at[scat].add(rows.reshape(-1, K), mode="drop")
+            blended = _mf_blend(spec, joint_features, idx, valid, K)
+            s = jax.nn.sigmoid(blended)
+            g_blend = weight[:, None] * s * (1.0 - s) * grad_out_  # (B, K)
 
-        L = jnp.where(contrib, L * att, L)
-        return step + 1, t + delta_t, L, grad_jf
+            sw = spec.skinning_weights[idx]
+            jidx = spec.joint_index[idx]
+            bone_ok = jnp.logical_and(sw > 0, contrib[:, None])
+            rows = jnp.where(
+                bone_ok[:, :, None], sw[:, :, None] * g_blend[:, None, :], 0.0
+            )
+            scat = jnp.where(bone_ok, jidx, J).reshape(-1)
+            gjf = gjf.at[scat].add(rows.reshape(-1, K), mode="drop")
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        tmin,
-        jnp.ones((B,), dtype),
-        jnp.zeros((J, K), dtype),
+            L = jnp.where(contrib, L * att, L)
+            return step + 1, t + delta_t, L, gjf
+
+        init = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), grad_jf)
+        _, _, _, grad_jf = jax.lax.while_loop(cond, body, init)
+        return grad_jf
+
+    return _chunked_carry(
+        single,
+        opt,
+        (origins, dirs, grad_out),
+        jnp.zeros((J, K), origins.dtype),
+        fills=(1e9, 1.0, 0.0),
     )
-    _, _, _, grad_jf = jax.lax.while_loop(cond, body, init)
-    return grad_jf
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -15,7 +15,13 @@ and as the numerical oracle in tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Small per-sample contractions must run in true f32: JAX's default
+# matmul precision may use bf16 passes, which breaks the <=1e-4
+# radiometry parity target.
+_PREC = jax.lax.Precision.HIGHEST
 
 from ..utils.spec import FORMAT_ASG, FORMAT_RGBA, FORMAT_SG, FORMAT_SH
 
@@ -123,15 +129,15 @@ def eval_basis(format: int, basis_dim: int, dirs: jnp.ndarray,
         # extra_data: (basis_dim, >=4) rows [lambda, mu_x, mu_y, mu_z]
         lam = extra_data[:basis_dim, 0]
         mu = extra_data[:basis_dim, 1:4]
-        dot = jnp.einsum("...d,kd->...k", dirs, mu)
+        dot = jnp.einsum("...d,kd->...k", dirs, mu, precision=_PREC)
         return jnp.exp(lam * (dot - 1.0)) / basis_dim
     if format == FORMAT_ASG:
         # extra_data rows: [a, b, x(3), y(3), z(3)] (rt_kernel.cu:118-129)
         ex = extra_data[:basis_dim]
         a, b = ex[:, 0], ex[:, 1]
         xax, yax, zax = ex[:, 2:5], ex[:, 5:8], ex[:, 8:11]
-        s = jnp.einsum("...d,kd->...k", dirs, zax)
-        dx = jnp.einsum("...d,kd->...k", dirs, xax)
-        dy = jnp.einsum("...d,kd->...k", dirs, yax)
+        s = jnp.einsum("...d,kd->...k", dirs, zax, precision=_PREC)
+        dx = jnp.einsum("...d,kd->...k", dirs, xax, precision=_PREC)
+        dy = jnp.einsum("...d,kd->...k", dirs, yax, precision=_PREC)
         return s * jnp.exp(-a * dx * dx - b * dy * dy) / basis_dim
     raise ValueError(f"No basis for format {format} (RGBA has none)")

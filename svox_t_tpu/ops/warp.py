@@ -16,10 +16,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .sh import _PREC
+
 
 def get_transformation_matrix(src_pose: jax.Array, tgt_pose: jax.Array) -> jax.Array:
     """Relative bone transforms `tgt @ inv(src)` (parity: svox.py:971-972)."""
-    return jnp.matmul(tgt_pose, jnp.linalg.inv(src_pose))
+    return jnp.matmul(tgt_pose, jnp.linalg.inv(src_pose), precision=_PREC)
 
 
 def blend_transformation_matrix(
@@ -41,7 +43,7 @@ def blend_transformation_matrix(
     Q = skinning_weights.shape[0]
     w = jnp.where(skinning_weights > 0, skinning_weights, 0.0)
     gathered = transformation_matrix[joint_index][:, :, :3, :]  # (Q, nb, 3, 4)
-    top = jnp.einsum("qb,qbmn->qmn", w, gathered)  # (Q, 3, 4)
+    top = jnp.einsum("qb,qbmn->qmn", w, gathered, precision=_PREC)  # (Q, 3, 4)
     bottom = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, 0.0, 1.0], top.dtype), (Q, 1, 4)
     )
@@ -68,6 +70,7 @@ def warp_vertices(
         transformation_matrix, skinning_weights, joint_index
     )
     warped = (
-        jnp.einsum("qij,qj->qi", m[:, :3, :3], coordinates) + m[:, :3, 3]
+        jnp.einsum("qij,qj->qi", m[:, :3, :3], coordinates, precision=_PREC)
+        + m[:, :3, 3]
     )
     return warped, m

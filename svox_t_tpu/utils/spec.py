@@ -67,6 +67,12 @@ class RenderOptions:
     # ~sqrt(3)/step_size steps; leaf-adaptive stepping makes the practical
     # count far smaller. 1024 covers depth<=9 trees comfortably.
     max_steps: int = 1024
+    # TPU-specific: rays are marched in chunks of this size, each chunk's
+    # loop exiting as soon as its own rays are done. The batch-synchronous
+    # alternative pays the slowest ray's step count for every ray (the
+    # measured waste is ~10x on image renders where most rays miss).
+    # <= 0 disables chunking.
+    chunk_size: int = 4096
 
 
 @jax.tree_util.register_dataclass

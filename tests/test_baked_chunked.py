@@ -1,0 +1,194 @@
+"""Baked-structure and chunked-march parity tests: the fast paths must
+reproduce the tree-walk path bit-for-bit (or to float-rounding) on random
+trees, including gradients, weight accumulation, and aux renders."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svox_t_tpu as st
+from svox_t_tpu.ops import bake as bake_ops
+from svox_t_tpu.ops.query import construct_tree
+from svox_t_tpu.ops.render import (volume_render,
+                                   volume_render_with_weight_accum)
+from svox_t_tpu.ops.render_aux import (motion_feature_render, motion_render,
+                                       opacity_render, render_depth)
+
+from helpers import build_tree, make_rays
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(7)
+    t, feats, centers = build_tree(rng, data_dim=13, data_format="SH4",
+                                   depth_limit=5, n_random_refines=3)
+    return t, feats, centers, rng
+
+
+def _opts(t, **kw):
+    r = st.VolumeRenderer(t)
+    opt = r._get_options(False)
+    return dataclasses.replace(opt, **kw)
+
+
+def test_baked_lookup_matches_descend(scene):
+    t, feats, centers, rng = scene
+    from svox_t_tpu.ops.traversal import descend
+
+    baked = t._baked_spec()
+    spec = t._spec()
+    pts = jnp.asarray(rng.rand(500, 3).astype(np.float32))
+    leaf = descend(spec, pts)
+    di, cube, frac, cell = bake_ops.lookup(baked, pts)
+    valid_tree = np.asarray(leaf.data_idx) < feats.shape[0]
+    valid_baked = np.asarray(di) < feats.shape[0]
+    np.testing.assert_array_equal(valid_tree, valid_baked)
+    np.testing.assert_array_equal(
+        np.asarray(leaf.data_idx)[valid_tree], np.asarray(di)[valid_baked]
+    )
+    np.testing.assert_allclose(np.asarray(leaf.cube_sz), np.asarray(cube))
+    np.testing.assert_allclose(np.asarray(leaf.frac), np.asarray(frac), atol=2e-5)
+
+
+def test_baked_render_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 64)
+    opt = _opts(t)
+    spec = t._spec()
+    baked = t._baked_spec()
+    out_t = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    out_b = volume_render(baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_b), atol=2e-6)
+
+
+def test_baked_grad_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 48)
+    opt = _opts(t)
+    spec = t._spec()
+    baked = t._baked_spec()
+
+    def loss(f, sp):
+        out = volume_render(sp, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        return jnp.sum(out ** 2)
+
+    g_t = np.asarray(jax.grad(loss)(feats, spec))
+    g_b = np.asarray(jax.grad(loss)(feats, baked))
+    np.testing.assert_allclose(g_t, g_b, atol=3e-5)
+
+
+def test_chunked_render_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 100)  # not divisible by chunk -> padding path
+    spec = t._spec()
+    opt_full = _opts(t, chunk_size=0)
+    opt_chunk = _opts(t, chunk_size=16)
+    a = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt_full)
+    b = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt_chunk)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_chunked_grad_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 100)
+    spec = t._spec()
+    opt_full = _opts(t, chunk_size=0)
+    opt_chunk = _opts(t, chunk_size=16)
+
+    def loss(f, o):
+        out = volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, o)
+        return jnp.sum(out ** 2)
+
+    g1 = np.asarray(jax.grad(lambda f: loss(f, opt_full))(feats))
+    g2 = np.asarray(jax.grad(lambda f: loss(f, opt_chunk))(feats))
+    np.testing.assert_allclose(g1, g2, atol=2e-5)
+
+
+def test_chunked_weight_accum_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 100)
+    spec = t._spec()
+    opt_full = _opts(t, chunk_size=0)
+    opt_chunk = _opts(t, chunk_size=16)
+    out1, w1 = volume_render_with_weight_accum(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt_full
+    )
+    out2, w2 = volume_render_with_weight_accum(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt_chunk
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_baked_weight_accum_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 64)
+    opt = _opts(t)
+    spec = t._spec()
+    baked = t._baked_spec()
+    _, w1 = volume_render_with_weight_accum(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    _, w2 = volume_render_with_weight_accum(
+        baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_chunked_aux_parity(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 100)
+    spec = t._spec()
+    opt_full = _opts(t, chunk_size=0)
+    opt_chunk = _opts(t, chunk_size=16)
+    for fn in (opacity_render, render_depth):
+        a = fn(spec, feats, rays.origins, rays.dirs, opt_full)
+        b = fn(spec, feats, rays.origins, rays.dirs, opt_chunk)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_baked_refresh_after_construct(scene):
+    t, feats, centers, rng = scene
+    spec = t._spec()
+    baked0 = t._baked_spec()
+    # re-point with permuted cloud; refresh must equal a fresh bake
+    perm = rng.permutation(centers.shape[0])
+    new_data = construct_tree(spec, jnp.asarray(centers[perm]))
+    refreshed = bake_ops.refresh(baked0, new_data)
+    spec2 = spec.with_(data_flat=new_data)
+    fresh = bake_ops.bake(spec2)
+    np.testing.assert_array_equal(np.asarray(refreshed.top), np.asarray(fresh.top))
+    np.testing.assert_array_equal(
+        np.asarray(refreshed.brick), np.asarray(fresh.brick)
+    )
+
+
+def test_renderer_backend_api(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 32)
+    out_tree = st.VolumeRenderer(t, backend="tree")(feats, rays)
+    out_baked = st.VolumeRenderer(t, backend="baked")(feats, rays)
+    np.testing.assert_allclose(
+        np.asarray(out_tree), np.asarray(out_baked), atol=2e-6
+    )
+
+
+def test_baked_transformation_matrices(scene):
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 32)
+    M = feats.shape[0]
+    rot = np.eye(4, dtype=np.float32)
+    rot[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    tmats = jnp.asarray(np.tile(rot, (M, 1, 1)))
+    out_tree = st.VolumeRenderer(t, backend="tree")(
+        feats, rays, transformation_matrices=tmats
+    )
+    out_baked = st.VolumeRenderer(t, backend="baked")(
+        feats, rays, transformation_matrices=tmats
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_tree), np.asarray(out_baked), atol=2e-6
+    )

@@ -1,0 +1,245 @@
+"""Volume-render correctness: production while-loop forward vs the
+scan-based oracle, custom two-pass VJP vs autodiff, finite differences,
+and the radiometry edge cases (miss rays, fast mode, early stop,
+weight accumulation, per-voxel view-dir rotation, NDC)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svox_t_tpu as st
+from svox_t_tpu.ops.reference_renderer import volume_render_oracle
+from svox_t_tpu.ops.render import (volume_render,
+                                   volume_render_with_weight_accum)
+
+from helpers import build_tree, make_rays
+
+
+def _setup(rng, data_format="RGBA", data_dim=4, **kw):
+    t, feats, centers = build_tree(
+        rng, data_dim=data_dim, data_format=data_format, **kw
+    )
+    r = st.VolumeRenderer(t)
+    return t, feats, r
+
+
+@pytest.mark.parametrize(
+    "data_format,data_dim",
+    [("RGBA", 4), ("SH1", 4), ("SH4", 13), ("SH9", 28)],
+)
+def test_forward_matches_oracle(rng, data_format, data_dim):
+    t, feats, r = _setup(rng, data_format, data_dim)
+    rays = make_rays(rng, 64)
+    opt = r._get_options(False)
+    spec = t._spec()
+    out = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ref = volume_render_oracle(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # alpha in [0, 1]; some rays must actually hit
+    alpha = np.asarray(out)[:, -1]
+    assert alpha.min() >= 0 and alpha.max() <= 1 + 1e-6
+    assert (alpha > 0.1).any()
+
+
+@pytest.mark.parametrize("data_format,data_dim", [("RGBA", 4), ("SH4", 13)])
+def test_backward_matches_autodiff(rng, data_format, data_dim):
+    t, feats, r = _setup(rng, data_format, data_dim)
+    rays = make_rays(rng, 48)
+    opt = r._get_options(False)
+    spec = t._spec()
+    gmat = jnp.asarray(rng.randn(48, np.asarray(
+        volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ).shape[1]).astype(np.float32))
+
+    def loss_prod(f):
+        out = volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        return jnp.sum(out * gmat)
+
+    def loss_oracle(f):
+        out = volume_render_oracle(
+            spec, f, rays.origins, rays.dirs, rays.viewdirs, opt
+        )
+        return jnp.sum(out * gmat)
+
+    g1 = np.asarray(jax.grad(loss_prod)(feats))
+    g2 = np.asarray(jax.grad(loss_oracle)(feats))
+    scale = np.abs(g2).max() + 1e-8
+    np.testing.assert_allclose(g1 / scale, g2 / scale, atol=3e-5)
+
+
+def test_backward_finite_difference(rng):
+    """Direct FD check of the custom VJP on a few feature entries."""
+    t, feats, r = _setup(rng, "RGBA", 4, n_random_refines=0)
+    rays = make_rays(rng, 16)
+    opt = r._get_options(False)
+    spec = t._spec()
+
+    def loss(f):
+        out = volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        return jnp.sum(out)
+
+    g = np.asarray(jax.grad(loss)(feats))
+    f0 = np.asarray(feats)
+    idx = [(0, 0), (1, 3), (5, 2), (7, 3)]
+    for (i, j) in idx:
+        eps = 1e-2
+        fp = f0.copy(); fp[i, j] += eps
+        fm = f0.copy(); fm[i, j] -= eps
+        fd = (float(loss(jnp.asarray(fp))) - float(loss(jnp.asarray(fm)))) / (2 * eps)
+        assert abs(fd - g[i, j]) < 5e-3 + 0.05 * abs(fd), (i, j, fd, g[i, j])
+
+
+def test_miss_rays_background(rng):
+    t, feats, r = _setup(rng)
+    B = 8
+    origins = jnp.asarray(np.full((B, 3), 5.0, np.float32))
+    dirs = jnp.asarray(np.tile(np.array([[0, 0, 1]], np.float32), (B, 1)))
+    out = np.asarray(r(feats, st.Rays(origins, dirs, dirs)))
+    np.testing.assert_allclose(out[:, :-1], 1.0)
+    np.testing.assert_allclose(out[:, -1], 0.0)
+
+
+def test_background_brightness(rng):
+    t, feats, _ = _setup(rng)
+    r = st.VolumeRenderer(t, background_brightness=0.25)
+    B = 4
+    origins = jnp.asarray(np.full((B, 3), 5.0, np.float32))
+    dirs = jnp.asarray(np.tile(np.array([[0, 0, 1]], np.float32), (B, 1)))
+    out = np.asarray(r(feats, st.Rays(origins, dirs, dirs)))
+    np.testing.assert_allclose(out[:, :-1], 0.25)
+
+
+def test_fast_mode_close(rng):
+    t, feats, r = _setup(rng, sigma_scale=30.0)
+    rays = make_rays(rng, 64)
+    exact = np.asarray(r(feats, rays))
+    fast = np.asarray(r(feats, rays, fast=True))
+    assert np.abs(exact - fast).max() < 0.05
+
+
+def test_early_stop_renormalization(rng):
+    """With a huge stop_thresh every hitting ray stops on its first
+    contributing sample; out = renormalized single-sample color."""
+    t, feats, r = _setup(rng, sigma_scale=50.0)
+    r.stop_thresh = 0.9  # attribute override (renderer.py:435-438 parity)
+    rays = make_rays(rng, 32)
+    out = np.asarray(r(feats, rays))
+    hit = out[:, -1] > 0
+    # stopped rays: colors sum to sigmoid values scaled by 1/(1-L): each
+    # color channel equals sigmoid(first sample) exactly
+    assert hit.any()
+    assert np.isfinite(out).all()
+    # alpha = 1 - L <= 1
+    assert out[:, -1].max() <= 1.0 + 1e-6
+
+
+def test_sigma_thresh_skips(rng):
+    """All sigmas below threshold -> pure background."""
+    t, feats, r = _setup(rng, sigma_scale=0.0)
+    feats = feats.at[:, -1].set(1e-3)
+    r.sigma_thresh = 1.0
+    rays = make_rays(rng, 16)
+    out = np.asarray(r(feats, rays))
+    np.testing.assert_allclose(out[:, :-1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[:, -1], 0.0, atol=1e-6)
+
+
+def test_weight_accum(rng):
+    t, feats, r = _setup(rng)
+    rays = make_rays(rng, 64)
+    out_plain = np.asarray(r(feats, rays))
+    with t.accumulate_weights() as acc:
+        out = np.asarray(r(feats, rays))
+    np.testing.assert_allclose(out, out_plain, atol=1e-6)
+    w = acc()
+    assert w.shape[0] == t.n_leaves
+    assert w.sum() > 0
+    # total accumulated weight ~= sum over rays of (1 - final transmittance)
+    # (exact when no early stop)
+    np.testing.assert_allclose(w.sum(), out[:, -1].sum(), rtol=1e-4)
+
+
+def test_transformation_matrices_rotation(rng):
+    """Identity matrices are a no-op; a 90° rotation must equal rendering
+    with rotated viewdirs (for a basis window > deg 0)."""
+    t, feats, r = _setup(rng, "SH4", 13)
+    rays = make_rays(rng, 32)
+    M = feats.shape[0]
+    eye = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (M, 1, 1)))
+    out_eye = np.asarray(r(feats, rays, transformation_matrices=eye))
+    out_plain = np.asarray(r(feats, rays))
+    np.testing.assert_allclose(out_eye, out_plain, atol=1e-6)
+
+    rot = np.eye(4, dtype=np.float32)
+    rot[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    rots = jnp.asarray(np.tile(rot, (M, 1, 1)))
+    out_rot = np.asarray(r(feats, rays, transformation_matrices=rots))
+    vd = np.asarray(rays.viewdirs)
+    vd_rot = vd @ rot[:3, :3].T
+    rays_rot = st.Rays(rays.origins, rays.dirs, jnp.asarray(vd_rot))
+    out_ref = np.asarray(r(feats, rays_rot))
+    np.testing.assert_allclose(out_rot, out_ref, atol=1e-5)
+
+
+def test_min_max_comp_window(rng):
+    """Restricting to component 0 only must equal zeroing the higher SH
+    coefficients."""
+    t, feats, _ = _setup(rng, "SH4", 13)
+    rays = make_rays(rng, 32)
+    r_win = st.VolumeRenderer(t, min_comp=0, max_comp=0)
+    out_win = np.asarray(r_win(feats, rays))
+    feats_zeroed = np.asarray(feats).copy()
+    for c in range(3):
+        feats_zeroed[:, c * 4 + 1 : c * 4 + 4] = 0.0
+    r_full = st.VolumeRenderer(t)
+    out_ref = np.asarray(r_full(jnp.asarray(feats_zeroed), rays))
+    np.testing.assert_allclose(out_win, out_ref, atol=1e-6)
+
+
+def test_render_persp_shape_and_consistency(rng):
+    t, feats, r = _setup(rng)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 3.0]
+    c2w[:3, :3] = np.diag([1.0, 1.0, 1.0])
+    img = np.asarray(r.render_persp(feats, c2w, width=20, height=16, fx=20.0))
+    assert img.shape == (16, 20, 4)
+    # center pixel looks at the volume -> should have alpha > 0
+    assert img[8, 10, -1] > 0
+    # matches the per-ray path on the same rays
+    from svox_t_tpu.ops.render import cam2world_rays
+
+    origins, dirs = cam2world_rays(c2w, 20, 16, 20.0, 20.0)
+    out = np.asarray(r(feats, st.Rays(origins, dirs, dirs)))
+    np.testing.assert_allclose(img.reshape(-1, 4), out, atol=1e-6)
+
+
+def test_render_persp_grad(rng):
+    t, feats, r = _setup(rng)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 3.0]
+
+    def loss(f):
+        return jnp.mean(r.render_persp(f, c2w, width=10, height=10, fx=10.0))
+
+    g = np.asarray(jax.grad(loss)(feats))
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+def test_ndc_rendering_runs(rng):
+    t, feats, _ = _setup(rng)
+    r = st.VolumeRenderer(t, ndc=st.NDCConfig(width=20, height=20, focal=10.0))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 0.2]
+    img = np.asarray(r.render_persp(feats, c2w, width=10, height=10, fx=10.0))
+    assert np.isfinite(img).all()
+
+
+def test_empty_feature_pool(rng):
+    t, feats, r = _setup(rng)
+    rays = make_rays(rng, 8)
+    out = np.asarray(r(jnp.zeros((0, 4), jnp.float32), rays))
+    np.testing.assert_allclose(out[:, :-1], 1.0)
+    np.testing.assert_allclose(out[:, -1], 0.0)

@@ -1,0 +1,181 @@
+"""Aux renders: opacity (+ sigma-only VJP), depth, motion first-hit, and
+motion-feature LBS rendering (+ corrected VJP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svox_t_tpu as st
+from svox_t_tpu.ops.render import volume_render
+from svox_t_tpu.ops.render_aux import (motion_feature_render, motion_render,
+                                       opacity_render, render_depth)
+
+from helpers import build_tree, make_rays
+
+
+def _setup(rng, **kw):
+    t, feats, centers = build_tree(rng, **kw)
+    r = st.VolumeRenderer(t)
+    return t, feats, r, centers
+
+
+def test_opacity_matches_full_render_alpha(rng):
+    t, feats, r, _ = _setup(rng)
+    rays = make_rays(rng, 64)
+    opt = r._get_options(False)
+    spec = t._spec()
+    alpha_full = np.asarray(
+        volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    )[:, -1]
+    op = np.asarray(opacity_render(spec, feats, rays.origins, rays.dirs, opt))[:, 0]
+    np.testing.assert_allclose(op, alpha_full, atol=1e-6)
+
+
+def test_opacity_grad_matches_full_render_alpha_grad(rng):
+    """The sigma-only VJP must equal the full render's alpha-channel
+    gradient (the reference routes opacity backward through the full
+    kernel — both reduce to the same formula; SURVEY.md K16)."""
+    t, feats, r, _ = _setup(rng)
+    rays = make_rays(rng, 32)
+    opt = r._get_options(False)
+    spec = t._spec()
+
+    def loss_op(f):
+        return jnp.sum(opacity_render(spec, f, rays.origins, rays.dirs, opt))
+
+    def loss_alpha(f):
+        out = volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        return jnp.sum(out[:, -1])
+
+    g1 = np.asarray(jax.grad(loss_op)(feats))
+    g2 = np.asarray(jax.grad(loss_alpha)(feats))
+    np.testing.assert_allclose(g1, g2, atol=1e-5)
+
+
+def test_opacity_grad_finite_difference(rng):
+    t, feats, r, _ = _setup(rng, n_random_refines=0)
+    rays = make_rays(rng, 8)
+    opt = r._get_options(False)
+    spec = t._spec()
+
+    def loss(f):
+        return jnp.sum(opacity_render(spec, f, rays.origins, rays.dirs, opt))
+
+    g = np.asarray(jax.grad(loss)(feats))
+    f0 = np.asarray(feats)
+    for i in [0, 3, 6]:
+        eps = 1e-2
+        fp = f0.copy(); fp[i, -1] += eps
+        fm = f0.copy(); fm[i, -1] -= eps
+        fd = (float(loss(jnp.asarray(fp))) - float(loss(jnp.asarray(fm)))) / (2 * eps)
+        assert abs(fd - g[i, -1]) < 5e-3 + 0.05 * abs(fd)
+
+
+def test_depth_positive_on_hits(rng):
+    t, feats, r, _ = _setup(rng, sigma_scale=30.0)
+    rays = make_rays(rng, 64)
+    d = np.asarray(r.render_depth(feats, rays))[:, 0]
+    assert (d > 0).any()
+    assert (d >= 0).all()
+    # depth of a straight-on ray from distance 2 to the cube face ~ >= 1.5
+    origins = jnp.asarray(np.array([[0.5, 0.5, 2.5]], np.float32))
+    dirs = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    d1 = float(np.asarray(r.render_depth(feats, st.Rays(origins, dirs, dirs)))[0, 0])
+    if d1 > 0:
+        assert 1.4 < d1 < 3.6
+
+
+def test_motion_render_outputs(rng):
+    joints = np.array([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]], np.float32)
+    t, feats, r, _ = _setup(rng, extra_data=joints, sigma_scale=30.0)
+    rays = make_rays(rng, 32)
+    mf, depth, hp, didx = r.motion_render(feats, rays)
+    mf, depth, hp, didx = map(np.asarray, (mf, depth, hp, didx))
+    assert mf.shape == (32, 2) and depth.shape == (32, 1)
+    assert hp.shape == (32, 3) and didx.shape == (32, 1)
+    hits = depth[:, 0] > 0
+    assert hits.any()
+    # motion feature = distance from hit point to each joint
+    want = np.linalg.norm(hp[hits][:, None, :] - joints[None], axis=-1)
+    np.testing.assert_allclose(mf[hits], want, atol=1e-5)
+    # hit points are inside the volume
+    assert (hp[hits] >= -1e-3).all() and (hp[hits] <= 1 + 1e-3).all()
+
+
+def test_motion_render_requires_extra_data(rng):
+    t, feats, r, _ = _setup(rng)
+    rays = make_rays(rng, 4)
+    with pytest.raises(AssertionError):
+        r.motion_render(feats, rays)
+
+
+def _mf_setup(rng, J=3, nb=2, K=5):
+    t, feats, r, centers = _setup(rng)
+    M = feats.shape[0]
+    jf = jnp.asarray(rng.randn(J, K).astype(np.float32))
+    sw = jnp.asarray(np.abs(rng.rand(M, nb)).astype(np.float32))
+    ji = jnp.asarray(rng.randint(0, J, (M, nb)).astype(np.int32))
+    return t, feats, r, jf, sw, ji
+
+
+def test_motion_feature_render_forward(rng):
+    t, feats, r, jf, sw, ji = _mf_setup(rng)
+    rays = make_rays(rng, 32)
+    out = np.asarray(r.motion_feature_render(feats, jf, sw, ji, rays))
+    assert out.shape == (32, jf.shape[1])
+    assert np.isfinite(out).all()
+    # miss rays output zeros (rt_kernel.cu:912-918)
+    origins = jnp.asarray(np.full((4, 3), 5.0, np.float32))
+    dirs = jnp.asarray(np.tile(np.array([[0, 0, 1]], np.float32), (4, 1)))
+    out_miss = np.asarray(
+        r.motion_feature_render(feats, jf, sw, ji, st.Rays(origins, dirs, dirs))
+    )
+    np.testing.assert_allclose(out_miss, 0.0)
+
+
+def test_motion_feature_oracle(rng):
+    """Independent check: uniform skinning to a single joint makes the
+    blended feature = sw_total * jf[j]; compare against the color render
+    with RGBA sigmoid... simpler: scan-based manual recomputation via the
+    full volume render with a crafted feature pool is impractical —
+    instead verify against an all-ones-weight analytic case."""
+    t, feats, r, _ = _setup(rng)
+    M = feats.shape[0]
+    J, K = 2, 4
+    jf = jnp.asarray(np.array([[0.3, -0.2, 0.1, 0.4], [0, 0, 0, 0]], np.float32))
+    sw = jnp.ones((M, 1), jnp.float32)
+    ji = jnp.zeros((M, 1), jnp.int32)
+    rays = make_rays(rng, 16)
+    out = np.asarray(r.motion_feature_render(feats, jf, sw, ji, rays))
+    # Every contributing sample blends to exactly jf[0], so out =
+    # sum(w_i)*sigmoid(jf[0]) + L_end*bg = alpha*sigmoid(jf[0]) + (1-alpha)*bg
+    opt = r._get_options(False)
+    spec = t._spec()
+    alpha = np.asarray(
+        volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    )[:, -1:]
+    hit = alpha[:, 0] >= 0  # all rays; miss rays have alpha 0 but out 0 too
+    s = 1 / (1 + np.exp(-np.asarray(jf[0])))
+    want = alpha * s[None, :] + (1 - alpha) * 1.0
+    # miss rays: out zeros, want = bg -> restrict to hitting rays
+    hits = alpha[:, 0] > 0
+    np.testing.assert_allclose(out[hits], want[hits], atol=1e-5)
+
+
+def test_motion_feature_grad_finite_difference(rng):
+    t, feats, r, jf, sw, ji = _mf_setup(rng, J=2, nb=2, K=3)
+    rays = make_rays(rng, 16)
+
+    def loss(j):
+        return jnp.sum(r.motion_feature_render(feats, j, sw, ji, rays))
+
+    g = np.asarray(jax.grad(loss)(jf))
+    assert np.abs(g).sum() > 0
+    j0 = np.asarray(jf)
+    for (i, k) in [(0, 0), (1, 2)]:
+        eps = 1e-2
+        jp = j0.copy(); jp[i, k] += eps
+        jm = j0.copy(); jm[i, k] -= eps
+        fd = (float(loss(jnp.asarray(jp))) - float(loss(jnp.asarray(jm)))) / (2 * eps)
+        assert abs(fd - g[i, k]) < 5e-3 + 0.05 * abs(fd), (i, k, fd, g[i, k])

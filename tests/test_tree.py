@@ -1,0 +1,255 @@
+"""Tree-core unit tests: construction, refine, pack/unpack, corners,
+persistence, frontier ops — against hand-computed small trees
+(SURVEY.md §4 test strategy, stage S1)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svox_t_tpu as st
+from svox_t_tpu.ops.traversal import descend, pack_index, unpack_index
+
+from helpers import build_tree
+
+
+def test_initial_tree():
+    t = st.N3Tree(N=2, data_dim=4)
+    assert t.n_internal == 1
+    assert t.n_leaves == 8
+    assert t.child.shape == (1, 2, 2, 2)
+    assert t.data.shape == (1, 2, 2, 2, 1)
+    assert (np.asarray(t.data) == st.DATA_SENTINEL).all()
+
+
+def test_init_refine_reserve():
+    t = st.N3Tree(N=2, data_dim=4, init_refine=1)
+    # root + 8 children internal nodes
+    assert t.n_internal == 9
+    assert t.n_leaves == 64
+
+
+def test_pack_unpack_roundtrip(rng):
+    N = 3
+    txyz = np.stack(
+        [rng.randint(0, 50, 100), *(rng.randint(0, N, 100) for _ in range(3))], -1
+    ).astype(np.int32)
+    packed = pack_index(jnp.asarray(txyz), N)
+    unpacked = unpack_index(packed, N)
+    np.testing.assert_array_equal(np.asarray(unpacked), txyz)
+
+
+def test_refine_structure():
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=3)
+    t._refine_at(0, (0, 0, 0))
+    assert t.n_internal == 2
+    # child offset of cell (0,0,0) points to node 1
+    assert t.child[0, 0, 0, 0] == 1
+    assert t.parent_depth[1, 1] == 1  # depth
+    # parent packed id of node 1 = pack(0,0,0,0) = 0
+    assert t.parent_depth[1, 0] == 0
+    assert t.n_leaves == 7 + 8
+
+
+def test_refine_depth_limit():
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=1)
+    t.refine()  # all leaves -> depth 1 nodes
+    before = t.n_internal
+    t.refine()  # all at depth_limit, nothing to do
+    assert t.n_internal == before
+
+
+def test_descend_hand_tree():
+    """Hand-computed: refine cell (0,0,0); check descent results."""
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=3)
+    t._refine_at(0, (0, 0, 0))
+    spec = t._spec()
+    pts = jnp.asarray(
+        [
+            [0.1, 0.1, 0.1],   # inside refined cell -> node 1 cell (0,0,0), depth 2
+            [0.9, 0.9, 0.9],   # root-level leaf (1,1,1)
+            [0.1, 0.6, 0.1],   # root-level leaf (0,1,0)
+        ],
+        jnp.float32,
+    )
+    leaf = descend(spec, pts)
+    cube = np.asarray(leaf.cube_sz)
+    assert cube[0] == 4.0 and cube[1] == 2.0 and cube[2] == 2.0
+    node = np.asarray(unpack_index(leaf.node_flat, 2))
+    np.testing.assert_array_equal(node[1], [0, 1, 1, 1])
+    np.testing.assert_array_equal(node[2], [0, 0, 1, 0])
+    assert node[0][0] == 1  # inside node 1
+    # fractional coords of point 0: 0.1 * 2 = 0.2 -> cell 0 frac 0.2;
+    # *2 = 0.4 -> cell 0, frac 0.4
+    np.testing.assert_allclose(np.asarray(leaf.frac)[0], [0.4, 0.4, 0.4], atol=1e-5)
+
+
+def test_corners_match_descent(rng):
+    t, feats, centers = build_tree(rng, depth_limit=4)
+    view = t[:]
+    corners = view.corners_local
+    lengths = view.lengths_local
+    # every leaf's center must descend back to that leaf
+    centers_local = corners + 0.5 * lengths[:, None]
+    spec = t._spec()
+    leaf = descend(spec, jnp.asarray(centers_local, jnp.float32))
+    ln = view._leaf_node
+    expected_flat = (
+        (ln[:, 0] * t.N + ln[:, 1]) * t.N + ln[:, 2]
+    ) * t.N + ln[:, 3]
+    np.testing.assert_array_equal(np.asarray(leaf.node_flat), expected_flat)
+    # cube_sz consistency: lengths_local == 1/cube_sz
+    np.testing.assert_allclose(
+        np.asarray(leaf.cube_sz), 1.0 / lengths, rtol=1e-6
+    )
+
+
+def test_world_transforms():
+    t = st.N3Tree(radius=2.0, center=[1.0, 1.0, 1.0])
+    pts = jnp.asarray([[1.0, 1.0, 1.0], [3.0, -1.0, 1.0]], jnp.float32)
+    tree_pts = np.asarray(t.world2tree(pts))
+    np.testing.assert_allclose(tree_pts, [[0.5, 0.5, 0.5], [1.0, 0.0, 0.5]], atol=1e-6)
+    back = np.asarray(t.tree2world(jnp.asarray(tree_pts)))
+    np.testing.assert_allclose(back, np.asarray(pts), atol=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    t, feats, centers = build_tree(rng, data_dim=7, data_format="SH1")
+    t.features = feats
+    p = os.path.join(tmp_path, "tree.npz")
+    t.save(p)
+    t2 = st.N3Tree.load(p)
+    assert t2.N == t.N and t2.data_dim == t.data_dim
+    assert t2.n_internal == t.n_internal
+    np.testing.assert_array_equal(t2.child, t.child)
+    np.testing.assert_array_equal(np.asarray(t2.data), np.asarray(t.data))
+    np.testing.assert_allclose(t2.invradius, t.invradius)
+    np.testing.assert_allclose(
+        np.asarray(t2.features), np.asarray(t.features)
+    )
+    assert repr(t2.data_format) == repr(t.data_format)
+
+
+def test_load_legacy_svox_float_data(tmp_path, rng):
+    """Upstream-svox npz with float leaf features in `data`."""
+    t = st.N3Tree(N=2, data_dim=4)
+    raw = rng.rand(1, 2, 2, 2, 4).astype(np.float16)
+    p = os.path.join(tmp_path, "legacy.npz")
+    np.savez(
+        p,
+        data_dim=4,
+        child=t.child,
+        parent_depth=t.parent_depth,
+        n_internal=1,
+        invradius=1.0,
+        offset=np.full(3, 0.0, np.float32),
+        depth_limit=4,
+        geom_resize_fact=1.5,
+        data=raw,
+    )
+    t2 = st.N3Tree.load(p)
+    assert t2.features.shape == (8, 4)
+    np.testing.assert_allclose(
+        np.asarray(t2.features), raw.reshape(-1, 4).astype(np.float32)
+    )
+    # identity index table
+    np.testing.assert_array_equal(
+        np.asarray(t2.data).ravel(), np.arange(8)
+    )
+
+
+def test_frontier_and_merge(rng):
+    t, feats, centers = build_tree(rng, n_random_refines=1)
+    t.features = feats
+    frontier = t._frontier
+    assert len(frontier) > 0
+    # all frontier nodes have all-leaf children
+    for nid in frontier:
+        assert (t.child[nid] == 0).all()
+    n_leaves_before = t.n_leaves
+    n_merge = min(2, len(frontier))
+    assert t.merge(np.arange(n_merge))
+    # each merged parent cell became a leaf; the freed nodes' cells remain
+    # counted until shrink_to_fit (same garbage-until-shrink contract as
+    # the reference, svox.py:352-389)
+    assert t.n_leaves == n_leaves_before + n_merge
+    assert t._n_free > 0
+    # shrink defrags: freed nodes' N^3 cells disappear
+    cap_before = t.capacity
+    assert t.shrink_to_fit()
+    assert t.capacity < cap_before
+    assert t._n_free == 0
+    assert t.n_leaves == n_leaves_before + n_merge - n_merge * t.N ** 3
+
+
+def test_shrink_preserves_structure(rng):
+    t, feats, centers = build_tree(rng, n_random_refines=1)
+    t.features = feats
+    spec = t._spec()
+    pts = jnp.asarray(rng.rand(50, 3).astype(np.float32))
+    v1, n1, d1 = st.ops.query.query(spec, feats, pts, True)
+    t.merge(np.arange(1))
+    t.shrink_to_fit()
+    v2, n2, d2 = st.ops.query.query(t._spec(), feats, pts, True)
+    # data ids of points not under the merged node are unchanged
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    unchanged = d2 == d1
+    assert unchanged.mean() > 0.5
+
+
+def test_view_indexing(rng):
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    n = t.n_leaves
+    # int key
+    v = t[0]
+    assert v.values.shape == (t.data_dim,)
+    # slice
+    v = t[: n // 2]
+    assert v.values.shape == (n // 2, t.data_dim)
+    # point key
+    v = t[jnp.asarray(centers[:5], jnp.float32)]
+    assert v.unique_leaf_node is not None
+    # unique-leaf order is sorted by packed id; compare as row sets
+    got = np.asarray(v.values)
+    want = np.asarray(feats[:5])
+    got = got[np.lexsort(got.T)]
+    want = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got, want)
+    # depth/lengths consistency: lengths = 2^-(d+1)/invradius
+    d = t[:].depths
+    L = t[:].lengths
+    np.testing.assert_allclose(
+        L, (2.0 ** (-d.astype(np.float32) - 1))[:, None] / t.invradius, rtol=1e-6
+    )
+
+
+def test_view_set_and_inplace(rng):
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    view = t[:4]
+    newvals = np.ones((4, t.data_dim), np.float32) * 3.0
+    view.set(newvals)
+    np.testing.assert_allclose(np.asarray(t[:4].values), newvals)
+    t[:4].clamp_(max=1.0)
+    assert float(np.asarray(t[:4].values).max()) <= 1.0
+    t.relu_()
+    assert float(np.asarray(t[:].values).min()) >= 0.0
+
+
+def test_view_invalidation(rng):
+    t, feats, centers = build_tree(rng)
+    view = t[:]
+    t.refine()
+    with pytest.raises(RuntimeError):
+        _ = view.values
+
+
+def test_repr_and_len(rng):
+    t, _, _ = build_tree(rng)
+    assert "N3Tree" in repr(t)
+    assert len(t) == t.n_leaves
+    assert t.shape == (t.n_leaves, t.data_dim)
+    assert t.numel() == t.n_leaves * t.data_dim
