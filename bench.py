@@ -52,6 +52,11 @@ def main():
     opt = r._get_options(False)
     c2w = orbit_camera()
     origins, dirs = cam2world_rays(c2w, W, H, fx=W * 1.1, fy=W * 1.1)
+    # Tile-coherent ray order (what render_persp uses internally).
+    from svox_t_tpu.models.renderer import _tile_perm
+
+    perm, _ = _tile_perm(W, H, 32)
+    origins, dirs = origins[perm], dirs[perm]
     vdirs = dirs
     n_rays = origins.shape[0]
 

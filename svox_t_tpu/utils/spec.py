@@ -72,7 +72,7 @@ class RenderOptions:
     # alternative pays the slowest ray's step count for every ray (the
     # measured waste is ~10x on image renders where most rays miss).
     # <= 0 disables chunking.
-    chunk_size: int = 4096
+    chunk_size: int = 1024
 
 
 @jax.tree_util.register_dataclass
