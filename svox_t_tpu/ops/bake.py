@@ -180,11 +180,11 @@ def bake_arrays(
 
     corners, depths, srcs, D = _leaf_cells(child, parent_depth, n_internal)
     if top_levels is None:
-        # Prefer a fully dense top (no brick indirection -> ONE gather per
-        # sample) as long as the top grid stays <= ~2M cells (8 MB for
-        # N=2, depth 7). Deeper trees add one brick level per extra depth.
+        # Gather throughput on this TPU drops ~5x once the operand exceeds
+        # ~128k rows (~4 MB); keep the dense top at <= 1M cells (128k
+        # 8-wide rows) and push deeper levels into the brick stage.
         top_levels = D
-        while (N ** top_levels) ** 3 > 2 ** 21:
+        while (N ** top_levels) ** 3 > 2 ** 20:
             top_levels -= 1
     top_levels = min(top_levels, D)
     brick_levels = D - top_levels

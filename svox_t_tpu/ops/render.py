@@ -364,13 +364,13 @@ def _volume_render_bwd_impl(
 
       # ---- PASS 1: color gradients + accum ---------------------------------
       def cond1(carry):
-          step, t, L, accum, grad_f = carry
+          step, t, L, accum, grad_c = carry
           return jnp.logical_and(
               step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
           )
 
       def body1(carry):
-          step, t, L, accum, grad_f = carry
+          step, t, L, accum, grad_c = carry
           active = jnp.logical_and(hit, t < tmax)
           leaf, feat, delta_t, sigma, valid, idx = _sample(
               spec, features, o, d, invdir, t, opt.step_size
@@ -387,47 +387,46 @@ def _volume_render_bwd_impl(
               tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs, precision=_PREC)
               s = jax.nn.sigmoid(tmp)
               gs = s * (1.0 - s)
-              g_coeff = (
+              # (B, C, basis_dim) update rows — scattered into a
+              # like-shaped buffer so no in-loop reshape materializes.
+              rows = (
                   weight[:, None, None]
                   * (gs * g_color)[:, :, None]
                   * basis_step[:, None, :]
-              ).reshape(B, n_color * opt.basis_dim)
-              rows = jnp.pad(g_coeff, ((0, 0), (0, D - n_color * opt.basis_dim)))
+              )
           else:
               s = jax.nn.sigmoid(feat[:, :n_color])
-              rows = jnp.pad(
-                  weight[:, None] * s * (1.0 - s) * g_color,
-                  ((0, 0), (0, D - n_color)),
-              )
+              rows = (weight[:, None] * s * (1.0 - s) * g_color)[:, :, None]
           total_color = jnp.sum(s * g_color, axis=-1)
 
           scat_idx = jnp.where(contrib, idx, M)
-          grad_f = grad_f.at[scat_idx].add(rows, mode="drop")
+          grad_c = grad_c.at[scat_idx].add(rows, mode="drop")
 
           L = jnp.where(contrib, L * att, L)
           accum = accum + jnp.where(contrib, weight * total_color, 0.0)
-          return step + 1, t + delta_t, L, accum, grad_f
+          return step + 1, t + delta_t, L, accum, grad_c
 
+      grad_c0, grad_s0 = grad_f0
       init1 = (
           jnp.zeros((), jnp.int32),
           tmin,
           jnp.ones((B,), dtype),
           jnp.zeros((B,), dtype),
-          grad_f0,
+          grad_c0,
       )
-      _, _, L_ray, accum, grad_f = jax.lax.while_loop(cond1, body1, init1)
+      _, _, L_ray, accum, grad_c = jax.lax.while_loop(cond1, body1, init1)
       total_grad = jnp.sum(g_color, axis=-1)
       accum = accum + L_ray * opt.background_brightness * total_grad
 
       # ---- PASS 2: sigma gradients -----------------------------------------
       def cond2(carry):
-          step, t, L, acc, grad_f = carry
+          step, t, L, acc, grad_s = carry
           return jnp.logical_and(
               step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
           )
 
       def body2(carry):
-          step, t, L, acc, grad_f = carry
+          step, t, L, acc, grad_s = carry
           active = jnp.logical_and(hit, t < tmax)
           leaf, feat, delta_t, sigma, valid, idx = _sample(
               spec, features, o, d, invdir, t, opt.step_size
@@ -447,18 +446,35 @@ def _volume_render_bwd_impl(
           ) + delta_t * delta_scale * g_alpha * L_ray
 
           scat_idx = jnp.where(contrib, idx, M)
-          grad_f = grad_f.at[scat_idx, D - 1].add(
+          grad_s = grad_s.at[scat_idx].add(
               jnp.where(contrib, g_sigma, 0.0), mode="drop"
           )
-          return step + 1, t + delta_t, newL, new_acc, grad_f
+          return step + 1, t + delta_t, newL, new_acc, grad_s
 
-      init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_f)
-      _, _, _, _, grad_f = jax.lax.while_loop(cond2, body2, init2)
-      return grad_f
+      init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_s0)
+      _, _, _, _, grad_s = jax.lax.while_loop(cond2, body2, init2)
+      return grad_c, grad_s
 
-    return _chunked_carry(
-        single, opt, (origins, dirs, vdirs, grad_out), jnp.zeros((M, D), dtype)
+    n_cb = opt.basis_dim if opt.format != FORMAT_RGBA else 1
+    grad_c, grad_s = _chunked_carry(
+        single,
+        opt,
+        (origins, dirs, vdirs, grad_out),
+        (
+            jnp.zeros((M, n_color, n_cb), dtype),
+            jnp.zeros((M,), dtype),
+        ),
     )
+    # Assemble the dense (M, D) feature gradient once, outside the loops.
+    grad_f = jnp.zeros((M, D), dtype)
+    if opt.format != FORMAT_RGBA:
+        grad_f = grad_f.at[:, : n_color * opt.basis_dim].set(
+            grad_c.reshape(M, n_color * opt.basis_dim)
+        )
+    else:
+        grad_f = grad_f.at[:, :n_color].set(grad_c[:, :, 0])
+    grad_f = grad_f.at[:, D - 1].add(grad_s)
+    return grad_f
 
 
 # ---------------------------------------------------------------------------
