@@ -77,6 +77,33 @@ def _render_jit(spec, features, origins, dirs, vdirs, opt):
     return render_ops.volume_render(spec, features, origins, dirs, vdirs, opt)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("opt", "width", "height", "fx", "fy", "want_weights")
+)
+def _persp_jit(spec, features, c2w, perm, inv, opt, width, height, fx, fy,
+               want_weights=False):
+    """Whole perspective render in ONE dispatch (ray generation, NDC,
+    tile permutation, march, inverse permutation). Eager per-call ops
+    cost a full relay round-trip each on this stack."""
+    origins, dirs = render_ops.cam2world_rays(c2w, width, height, fx, fy)
+    vdirs = dirs
+    if opt.ndc_width >= 0:
+        dirs, origins = render_ops.world2ndc(opt, dirs, origins)
+    if perm is not None:
+        origins, dirs, vdirs = origins[perm], dirs[perm], vdirs[perm]
+    if want_weights:
+        out, waccum = render_ops.volume_render_with_weight_accum(
+            spec, features, origins, dirs, vdirs, opt
+        )
+    else:
+        out = render_ops.volume_render(spec, features, origins, dirs, vdirs, opt)
+        waccum = None
+    if inv is not None:
+        out = out[inv]
+    out = out.reshape(height, width, -1)
+    return (out, waccum) if want_weights else out
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def _render_weights_jit(spec, features, origins, dirs, vdirs, opt):
     return render_ops.volume_render_with_weight_accum(
@@ -190,32 +217,29 @@ class VolumeRenderer:
         del cuda
         if fy is None:
             fy = fx
-        origins, dirs = render_ops.cam2world_rays(c2w, width, height, fx, fy)
-        vdirs = dirs
         opt = self._get_options(fast)
-        if self.ndc_config is not None:
-            dirs, origins = render_ops.world2ndc(opt, dirs, origins)
         # Tile-coherent ray order (undone on output) so march chunks
         # exit together.
         perm = inv = None
         if opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
-            origins, dirs, vdirs = origins[perm], dirs[perm], vdirs[perm]
         spec = self._render_spec()
         features = jnp.asarray(features)
+        c2w = jnp.asarray(c2w, jnp.float32)
         if self.tree._weight_accum is not None:
-            out, waccum = _render_weights_jit(
-                spec, features, origins, dirs, vdirs, opt
+            out, waccum = _persp_jit(
+                spec, features, c2w, perm, inv, opt,
+                int(width), int(height), float(fx), float(fy), True,
             )
             self.tree._weight_accum = self.tree._weight_accum + waccum.reshape(
                 self.tree._weight_accum.shape
             )
-        else:
-            out = _render_jit(spec, features, origins, dirs, vdirs, opt)
-        if inv is not None:
-            out = out[inv]
-        return out.reshape(height, width, -1)
+            return out
+        return _persp_jit(
+            spec, features, c2w, perm, inv, opt,
+            int(width), int(height), float(fx), float(fy),
+        )
 
     def motion_render(self, features, rays: Rays, cuda=True, fast=False):
         """First-hit pass: (motion_feature (B, n_joints), depth (B,1),
