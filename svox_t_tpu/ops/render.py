@@ -399,8 +399,15 @@ def _volume_render_bwd_impl(
               rows = (weight[:, None] * s * (1.0 - s) * g_color)[:, :, None]
           total_color = jnp.sum(s * g_color, axis=-1)
 
+          # Skip the (expensive, ~2.8ns/element) scatter entirely on
+          # iterations where no ray contributes (empty-space steps).
           scat_idx = jnp.where(contrib, idx, M)
-          grad_c = grad_c.at[scat_idx].add(rows, mode="drop")
+          grad_c = jax.lax.cond(
+              jnp.any(contrib),
+              lambda gc: gc.at[scat_idx].add(rows, mode="drop"),
+              lambda gc: gc,
+              grad_c,
+          )
 
           L = jnp.where(contrib, L * att, L)
           accum = accum + jnp.where(contrib, weight * total_color, 0.0)
@@ -446,8 +453,13 @@ def _volume_render_bwd_impl(
           ) + delta_t * delta_scale * g_alpha * L_ray
 
           scat_idx = jnp.where(contrib, idx, M)
-          grad_s = grad_s.at[scat_idx].add(
-              jnp.where(contrib, g_sigma, 0.0), mode="drop"
+          grad_s = jax.lax.cond(
+              jnp.any(contrib),
+              lambda gs_: gs_.at[scat_idx].add(
+                  jnp.where(contrib, g_sigma, 0.0), mode="drop"
+              ),
+              lambda gs_: gs_,
+              grad_s,
           )
           return step + 1, t + delta_t, newL, new_acc, grad_s
 
