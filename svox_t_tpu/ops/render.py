@@ -246,6 +246,11 @@ def _volume_render_fwd_impl(
         else jnp.zeros((1,), dtype)
     )
 
+    # Early stop (light <= stop_thresh) can never fire when the threshold
+    # is <= 0 (attenuation keeps light strictly positive, matching the
+    # reference); compile out its carries and per-step work then.
+    can_stop = opt.stop_thresh > 0.0
+
     def single(origins_, dirs_, vdirs_, waccum0_):
         B = origins_.shape[0]
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
@@ -286,26 +291,30 @@ def _volume_render_fwd_impl(
                 w_idx = jnp.where(contrib, node_flat, n_cells)
                 waccum = waccum.at[w_idx].add(weight, mode="drop")
 
-            stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-            scale = 1.0 / (1.0 - newL)
-            out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
-            alpha = jnp.where(stop_now, 1.0 - newL, alpha)
-            stopped = jnp.logical_or(stopped, stop_now)
-
             t = t + delta_t
-            active = jnp.logical_and(
-                active, jnp.logical_and(~stop_now, t < tmax)
-            )
+            if can_stop:
+                stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
+                scale = 1.0 / (1.0 - newL)
+                out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
+                alpha = jnp.where(stop_now, 1.0 - newL, alpha)
+                stopped = jnp.logical_or(stopped, stop_now)
+                active = jnp.logical_and(
+                    active, jnp.logical_and(~stop_now, t < tmax)
+                )
+            else:
+                active = jnp.logical_and(active, t < tmax)
             return step + 1, t, newL, out_c, alpha, active, stopped, waccum
 
+        stopped0 = jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool)
+        alpha0 = jnp.zeros((B,), dtype) if can_stop else jnp.zeros((1,), dtype)
         init = (
             jnp.zeros((), jnp.int32),
             tmin,
             jnp.ones((B,), dtype),
             jnp.zeros((B, n_color), dtype),
-            jnp.zeros((B,), dtype),
+            alpha0,
             hit,
-            jnp.zeros((B,), bool),
+            stopped0,
             waccum0_,
         )
         _, t, L, out_c, alpha, active, stopped, waccum = jax.lax.while_loop(
@@ -313,12 +322,20 @@ def _volume_render_fwd_impl(
         )
 
         bg = opt.background_brightness
-        out_c = jnp.where(
-            hit[:, None],
-            jnp.where(stopped[:, None], out_c, out_c + (L * bg)[:, None]),
-            jnp.full((B, n_color), bg, dtype),
-        )
-        alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
+        if can_stop:
+            out_c = jnp.where(
+                hit[:, None],
+                jnp.where(stopped[:, None], out_c, out_c + (L * bg)[:, None]),
+                jnp.full((B, n_color), bg, dtype),
+            )
+            alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
+        else:
+            out_c = jnp.where(
+                hit[:, None],
+                out_c + (L * bg)[:, None],
+                jnp.full((B, n_color), bg, dtype),
+            )
+            alpha = jnp.where(hit, 1.0 - L, 0.0)
         out = jnp.concatenate([out_c, alpha[:, None]], axis=-1)
         return out, waccum
 
