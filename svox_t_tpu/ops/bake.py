@@ -56,9 +56,9 @@ class BakedTree:
     """Render-optimized octree (see module docstring).
 
     Array leaves:
-      top:   (R^3/8, 8) int32 — packed (depth<<27|row), or -(brick_id+1),
-             stored row-packed for fast row gathers.
-      brick: (n_bricks * B^3 / 8, 8) int32 — packed entries, row-packed.
+      top:   (rows, top_width) int32 — packed (depth<<27|row), or
+             -(brick_id+1); row-packed with adaptive width.
+      brick: (rows, brick_width) int32 — packed entries, row-packed.
       src_map: (R^3 + n_bricks * B^3,) int32 — flat tree-cell index each
                baked cell's row came from (for refresh / weight accum).
       depth_parts: same length — precomputed (depth << 27) per baked cell.
@@ -78,6 +78,12 @@ class BakedTree:
     top_levels: int = dataclasses.field(default=5, metadata=dict(static=True))
     brick_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_tree_cells: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Row widths of the packed tables (power of two). Chosen so each
+    # table stays under ~128k rows: the TPU gather cost knee is on the
+    # operand's ROW COUNT (~2ns/idx below 128k rows, ~9-13ns above),
+    # not its byte size — wide rows keep big tables fast.
+    top_width: int = dataclasses.field(default=8, metadata=dict(static=True))
+    brick_width: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     @property
     def R(self) -> int:
@@ -180,11 +186,11 @@ def bake_arrays(
 
     corners, depths, srcs, D = _leaf_cells(child, parent_depth, n_internal)
     if top_levels is None:
-        # Gather throughput on this TPU drops ~5x once the operand exceeds
-        # ~128k rows (~4 MB); keep the dense top at <= 1M cells (128k
-        # 8-wide rows) and push deeper levels into the brick stage.
+        # The gather-cost knee is on operand ROW count; adaptive row
+        # width keeps even large dense tops fast, so go fully dense up to
+        # 16M cells (64 MB, depth 8 at N=2). Deeper levels go to bricks.
         top_levels = D
-        while (N ** top_levels) ** 3 > 2 ** 20:
+        while (N ** top_levels) ** 3 > 2 ** 24:
             top_levels -= 1
     top_levels = min(top_levels, D)
     brick_levels = D - top_levels
@@ -263,29 +269,45 @@ def bake_arrays(
         brick_depth = np.zeros((1, B, B, B), np.int64)
         brick_src = np.zeros((1, B, B, B), np.int64)
 
-    def _pad8(a, fill):
-        pad = (-len(a)) % 8
+    def _width_for(n_cells: int) -> int:
+        # keep rows <= 2^17 (under the measured row-count knee)
+        w = 8
+        while n_cells // w > (1 << 17) and w < 256:
+            w *= 2
+        return w
+
+    top_width = _width_for(top.size)
+    brick_width = _width_for(brick.size)
+
+    def _padw(a, fill, w):
+        pad = (-len(a)) % w
         if pad:
             a = np.concatenate([a, np.full(pad, fill, a.dtype)])
         return a
 
-    # Pad each segment to the row-gather width (lane selection never picks
-    # a padding entry; see _row_gather).
-    top_flat = _pad8(top.reshape(-1), EMPTY_ROW)
-    brick_flat = _pad8(brick.reshape(-1), EMPTY_ROW)
+    # Pad each segment to its row-gather width (lane selection never
+    # picks a padding entry; see _row_gather).
+    top_flat = _padw(top.reshape(-1), EMPTY_ROW, top_width)
+    brick_flat = _padw(brick.reshape(-1), EMPTY_ROW, brick_width)
     src_map = np.concatenate(
-        [_pad8(top_src.reshape(-1), 0), _pad8(brick_src.reshape(-1), 0)]
+        [
+            _padw(top_src.reshape(-1), 0, top_width),
+            _padw(brick_src.reshape(-1), 0, brick_width),
+        ]
     )
     depth_parts = (
         np.concatenate(
-            [_pad8(top_depth.reshape(-1), 0), _pad8(brick_depth.reshape(-1), 0)]
+            [
+                _padw(top_depth.reshape(-1), 0, top_width),
+                _padw(brick_depth.reshape(-1), 0, brick_width),
+            ]
         )
         << ROW_BITS
     )
 
     return BakedTree(
-        top=jnp.asarray(top_flat.astype(np.int32).reshape(-1, _ROW)),
-        brick=jnp.asarray(brick_flat.astype(np.int32).reshape(-1, _ROW)),
+        top=jnp.asarray(top_flat.astype(np.int32).reshape(-1, top_width)),
+        brick=jnp.asarray(brick_flat.astype(np.int32).reshape(-1, brick_width)),
         src_map=jnp.asarray(src_map.astype(np.int32)),
         depth_parts=jnp.asarray(depth_parts.astype(np.int32)),
         offset=jnp.asarray(np.asarray(offset), jnp.float32),
@@ -298,6 +320,8 @@ def bake_arrays(
         top_levels=int(top_levels),
         brick_levels=int(brick_levels),
         n_tree_cells=int(child.size),
+        top_width=int(top_width),
+        brick_width=int(brick_width),
     )
 
 
@@ -337,21 +361,20 @@ def refresh(baked: BakedTree, data_flat: jax.Array) -> BakedTree:
     )
 
 
-_ROW = 8  # row width for packed-table gathers; table sizes must divide it
-
-
 def _row_gather(table2d: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather scalars from a row-packed (K/8, 8) int32 table.
+    """Gather scalars from a row-packed (rows, width) int32 table.
 
-    XLA TPU lowers scalar gathers ~4x slower per index than small row
-    gathers (measured via device traces: 7 ns/elem scalar vs ~1.6 ns/row
-    for 28-wide rows). Fetch the 8-entry row containing each element and
-    select the lane with a one-hot sum — pure VPU work that fuses. The
-    table must already be 2-D: reshaping inside a march loop materializes
-    a full copy every iteration.
+    The TPU gather cost is ~2ns per INDEX as long as the operand has
+    <= ~128k rows, regardless of row width — so wide rows keep large
+    tables fast. Fetch the row containing each element and select the
+    lane with a one-hot sum (pure VPU work that fuses). The table must
+    already be 2-D: reshaping inside a march loop materializes a full
+    copy every iteration.
     """
-    rows = table2d[idx >> 3]  # (B, 8)
-    lane = (idx & (_ROW - 1))[:, None]
+    width = table2d.shape[1]
+    shift = width.bit_length() - 1  # log2(width); width is a power of 2
+    rows = table2d[idx >> shift]  # (B, width)
+    lane = (idx & (width - 1))[:, None]
     oh = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane
     return jnp.sum(jnp.where(oh, rows, 0), axis=1)
 
