@@ -47,7 +47,7 @@ active, reference PASS 2 reuses whatever basis values PASS 1 left behind
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,47 @@ def _basis_window(opt: RenderOptions) -> np.ndarray:
     return ((idx >= opt.min_comp) & (idx <= opt.max_comp)).astype(np.float32)
 
 
+class PackedFeatures(NamedTuple):
+    """Feature pool prepared for fast per-sample gathers.
+
+    The TPU gather-cost knee is on the operand's row count (~128k rows;
+    see ops/bake.py). Pools beyond that are packed G rows per table row
+    (G a power of two), gathered by `idx >> log2(G)` and group-selected
+    with a one-hot — same trick as the baked tables. G == 1 keeps the
+    plain layout. Packing happens ONCE per call, outside march loops.
+    """
+
+    table: jax.Array
+    G: int
+    M: int
+    D: int
+
+
+def _pack_features(features: jax.Array) -> PackedFeatures:
+    M, D = features.shape
+    G = 1
+    while -(-M // G) > (1 << 17) and G < 64:
+        G *= 2
+    if G == 1 or M == 0:
+        return PackedFeatures(features, 1, M, D)
+    rows = -(-M // G)
+    pad = rows * G - M
+    padded = jnp.pad(features, ((0, pad), (0, 0)))
+    return PackedFeatures(padded.reshape(rows, G * D), G, M, D)
+
+
+def _gather_features(ft: PackedFeatures, idx: jax.Array) -> jax.Array:
+    """(B,) clamped row indices -> (B, D) feature rows."""
+    if ft.G == 1:
+        return ft.table[idx]
+    shift = ft.G.bit_length() - 1
+    rows = ft.table[idx >> shift]  # (B, G*D)
+    rows = rows.reshape(rows.shape[0], ft.G, ft.D)
+    lane = (idx & (ft.G - 1))[:, None]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], ft.G), 1) == lane
+    return jnp.sum(jnp.where(oh[:, :, None], rows, 0.0), axis=1)
+
+
 def _ray_setup(spec: TreeSpec, origins, dirs):
     """Transform rays to tree space; returns (o, d, invdir, delta_scale,
     tmin, tmax, hit)."""
@@ -80,7 +121,11 @@ def _ray_setup(spec: TreeSpec, origins, dirs):
 
 def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
     """One march sample for the whole batch: leaf lookup + step length +
-    density. Returns (leaf, delta_t, sigma, valid, idx)."""
+    density. Returns (leaf, delta_t, sigma, valid, idx).
+
+    `features` may be a raw (M, D) array or a PackedFeatures (callers
+    with march loops pre-pack once outside the loop)."""
+    ft = features if isinstance(features, PackedFeatures) else _pack_features(features)
     pos = o + t[:, None] * d
     if isinstance(spec, BakedTree):
         # Baked structure: 2 gathers + arithmetic (see ops/bake.py);
@@ -93,18 +138,18 @@ def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
         leaf = descend(spec, pos)
     sub_tmin, sub_tmax = dda_unit(leaf.frac, invdir)
     delta_t = (sub_tmax - sub_tmin) / leaf.cube_sz + step_size
-    M, D = features.shape
+    M, D = ft.M, ft.D
     B = pos.shape[0]
     if M == 0:
         # Empty feature pool: every leaf is empty space.
         valid = jnp.zeros((B,), bool)
         idx = jnp.zeros((B,), jnp.int32)
-        feat = jnp.zeros((B, D), features.dtype)
-        sigma = jnp.zeros((B,), features.dtype)
+        feat = jnp.zeros((B, D), ft.table.dtype)
+        sigma = jnp.zeros((B,), ft.table.dtype)
         return leaf, feat, delta_t, sigma, valid, idx
     valid = leaf.data_idx < M
     idx = jnp.where(valid, leaf.data_idx, 0)
-    feat = features[idx]
+    feat = _gather_features(ft, idx)
     sigma = jnp.where(valid, feat[:, -1], 0.0)
     return leaf, feat, delta_t, sigma, valid, idx
 
@@ -251,6 +296,8 @@ def _volume_render_fwd_impl(
     # reference); compile out its carries and per-step work then.
     can_stop = opt.stop_thresh > 0.0
 
+    features_t = _pack_features(features)
+
     def single(origins_, dirs_, vdirs_, waccum0_):
         B = origins_.shape[0]
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
@@ -273,7 +320,7 @@ def _volume_render_fwd_impl(
         def body(carry):
             step, t, L, out_c, alpha, active, stopped, waccum = carry
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
             att = jnp.exp(-delta_t * delta_scale * sigma)
@@ -364,6 +411,7 @@ def _volume_render_bwd_impl(
     M, D = features.shape
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     dtype = origins.dtype
+    features_t = _pack_features(features)
 
     def single(origins_, dirs_, vdirs_, grad_out_, grad_f0):
       B = origins_.shape[0]
@@ -390,7 +438,7 @@ def _volume_render_bwd_impl(
           step, t, L, accum, grad_c = carry
           active = jnp.logical_and(hit, t < tmax)
           leaf, feat, delta_t, sigma, valid, idx = _sample(
-              spec, features, o, d, invdir, t, opt.step_size
+              spec, features_t, o, d, invdir, t, opt.step_size
           )
           contrib = jnp.logical_and(active, sigma > 0.0)
           att = jnp.exp(-delta_t * sigma * delta_scale)
@@ -453,7 +501,7 @@ def _volume_render_bwd_impl(
           step, t, L, acc, grad_s = carry
           active = jnp.logical_and(hit, t < tmax)
           leaf, feat, delta_t, sigma, valid, idx = _sample(
-              spec, features, o, d, invdir, t, opt.step_size
+              spec, features_t, o, d, invdir, t, opt.step_size
           )
           contrib = jnp.logical_and(active, sigma > 0.0)
           att = jnp.exp(-delta_t * sigma * delta_scale)

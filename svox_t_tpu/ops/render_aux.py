@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.spec import RenderOptions, TreeSpec
-from .render import (_chunked_carry, _chunked_outputs, _ray_setup, _sample,
-                     _zero_cotangent)
+from .render import (_chunked_carry, _chunked_outputs, _pack_features,
+                     _ray_setup, _sample, _zero_cotangent)
 from .sh import _PREC
 from .traversal import tree2world
 
@@ -37,6 +37,7 @@ from .traversal import tree2world
 
 
 def _opacity_fwd_impl(spec, features, origins, dirs, opt):
+    features_t = _pack_features(features)
     def single(origins_, dirs_):
         B = origins_.shape[0]
         dtype = origins_.dtype
@@ -51,7 +52,7 @@ def _opacity_fwd_impl(spec, features, origins, dirs, opt):
         def body(carry):
             step, t, L, active, stopped, alpha = carry
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
             att = jnp.exp(-delta_t * delta_scale * sigma)
@@ -87,6 +88,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt):
     sigma > 0 (equivalent to both reference backward paths; see module
     docstring)."""
     M, D = features.shape
+    features_t = _pack_features(features)
 
     def single(origins_, dirs_, grad_out_, grad_f):
         B = origins_.shape[0]
@@ -107,7 +109,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt):
             step, t, L = carry
             active = jnp.logical_and(hit, t < tmax)
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             contrib = jnp.logical_and(active, sigma > 0.0)
             att = jnp.exp(-delta_t * sigma * delta_scale)
@@ -129,7 +131,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt):
             step, t, gf = carry
             active = jnp.logical_and(hit, t < tmax)
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             contrib = jnp.logical_and(active, sigma > 0.0)
             g_sigma = delta_t * delta_scale * g * L_ray
@@ -186,6 +188,7 @@ opacity_render.defvjp(_op_fwd, _op_bwd)
 def _first_hit(spec, features, origins, dirs, opt):
     """March until sigma > sigma_thresh; returns (found (B,), t_hit (B,),
     pos_tree (B,3), data_idx (B,), delta_scale (B,))."""
+    features_t = _pack_features(features)
 
     def single(origins_, dirs_):
         B = origins_.shape[0]
@@ -202,7 +205,7 @@ def _first_hit(spec, features, origins, dirs, opt):
             step, t, active, found, t_hit, pos_hit, idx_hit = carry
             pos = o + t[:, None] * d
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             hit_now = jnp.logical_and(active, sigma > opt.sigma_thresh)
             # NOTE: the hit position recorded by the reference is the
@@ -288,6 +291,7 @@ def _mf_blend(spec, joint_features, idx, valid, out_dim):
 
 def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt):
     out_dim = joint_features.shape[1]
+    features_t = _pack_features(features)
 
     def single(origins_, dirs_):
         B = origins_.shape[0]
@@ -303,7 +307,7 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         def body(carry):
             step, t, L, out, active, stopped = carry
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
             att = jnp.exp(-delta_t * delta_scale * sigma)
@@ -350,6 +354,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     rt_kernel.cu:982-1065 (the reference reads an uninitialized buffer and
     scatters with a wrong index; SURVEY.md K14)."""
     J, K = joint_features.shape
+    features_t = _pack_features(features)
 
     def single(origins_, dirs_, grad_out_, grad_jf):
         B = origins_.shape[0]
@@ -368,7 +373,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             step, t, L, gjf = carry
             active = jnp.logical_and(hit, t < tmax)
             leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features, o, d, invdir, t, opt.step_size
+                spec, features_t, o, d, invdir, t, opt.step_size
             )
             contrib = jnp.logical_and(active, sigma > 0.0)
             att = jnp.exp(-delta_t * sigma * delta_scale)
