@@ -317,7 +317,7 @@ def _volume_render_fwd_impl(
             step, t, L, out_c, alpha, active, stopped, waccum = carry
             return jnp.logical_and(step < opt.max_steps, jnp.any(active))
 
-        def body(carry):
+        def _micro(carry):
             step, t, L, out_c, alpha, active, stopped, waccum = carry
             leaf, feat, delta_t, sigma, valid, idx = _sample(
                 spec, features_t, o, d, invdir, t, opt.step_size
@@ -351,6 +351,12 @@ def _volume_render_fwd_impl(
             else:
                 active = jnp.logical_and(active, t < tmax)
             return step + 1, t, newL, out_c, alpha, active, stopped, waccum
+
+        def body(carry):
+            # Two samples per loop iteration: halves the while-loop
+            # plumbing (cond reduction, carry copies) per sample; the
+            # second sample is fully masked for rays that just finished.
+            return _micro(_micro(carry))
 
         stopped0 = jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool)
         alpha0 = jnp.zeros((B,), dtype) if can_stop else jnp.zeros((1,), dtype)
@@ -434,7 +440,7 @@ def _volume_render_bwd_impl(
               step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
           )
 
-      def body1(carry):
+      def _micro1(carry):
           step, t, L, accum, grad_c = carry
           active = jnp.logical_and(hit, t < tmax)
           leaf, feat, delta_t, sigma, valid, idx = _sample(
@@ -478,6 +484,9 @@ def _volume_render_bwd_impl(
           accum = accum + jnp.where(contrib, weight * total_color, 0.0)
           return step + 1, t + delta_t, L, accum, grad_c
 
+      def body1(carry):
+          return _micro1(_micro1(carry))
+
       grad_c0, grad_s0 = grad_f0
       init1 = (
           jnp.zeros((), jnp.int32),
@@ -497,7 +506,7 @@ def _volume_render_bwd_impl(
               step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
           )
 
-      def body2(carry):
+      def _micro2(carry):
           step, t, L, acc, grad_s = carry
           active = jnp.logical_and(hit, t < tmax)
           leaf, feat, delta_t, sigma, valid, idx = _sample(
@@ -527,6 +536,9 @@ def _volume_render_bwd_impl(
               grad_s,
           )
           return step + 1, t + delta_t, newL, new_acc, grad_s
+
+      def body2(carry):
+          return _micro2(_micro2(carry))
 
       init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_s0)
       _, _, _, _, grad_s = jax.lax.while_loop(cond2, body2, init2)
