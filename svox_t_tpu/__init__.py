@@ -26,6 +26,7 @@ from .ops.warp import (blend_transformation_matrix, get_transformation_matrix,
 from .ops.p2v import voxelize
 from .ops.grid import grid_weight_render
 from .ops.sh import eval_sh, eval_sh_bases
+from .utils.builders import tree_from_occupancy, tree_structure_from_occupancy
 
 __all__ = [
     "N3Tree",
@@ -47,6 +48,8 @@ __all__ = [
     "grid_weight_render",
     "convert_to_ndc",
     "eval_sh",
+    "tree_from_occupancy",
+    "tree_structure_from_occupancy",
     "eval_sh_bases",
     "make_tree_spec",
     "DATA_SENTINEL",
