@@ -97,6 +97,23 @@ def main():
     bwd_s = bench(fwdbwd, n_iter=3)
     bwd_mrays = n_rays / bwd_s / 1e6
 
+    # "fast" mode (sigma_thresh = stop_thresh = 1e-2): the reference's
+    # accelerated configuration and the setting PlenOctrees-class FPS
+    # numbers are quoted in (early ray termination).
+    opt_fast = r._get_options(True)
+    out = fwd(baked, feats, origins, dirs, vdirs, opt_fast)
+    out.block_until_ready()
+    times = []
+    for i in range(5):
+        f_i = feats * (1.0 + 1e-7 * (i + 1))
+        _ = float(jnp.sum(f_i))
+        t0 = time.time()
+        res = fwd(baked, f_i, origins, dirs, vdirs, opt_fast)
+        _ = float(jnp.sum(res))
+        times.append(time.time() - t0)
+    fast_s = min(times)
+    fast_mrays = n_rays / fast_s / 1e6
+
     alpha = float(jnp.mean(out[:, -1]))
     print(
         json.dumps(
@@ -109,6 +126,8 @@ def main():
                 "fwd_bwd_mrays_s": round(bwd_mrays, 3),
                 "fwd_bwd_ms": round(bwd_s * 1e3, 1),
                 "fwd_bwd_vs_target": round(bwd_mrays / 25.0, 4),
+                "fast_mode_mrays_s": round(fast_mrays, 3),
+                "fast_mode_ms": round(fast_s * 1e3, 1),
                 "n_rays": int(n_rays),
                 "tree_internal_nodes": int(tree.n_internal),
                 "tree_leaves": int(tree.n_leaves),
