@@ -411,15 +411,28 @@ def _volume_render_bwd_impl(
     vdirs: jax.Array,
     grad_out: jax.Array,
     opt: RenderOptions,
+    out_res: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Gradient of the render wrt the feature pool, dense (M, D) —
-    chunked: grad_features is the scan carry across ray chunks."""
+    chunked: grad_features is the scan carry across ray chunks.
+
+    In exact mode (sigma_thresh == 0, stop_thresh <= 0) PASS 1's ray
+    totals are recoverable from the saved forward output:
+    `accum_total = sum_c out[c] * g[c]` (the background term included)
+    and `light_intensity_ray = 1 - out[alpha]`; the two re-march passes
+    then merge into ONE (the `single_pass` path). With thresholds active
+    the reference's asymmetric rules (fwd gates on sigma_thresh, bwd on
+    sigma > 0) make those quantities differ, so the literal two-pass
+    re-march is used (parity: rt_kernel.cu:330-496)."""
     M, D = features.shape
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     dtype = origins.dtype
     features_t = _pack_features(features)
+    single_pass = (
+        opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0 and out_res is not None
+    )
 
-    def single(origins_, dirs_, vdirs_, grad_out_, grad_f0):
+    def single(origins_, dirs_, vdirs_, grad_out_, out_res_, grad_f0):
       B = origins_.shape[0]
       o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins_, dirs_)
 
@@ -432,6 +445,85 @@ def _volume_render_bwd_impl(
 
       g_color = grad_out_[:, :n_color]
       g_alpha = grad_out_[:, n_color]
+
+      if single_pass:
+          # accum starts at the ray total and is consumed front-to-back;
+          # color-grad and sigma-grad scatters happen in the same march.
+          accum_total = jnp.sum(out_res_[:, :n_color] * g_color, axis=-1)
+          L_ray = 1.0 - out_res_[:, n_color]
+          grad_c0, grad_s0 = grad_f0
+
+          def cond_sp(carry):
+              step, t, L, acc, grad_c, grad_s = carry
+              return jnp.logical_and(
+                  step < opt.max_steps,
+                  jnp.any(jnp.logical_and(hit, t < tmax)),
+              )
+
+          def _micro_sp(carry):
+              step, t, L, acc, grad_c, grad_s = carry
+              active = jnp.logical_and(hit, t < tmax)
+              leaf, feat, delta_t, sigma, valid, idx = _sample(
+                  spec, features_t, o, d, invdir, t, opt.step_size
+              )
+              contrib = jnp.logical_and(active, sigma > 0.0)
+              att = jnp.exp(-delta_t * sigma * delta_scale)
+              weight = L * (1.0 - att)
+
+              basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
+              if opt.format != FORMAT_RGBA:
+                  coeffs = feat[:, : n_color * opt.basis_dim].reshape(
+                      B, n_color, opt.basis_dim
+                  )
+                  tmp = jnp.einsum(
+                      "bk,bck->bc", basis_step, coeffs, precision=_PREC
+                  )
+                  s = jax.nn.sigmoid(tmp)
+                  gs = s * (1.0 - s)
+                  rows = (
+                      weight[:, None, None]
+                      * (gs * g_color)[:, :, None]
+                      * basis_step[:, None, :]
+                  )
+              else:
+                  s = jax.nn.sigmoid(feat[:, :n_color])
+                  rows = (weight[:, None] * s * (1.0 - s) * g_color)[:, :, None]
+              total_color = jnp.sum(s * g_color, axis=-1)
+
+              newL = jnp.where(contrib, L * att, L)
+              new_acc = acc - jnp.where(contrib, weight * total_color, 0.0)
+              g_sigma = delta_t * delta_scale * (
+                  total_color * newL - new_acc
+              ) + delta_t * delta_scale * g_alpha * L_ray
+
+              scat_idx = jnp.where(contrib, idx, M)
+
+              def do_scatter(bufs):
+                  gc, gs_ = bufs
+                  gc = gc.at[scat_idx].add(rows, mode="drop")
+                  gs_ = gs_.at[scat_idx].add(
+                      jnp.where(contrib, g_sigma, 0.0), mode="drop"
+                  )
+                  return gc, gs_
+
+              grad_c, grad_s = jax.lax.cond(
+                  jnp.any(contrib), do_scatter, lambda b: b, (grad_c, grad_s)
+              )
+              return step + 1, t + delta_t, newL, new_acc, grad_c, grad_s
+
+          def body_sp(carry):
+              return _micro_sp(_micro_sp(carry))
+
+          init = (
+              jnp.zeros((), jnp.int32),
+              tmin,
+              jnp.ones((B,), dtype),
+              accum_total,
+              grad_c0,
+              grad_s0,
+          )
+          _, _, _, _, grad_c, grad_s = jax.lax.while_loop(cond_sp, body_sp, init)
+          return grad_c, grad_s
 
       # ---- PASS 1: color gradients + accum ---------------------------------
       def cond1(carry):
@@ -545,14 +637,17 @@ def _volume_render_bwd_impl(
       return grad_c, grad_s
 
     n_cb = opt.basis_dim if opt.format != FORMAT_RGBA else 1
+    if out_res is None:
+        out_res = jnp.zeros_like(grad_out)
     grad_c, grad_s = _chunked_carry(
         single,
         opt,
-        (origins, dirs, vdirs, grad_out),
+        (origins, dirs, vdirs, grad_out, out_res),
         (
             jnp.zeros((M, n_color, n_cb), dtype),
             jnp.zeros((M,), dtype),
         ),
+        fills=(1e9, 1.0, 1.0, 0.0, 0.0),
     )
     # Assemble the dense (M, D) feature gradient once, outside the loops.
     grad_f = jnp.zeros((M, D), dtype)
@@ -597,13 +692,13 @@ def volume_render(spec, features, origins, dirs, vdirs, opt: RenderOptions):
 
 def _vr_fwd(spec, features, origins, dirs, vdirs, opt):
     out, _ = _volume_render_fwd_impl(spec, features, origins, dirs, vdirs, opt, False)
-    return out, (spec, features, origins, dirs, vdirs)
+    return out, (spec, features, origins, dirs, vdirs, out)
 
 
 def _vr_bwd(opt, res, g):
-    spec, features, origins, dirs, vdirs = res
+    spec, features, origins, dirs, vdirs, out = res
     grad_features = _volume_render_bwd_impl(
-        spec, features, origins, dirs, vdirs, g, opt
+        spec, features, origins, dirs, vdirs, g, opt, out_res=out
     )
     return (
         _zero_cotangent(spec),
