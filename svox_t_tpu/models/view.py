@@ -168,17 +168,20 @@ class N3TreeView:
 
     @property
     def lengths(self):
-        """World-space side lengths, (n_leaves, 3)."""
+        """World-space side lengths, (n_leaves, 3).
+
+        (The reference hardcodes 2^-(depth+1) — helpers.py:164 — which is
+        only correct for N=2; this generalizes to N^-(depth+1).)"""
         self._check_ver()
-        return (2.0 ** (-self.depths.astype(np.float32) - 1.0))[
-            :, None
-        ] / self.tree.invradius
+        return (
+            float(self.tree.N) ** (-self.depths.astype(np.float32) - 1.0)
+        )[:, None] / self.tree.invradius
 
     @property
     def lengths_local(self):
         """Tree-space side lengths, (n_leaves,)."""
         self._check_ver()
-        return 2.0 ** (-self.depths.astype(np.float32) - 1.0)
+        return float(self.tree.N) ** (-self.depths.astype(np.float32) - 1.0)
 
     @property
     def corners(self):

@@ -105,9 +105,7 @@ def assign(
     return features.at[scat].set(values, mode="drop")
 
 
-def construct_tree(
-    spec: TreeSpec, points: jax.Array, n_features: int | None = None
-) -> jax.Array:
+def construct_tree(spec: TreeSpec, points: jax.Array) -> jax.Array:
     """Point the tree's leaf index slots at this frame's point rows
     (parity: construct_tree, svox_kernel.cu:110-121).
 

@@ -253,3 +253,26 @@ def test_repr_and_len(rng):
     assert len(t) == t.n_leaves
     assert t.shape == (t.n_leaves, t.data_dim)
     assert t.numel() == t.n_leaves * t.data_dim
+
+
+def test_view_xyz_tuple_key(rng):
+    """tree[x, y, z] float-tuple point indexing (helpers.py:45-52 parity)."""
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    c = centers[0]
+    v = t[float(c[0]), float(c[1]), float(c[2])]
+    vals = np.asarray(v.values)
+    np.testing.assert_allclose(vals.reshape(-1, t.data_dim)[0], np.asarray(feats[0]))
+
+
+def test_view_local_index(rng):
+    """tree[LocalIndex(points)] uses tree-space coordinates."""
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    local = np.asarray(jax.device_get(t.world2tree(jnp.asarray(centers[:4]))))
+    v = t[st.LocalIndex(jnp.asarray(local, jnp.float32))]
+    got = np.asarray(v.values)
+    want = np.asarray(feats[:4])
+    got = got[np.lexsort(got.T)]
+    want = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got, want)
