@@ -39,7 +39,6 @@ __all__ = [
     "CameraSpec",
     "DataFormat",
     "LocalIndex",
-    "LocalIndex",
     "WeightAccumulator",
     "voxelize",
     "get_transformation_matrix",

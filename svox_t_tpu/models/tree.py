@@ -171,6 +171,7 @@ class N3Tree:
         ):
             offset = self.offset if world else np.zeros(3, np.float32)
             scaling = self.invradius if world else np.ones(3, np.float32)
+            max_depth = int(self._parent_depth[: max(self.filled, 1), 1].max())
             self._cached_spec[key] = make_tree_spec(
                 self._child,
                 self._data,
@@ -178,7 +179,10 @@ class N3Tree:
                 offset,
                 scaling,
                 n_internal=self.filled,
-                n_levels=self.depth_limit + 2,
+                # bound descent by the ACTUAL tree depth (not depth_limit:
+                # deeper nodes would silently under-descend, and shallow
+                # trees would pay for unused gather rounds)
+                n_levels=max_depth + 2,
                 extra_data=self.extra_data,
             )
         spec = self._cached_spec[key]
@@ -506,7 +510,11 @@ class N3Tree:
                 t2 = np.tile(np.repeat(rangen, self.N ** 2), new_filled - filled)
                 t3 = np.tile(np.repeat(rangen, self.N), (new_filled - filled) * self.N)
                 t4 = np.tile(rangen, (new_filled - filled) * self.N ** 2)
-                sel = (t1, t2, t3, t4)
+                # honor depth_limit on every repeat (the reference only
+                # filters the first one and creates deeper nodes than its
+                # documented contract allows)
+                ok = self._parent_depth[t1, 1] < self.depth_limit
+                sel = (t1[ok], t2[ok], t3[ok], t4[ok])
                 leaf_node = None
             self._n_internal += num_nc
             self.filled += num_nc
@@ -566,7 +574,13 @@ class N3Tree:
             self._child[remain_parents] -= (csum[remain_ids] - par_shift).astype(
                 np.int32
             )
-            self._parent_depth[remain_ids, 0] -= par_shift.astype(np.int32)
+            # Packed parent ids are node * N^3 + cell, so a node-id shift
+            # of par_shift moves the packed id by par_shift * N^3. (The
+            # reference subtracts the raw shift — svox.py:627 — silently
+            # corrupting parent links of shifted nodes; deviation: fixed.)
+            self._parent_depth[remain_ids, 0] -= (
+                par_shift.astype(np.int64) * (self.N ** 3)
+            ).astype(np.int32)
             self._data = self._data[remain_ids]
             self._child = self._child[remain_ids]
             self._parent_depth = self._parent_depth[remain_ids]
@@ -791,16 +805,6 @@ class N3Tree:
                 np.zeros((cap_needed, *self._parent_depth.shape[1:]), np.int32),
             ]
         )
-
-    def _make_val_tensor(self, val):
-        val = np.asarray(val, np.float32)
-        while val.ndim < 2:
-            val = val[None]
-        if val.shape[-1] == 1:
-            val = np.broadcast_to(val, (*val.shape[:-1], self.data_dim)).copy()
-        else:
-            assert val.shape[-1] == self.data_dim
-        return val
 
     def _all_leaves(self) -> np.ndarray:
         if self._last_all_leaves is None:

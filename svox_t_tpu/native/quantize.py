@@ -17,8 +17,14 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_HERE, "_build", "libsvoxt_native.so")
 _SRC = os.path.join(_HERE, "quantizer.cpp")
+# Build into a user cache dir, not the source tree (read-only installs,
+# parallel test workers, VCS hygiene).
+_SO_PATH = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "svox_t_tpu",
+    "libsvoxt_native.so",
+)
 
 _lib = None
 _lib_failed = False

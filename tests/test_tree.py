@@ -276,3 +276,61 @@ def test_view_local_index(rng):
     got = got[np.lexsort(got.T)]
     want = want[np.lexsort(want.T)]
     np.testing.assert_allclose(got, want)
+
+
+def test_shrink_defrag_parent_links(rng):
+    """Regression: packed parent ids must shift by par_shift * N^3 on
+    defragmentation (the reference subtracts the raw node shift,
+    corrupting parent links — svox.py:627)."""
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=5)
+    t.refine()                       # nodes 1..8 (depth 1)
+    t._refine_at(1, (0, 0, 0))       # node 9
+    t._refine_at(2, (0, 0, 0))       # node 10
+    t._refine_at(10, (0, 0, 0))      # node 11, parent packed = pack(10,0,0,0)
+    corners_before = {
+        tuple(map(int, row)): np.asarray(c)
+        for row, c in zip(t._all_leaves(), np.asarray(
+            jax.device_get(t._calc_corners(jnp.asarray(t._all_leaves(), jnp.int32)))
+        ))
+    }
+    # free node 9 (its parent cell becomes a leaf), then defrag
+    t.merge(np.asarray([0]))  # merge the first frontier node
+    freed = int(t._n_free)
+    assert freed == 1
+    t.shrink_to_fit()
+    # every surviving leaf's corner must be unchanged
+    leaves_after = t._all_leaves()
+    corners_after = np.asarray(jax.device_get(
+        t._calc_corners(jnp.asarray(leaves_after, jnp.int32))
+    ))
+    # match leaves by corner set: corners before (minus merged subtree)
+    # must be a superset of corners after
+    before_set = {tuple(np.round(c, 6)) for c in corners_before.values()}
+    for c in corners_after:
+        assert tuple(np.round(c, 6)) in before_set, c
+    # parent links must be internally consistent: child links round-trip
+    pd = t.parent_depth
+    for nid in range(1, t.n_internal):
+        parent = t._unpack_index_np(np.asarray([pd[nid, 0]]))[0]
+        pn, px, py, pz = map(int, parent)
+        assert t.child[pn, px, py, pz] == nid - pn, (nid, parent)
+
+
+def test_deep_refine_beyond_depth_limit_respected(rng):
+    """Regression: repeats>1 must honor depth_limit, and descent must
+    still resolve trees whose actual depth was (historically) deeper."""
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=1)
+    t.refine(repeats=3)
+    assert int(t.parent_depth[: t.n_internal, 1].max()) <= t.depth_limit
+    # and a legitimately deep tree still queries correctly
+    t2 = st.N3Tree(N=2, data_dim=4, depth_limit=4)
+    t2.refine(repeats=3)  # all leaves at depth 3
+    centers = t2[:].corners_local + 0.5 * t2[:].lengths_local[:, None]
+    world = np.asarray(jax.device_get(t2.tree2world(jnp.asarray(centers))))
+    t2.construct_tree(world)
+    M = world.shape[0]
+    feats = jnp.asarray(rng.randn(M, 4).astype(np.float32))
+    vals, _, data_ids = st.ops.query.query(
+        t2._spec(), feats, jnp.asarray(world, jnp.float32), True
+    )
+    np.testing.assert_array_equal(np.asarray(data_ids), np.arange(M))
