@@ -480,14 +480,18 @@ def _volume_render_bwd_impl(
                   )
                   s = jax.nn.sigmoid(tmp)
                   gs = s * (1.0 - s)
+                  # flat (B, C*K) outer product via repeat/tile — scatters
+                  # into 2-D buffers are per-ROW costed (~45ns/row) vs
+                  # per-element for 3-D buffers, and this avoids an
+                  # in-loop reshape.
                   rows = (
-                      weight[:, None, None]
-                      * (gs * g_color)[:, :, None]
-                      * basis_step[:, None, :]
+                      jnp.repeat(weight[:, None] * gs * g_color,
+                                 opt.basis_dim, axis=1)
+                      * jnp.tile(basis_step, (1, n_color))
                   )
               else:
                   s = jax.nn.sigmoid(feat[:, :n_color])
-                  rows = (weight[:, None] * s * (1.0 - s) * g_color)[:, :, None]
+                  rows = weight[:, None] * s * (1.0 - s) * g_color
               total_color = jnp.sum(s * g_color, axis=-1)
 
               newL = jnp.where(contrib, L * att, L)
@@ -550,16 +554,14 @@ def _volume_render_bwd_impl(
               tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs, precision=_PREC)
               s = jax.nn.sigmoid(tmp)
               gs = s * (1.0 - s)
-              # (B, C, basis_dim) update rows — scattered into a
-              # like-shaped buffer so no in-loop reshape materializes.
               rows = (
-                  weight[:, None, None]
-                  * (gs * g_color)[:, :, None]
-                  * basis_step[:, None, :]
+                  jnp.repeat(weight[:, None] * gs * g_color,
+                             opt.basis_dim, axis=1)
+                  * jnp.tile(basis_step, (1, n_color))
               )
           else:
               s = jax.nn.sigmoid(feat[:, :n_color])
-              rows = (weight[:, None] * s * (1.0 - s) * g_color)[:, :, None]
+              rows = weight[:, None] * s * (1.0 - s) * g_color
           total_color = jnp.sum(s * g_color, axis=-1)
 
           # Skip the (expensive, ~2.8ns/element) scatter entirely on
@@ -636,7 +638,7 @@ def _volume_render_bwd_impl(
       _, _, _, _, grad_s = jax.lax.while_loop(cond2, body2, init2)
       return grad_c, grad_s
 
-    n_cb = opt.basis_dim if opt.format != FORMAT_RGBA else 1
+    n_cc = n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
     if out_res is None:
         out_res = jnp.zeros_like(grad_out)
     grad_c, grad_s = _chunked_carry(
@@ -644,19 +646,14 @@ def _volume_render_bwd_impl(
         opt,
         (origins, dirs, vdirs, grad_out, out_res),
         (
-            jnp.zeros((M, n_color, n_cb), dtype),
+            jnp.zeros((M, n_cc), dtype),
             jnp.zeros((M,), dtype),
         ),
         fills=(1e9, 1.0, 1.0, 0.0, 0.0),
     )
     # Assemble the dense (M, D) feature gradient once, outside the loops.
     grad_f = jnp.zeros((M, D), dtype)
-    if opt.format != FORMAT_RGBA:
-        grad_f = grad_f.at[:, : n_color * opt.basis_dim].set(
-            grad_c.reshape(M, n_color * opt.basis_dim)
-        )
-    else:
-        grad_f = grad_f.at[:, :n_color].set(grad_c[:, :, 0])
+    grad_f = grad_f.at[:, :n_cc].set(grad_c)
     grad_f = grad_f.at[:, D - 1].add(grad_s)
     return grad_f
 
