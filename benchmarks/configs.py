@@ -220,6 +220,10 @@ def config_5():
     cams = [orbit_camera(th, 0.4) for th in (0.5, 2.5)]
     ray_sets = [cam2world_rays(c, W, W, fx=W * 1.1, fy=W * 1.1) for c in cams]
 
+    # all views rendered as ONE ray batch (fewer dispatches)
+    all_o = jnp.concatenate([o for (o, d) in ray_sets])
+    all_d = jnp.concatenate([d for (o, d) in ray_sets])
+
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def frame(spec_in, f, T, sw_, ji_, opt_):
         warped, mats = st.warp_vertices(T, jnp.asarray(pts), sw_, ji_)
@@ -229,14 +233,12 @@ def config_5():
         )
         new_data = st.ops.query.construct_tree(spec_in, warped)
         spec2 = spec_in.with_(data_flat=new_data)
-        outs = [
-            volume_render(spec2, f, o, d, d, opt_) for (o, d) in ray_sets
-        ]
+        outs = volume_render(spec2, f, all_o, all_d, all_d, opt_)
         return outs, vol, spec2
 
     T0 = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (J, 1, 1)))
     outs, vol, _ = frame(spec, feats0, T0, jnp.asarray(sw), jnp.asarray(ji), opt)
-    _ = [_fetch(o) for o in outs]
+    _fetch(outs)
 
     n_frames = 5
     t0 = time.time()
@@ -246,7 +248,8 @@ def config_5():
         T[1, 1, 3] = 0.02 * np.cos(0.7 * (k + 1))
         outs, vol, _ = frame(spec, feats0, jnp.asarray(T),
                              jnp.asarray(sw), jnp.asarray(ji), opt)
-        _ = [_fetch(o) for o in outs] + [_fetch(vol)]
+        _fetch(outs)
+        _fetch(vol)
     dt = time.time() - t0
     return {
         "config": 5,

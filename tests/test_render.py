@@ -243,3 +243,16 @@ def test_empty_feature_pool(rng):
     out = np.asarray(r(jnp.zeros((0, 4), jnp.float32), rays))
     np.testing.assert_allclose(out[:, :-1], 1.0)
     np.testing.assert_allclose(out[:, -1], 0.0)
+
+
+def test_render_persp_weight_accum(rng):
+    t, feats, r = _setup(rng)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 3.0]
+    img_plain = np.asarray(r.render_persp(feats, c2w, width=12, height=12, fx=12.0))
+    with t.accumulate_weights() as acc:
+        img = np.asarray(r.render_persp(feats, c2w, width=12, height=12, fx=12.0))
+    np.testing.assert_allclose(img, img_plain, atol=1e-6)
+    w = acc()
+    assert w.sum() > 0
+    np.testing.assert_allclose(w.sum(), img[..., -1].sum(), rtol=1e-4)
