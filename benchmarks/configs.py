@@ -220,24 +220,26 @@ def config_5():
     cams = [orbit_camera(th, 0.4) for th in (0.5, 2.5)]
     ray_sets = [cam2world_rays(c, W, W, fx=W * 1.1, fy=W * 1.1) for c in cams]
 
-    # all views rendered as ONE ray batch (fewer dispatches)
+    # all views rendered as ONE ray batch (fewer dispatches); rendering
+    # runs on the baked structure, refreshed on-device after re-pointing
+    baked = tree._baked_spec()
     all_o = jnp.concatenate([o for (o, d) in ray_sets])
     all_d = jnp.concatenate([d for (o, d) in ray_sets])
 
     @functools.partial(jax.jit, static_argnames=("opt_",))
-    def frame(spec_in, f, T, sw_, ji_, opt_):
+    def frame(spec_in, baked_in, f, T, sw_, ji_, opt_):
         warped, mats = st.warp_vertices(T, jnp.asarray(pts), sw_, ji_)
         vol = st.voxelize(
             warped, jnp.ones((Q, 1)), [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
             32, 0.03, 0.06,
         )
         new_data = st.ops.query.construct_tree(spec_in, warped)
-        spec2 = spec_in.with_(data_flat=new_data)
-        outs = volume_render(spec2, f, all_o, all_d, all_d, opt_)
-        return outs, vol, spec2
+        baked2 = st.ops.bake.refresh(baked_in, new_data)
+        outs = volume_render(baked2, f, all_o, all_d, all_d, opt_)
+        return outs, vol, baked2
 
     T0 = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (J, 1, 1)))
-    outs, vol, _ = frame(spec, feats0, T0, jnp.asarray(sw), jnp.asarray(ji), opt)
+    outs, vol, _ = frame(spec, baked, feats0, T0, jnp.asarray(sw), jnp.asarray(ji), opt)
     _fetch(outs)
 
     n_frames = 5
@@ -246,7 +248,7 @@ def config_5():
         T = np.tile(np.eye(4, dtype=np.float32), (J, 1, 1))
         T[0, 0, 3] = 0.02 * np.sin(0.7 * (k + 1))
         T[1, 1, 3] = 0.02 * np.cos(0.7 * (k + 1))
-        outs, vol, _ = frame(spec, feats0, jnp.asarray(T),
+        outs, vol, _ = frame(spec, baked, feats0, jnp.asarray(T),
                              jnp.asarray(sw), jnp.asarray(ji), opt)
         _fetch(outs)
         _fetch(vol)
