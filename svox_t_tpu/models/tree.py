@@ -486,7 +486,10 @@ class N3Tree:
 
             num_nc = len(sel[0])
             if num_nc == 0:
-                return False
+                # Keep the `resized` flag from earlier repeats: callers use
+                # the return value as the "re-make optimizers" signal (the
+                # reference returns False here and loses it; svox.py:525).
+                return resized
             new_filled = filled + num_nc
 
             cap_needed = new_filled - self.capacity

@@ -709,11 +709,41 @@ def _vr_bwd(opt, res, g):
 volume_render.defvjp(_vr_fwd, _vr_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def volume_render_with_weight_accum(spec, features, origins, dirs, vdirs, opt):
     """Render that also returns per-leaf summed contribution weights
     (parity: WeightAccumulator, svox_t/svox.py:948-969 +
-    rt_kernel.cu:309-311). Returns (out, weight_accum_flat)."""
+    rt_kernel.cu:309-311). Returns (out, weight_accum_flat).
+
+    Differentiable wrt ``features`` (the reference accumulates weights in
+    its forward kernel with backward unaffected; same here — the weight
+    output is treated as non-differentiable)."""
     return _volume_render_fwd_impl(spec, features, origins, dirs, vdirs, opt, True)
+
+
+def _vrwa_fwd(spec, features, origins, dirs, vdirs, opt):
+    out, waccum = _volume_render_fwd_impl(
+        spec, features, origins, dirs, vdirs, opt, True
+    )
+    return (out, waccum), (spec, features, origins, dirs, vdirs, out)
+
+
+def _vrwa_bwd(opt, res, g):
+    spec, features, origins, dirs, vdirs, out = res
+    g_out, _g_w = g  # weight-accum output carries no gradient
+    grad_features = _volume_render_bwd_impl(
+        spec, features, origins, dirs, vdirs, g_out, opt, out_res=out
+    )
+    return (
+        _zero_cotangent(spec),
+        grad_features,
+        jnp.zeros_like(origins),
+        jnp.zeros_like(dirs),
+        jnp.zeros_like(vdirs),
+    )
+
+
+volume_render_with_weight_accum.defvjp(_vrwa_fwd, _vrwa_bwd)
 
 
 def volume_render_backward(spec, features, origins, dirs, vdirs, grad_out, opt):
