@@ -102,10 +102,7 @@ class N3Tree:
         self.geom_resize_fact = float(geom_resize_fact)
         self.data_format = DataFormat(data_format) if data_format is not None else None
 
-        if extra_data is not None:
-            self.extra_data = np.asarray(extra_data, np.float32)
-        else:
-            self.extra_data = None
+        self.extra_data = extra_data
 
         self._ver = 0
         self._invalidate()
@@ -308,9 +305,10 @@ class N3Tree:
         if want_data_ids:
             ret.append(data_ids)
         if want_leaf_node:
-            packed = np.asarray(jax.device_get(node_ids))
-            uniq = np.unique(packed)
-            ret.append(jnp.asarray(self._unpack_index_np(uniq)))
+            # On-device fixed-capacity compaction (svox_kernel.cu:239-269
+            # parity); only the scalar count syncs to host for the trim.
+            leaf_node, count = query_ops.unique_leaf_nodes(node_ids, self.N)
+            ret.append(leaf_node[: int(count)])
         return ret
 
     def __call__(self, *args, **kwargs):
@@ -377,13 +375,17 @@ class N3Tree:
         vals[~valid] = 0.0
         return vals
 
-    def merge(self, frontier_sel=None, op=None, features=None):
+    def merge(self, frontier_sel=None, op=np.mean, features=None):
         """Merge leaves into selected frontier nodes (nodes whose children
         are all leaves). The parent becomes a leaf pointing at its first
-        non-empty child's feature row; if `op` and `features` are given,
-        that row is overwritten with op over the children's rows and the
-        updated feature pool is stored back on the tree.
-        Use shrink_to_fit() to recover the freed nodes."""
+        non-empty child's feature row; with `op` (default np.mean, parity
+        with the reference's `op=torch.mean` — svox.py:352) that row is
+        overwritten with op over the children's feature rows and the
+        updated pool is stored back on the tree; `op=None` keeps the
+        first child's row untouched. (The reference applies op to its
+        int32 *index table* — an upstream-svox holdover that scrambles
+        the svox_t indirection; reducing the feature rows is the sane
+        interpretation.) Use shrink_to_fit() to recover freed nodes."""
         self._ensure_host_data()
         if self.n_internal - self._n_free <= 1:
             raise RuntimeError("Cannot merge root node")
@@ -419,9 +421,34 @@ class N3Tree:
         self._invalidate()
         return True
 
-    def reduce_frontier(self, op=np.mean, dim=None, features=None):
-        """Reduce child leaf feature values for each frontier node."""
+    def _leaf_feature_values_jnp(self, features, nid: np.ndarray):
+        """Differentiable (len(nid), N^3, data_dim) child feature values
+        (empty cells → zeros): jnp gather, grads flow to `features`."""
+        self._ensure_host_data()
+        feats = jnp.asarray(features)
+        idx = self._data[nid, ..., 0].reshape(len(nid), -1)
+        valid = jnp.asarray(idx < feats.shape[0])
+        safe = jnp.asarray(np.where(idx < feats.shape[0], idx, 0))
+        return jnp.where(valid[..., None], feats[safe], 0.0)
+
+    def reduce_frontier(self, op=None, dim=None, grad=False, features=None):
+        """Reduce child leaf feature values for each frontier node
+        (parity: svox.py:391-420). With ``grad=True`` the result is a JAX
+        array differentiable wrt the feature pool (the reference's
+        ``grad`` flag keeps the autograd graph); ``grad=False`` returns
+        host NumPy. `op` takes (vals, axis=1); default mean."""
         nid = self._frontier
+        if grad:
+            if op is None:
+                op = jnp.mean
+            vals = self._leaf_feature_values_jnp(
+                self.features if features is None else features, nid
+            )
+            if dim is not None:
+                vals = vals[..., dim]
+            return op(vals, axis=1)
+        if op is None:
+            op = np.mean
         vals = self._leaf_feature_values(
             self.features if features is None else features, nid
         )
@@ -429,12 +456,20 @@ class N3Tree:
             vals = vals[..., dim]
         return op(vals, axis=1)
 
-    def max_frontier(self, dim=None, features=None):
-        return self.reduce_frontier(op=np.max, dim=dim, features=features)
+    def max_frontier(self, dim=None, grad=False, features=None):
+        return self.reduce_frontier(
+            op=jnp.max if grad else np.max, dim=dim, grad=grad,
+            features=features,
+        )
 
-    def diam_frontier(self, dim=None, scale=1.0, features=None):
-        """Max pairwise distance among each frontier node's child values."""
-        vals = self._leaf_feature_values(
+    def diam_frontier(self, dim=None, grad=False, scale=1.0, features=None):
+        """Max pairwise distance among each frontier node's child values
+        (parity: svox.py:439-468)."""
+        xp = jnp if grad else np
+        get_vals = (
+            self._leaf_feature_values_jnp if grad else self._leaf_feature_values
+        )
+        vals = get_vals(
             self.features if features is None else features, self._frontier
         )
         if dim is not None:
@@ -442,7 +477,7 @@ class N3Tree:
         if vals.ndim == 2:
             vals = vals[:, :, None]
         delta = (vals[:, :, None, :] - vals[:, None, :, :]) * scale
-        return np.linalg.norm(delta, axis=-1).max(axis=(1, 2))
+        return xp.max(xp.linalg.norm(delta, axis=-1), axis=(1, 2))
 
     @property
     def _frontier(self) -> np.ndarray:
@@ -839,6 +874,21 @@ class N3Tree:
         self._cached_spec = {}
         self._cached_baked = None
 
+    @property
+    def extra_data(self):
+        """Auxiliary per-tree tensor (SG/ASG params, joint positions;
+        parity: svox.py:145-149). Assigning it invalidates cached device
+        specs so renders pick up the new value."""
+        return self._extra_data
+
+    @extra_data.setter
+    def extra_data(self, value):
+        self._extra_data = (
+            None if value is None else np.asarray(value, np.float32)
+        )
+        if hasattr(self, "_cached_spec"):
+            self._invalidate_spec()
+
     # Redirected leaf-view conveniences (parity: svox.py:929-946)
     @property
     def depths(self):
@@ -864,8 +914,8 @@ class N3Tree:
     def values(self):
         return self[:].values
 
-    def sample(self, n_samples):
-        return self[:].sample(n_samples)
+    def sample(self, n_samples, device=None):
+        return self[:].sample(n_samples, device=device)
 
     def sample_local(self, n_samples):
         return self[:].sample_local(n_samples)

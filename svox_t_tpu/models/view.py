@@ -195,8 +195,11 @@ class N3TreeView:
         self._check_ver()
         return np.asarray(jax.device_get(self.tree._calc_corners(self._indexer())))
 
-    def sample(self, n_samples):
-        """(n_leaves, n_samples, 3) uniform world-space samples per leaf."""
+    def sample(self, n_samples, device=None):
+        """(n_leaves, n_samples, 3) uniform world-space samples per leaf.
+        `device` accepted for reference parity (helpers.py:203); JAX
+        arrays live on the default device."""
+        del device
         self._check_ver()
         corn = self.corners
         length = self.lengths

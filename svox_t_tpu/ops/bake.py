@@ -49,6 +49,12 @@ ROW_BITS = 27
 EMPTY_ROW = (1 << ROW_BITS) - 1
 ROW_MASK = EMPTY_ROW
 
+# Max rows per packed table. The measured gather-cost knee sits at
+# ~128k-row operands (CLAUDE.md cost model); staying a factor 2 below it
+# (2^16) keeps every table safely in the ~2ns/index regime — 131072 rows
+# (exactly 2^17) measured in the slow regime on the 800^2 bench scene.
+MAX_TABLE_ROWS = 1 << 16
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -270,9 +276,9 @@ def bake_arrays(
         brick_src = np.zeros((1, B, B, B), np.int64)
 
     def _width_for(n_cells: int) -> int:
-        # keep rows <= 2^17 (under the measured row-count knee)
+        # keep rows <= MAX_TABLE_ROWS (under the measured row-count knee)
         w = 8
-        while n_cells // w > (1 << 17) and w < 256:
+        while n_cells // w > MAX_TABLE_ROWS and w < 256:
             w *= 2
         return w
 
@@ -377,6 +383,63 @@ def _row_gather(table2d: jax.Array, idx: jax.Array) -> jax.Array:
     lane = (idx & (width - 1))[:, None]
     oh = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane
     return jnp.sum(jnp.where(oh, rows, 0), axis=1)
+
+
+def lookup_xyz(baked: BakedTree, px, py, pz):
+    """`lookup` on unstacked per-axis coordinates — pure elementwise math
+    around the row gathers, so XLA fuses each march step into a couple of
+    kernels (stacked (B,3) forms force cross-axis slice/reduce ops that
+    break fusion; measured ~1µs per extra op per round at B=1024).
+
+    :return: (data_idx, cube_sz, fx, fy, fz, cell_id) — per-axis in-leaf
+        fractions instead of the stacked `frac`.
+    """
+    N = baked.N
+    R = baked.R
+    Bk = baked.B
+    n_top = baked.top.size
+    one = 1.0 - 1e-6
+    px = jnp.clip(px, 0.0, one)
+    py = jnp.clip(py, 0.0, one)
+    pz = jnp.clip(pz, 0.0, one)
+
+    cx = jnp.minimum((px * R).astype(jnp.int32), R - 1)
+    cy = jnp.minimum((py * R).astype(jnp.int32), R - 1)
+    cz = jnp.minimum((pz * R).astype(jnp.int32), R - 1)
+    top_idx = (cx * R + cy) * R + cz
+    e = _row_gather(baked.top, top_idx)
+
+    if baked.brick_levels > 0:
+        in_brick = e < 0
+        bid = -e - 1
+        RB = R * Bk
+        sx = jnp.minimum((px * RB).astype(jnp.int32), RB - 1) % Bk
+        sy = jnp.minimum((py * RB).astype(jnp.int32), RB - 1) % Bk
+        sz = jnp.minimum((pz * RB).astype(jnp.int32), RB - 1) % Bk
+        b_idx = ((jnp.maximum(bid, 0) * Bk + sx) * Bk + sy) * Bk + sz
+        be = _row_gather(baked.brick, b_idx)
+        e = jnp.where(in_brick, be, e)
+        cell_id = jnp.where(in_brick, n_top + b_idx, top_idx)
+    else:
+        cell_id = top_idx
+
+    depth = jax.lax.shift_right_logical(e, ROW_BITS)
+    data_idx = jax.lax.bitwise_and(e, ROW_MASK)
+    dtype = px.dtype
+    cube_sz = jnp.exp2((depth + 1).astype(dtype)) if N == 2 else (
+        jnp.asarray(float(N)) ** (depth + 1).astype(dtype)
+    )
+    sx = px * cube_sz
+    sy = py * cube_sz
+    sz = pz * cube_sz
+    return (
+        data_idx,
+        cube_sz,
+        sx - jnp.floor(sx),
+        sy - jnp.floor(sy),
+        sz - jnp.floor(sz),
+        cell_id,
+    )
 
 
 def lookup(baked: BakedTree, pos: jax.Array):

@@ -17,9 +17,11 @@ TPU-native equivalents of the reference's `svox_t/csrc/svox_kernel.cu`:
     broken by a dtype dispatch bug — SURVEY.md K5; this one works.)
 
 The reference's hit-leaf mask compaction (svox_kernel.cu:239-269) used a
-device→host sync to size its output; here `query` returns packed node ids
-and the unique-leaf list is computed by the caller (`N3TreeView`) with
-`np.unique` outside jit — deterministic, no atomics.
+device→host sync (`num_hit.item()`, svox_kernel.cu:312) to size its
+output. The TPU equivalent is `unique_leaf_nodes`: a fixed-capacity
+on-device sort/unique compaction returning a padded list + count —
+jittable, deterministic (sorted, unlike the reference's atomic-counter
+ordering), no host round-trip.
 """
 
 from __future__ import annotations
@@ -85,6 +87,26 @@ def _query_bwd(world, res, g):
 
 
 query.defvjp(_query_fwd, _query_bwd)
+
+
+def unique_leaf_nodes(node_ids: jax.Array, N: int, size: int = None):
+    """On-device unique hit-leaf compaction (parity: the
+    generate_index/unpack_mask kernel pair, svox_kernel.cu:239-269, 312).
+
+    :param node_ids: (Q,) packed leaf ids from `query`.
+    :param N: tree branching factor (for unpacking).
+    :param size: static output capacity (default Q — always enough).
+    :return: (leaf_node (size, 4) int32 [node, x, y, z] sorted by packed
+        id and padded with -1 rows, count () int32). Jittable: the padded
+        output has a static shape; slice with `count` outside jit.
+    """
+    Q = node_ids.shape[0]
+    if size is None:
+        size = Q
+    uniq = jnp.unique(node_ids, size=size, fill_value=-1)
+    count = jnp.sum(uniq >= 0).astype(jnp.int32)
+    leaf = unpack_index(uniq, N)
+    return jnp.where(uniq[:, None] >= 0, leaf, -1), count
 
 
 def assign(

@@ -57,6 +57,7 @@ from ..utils.spec import (FORMAT_RGBA, RenderOptions, TreeSpec,
                           get_out_data_dim)
 from .bake import BakedTree
 from .bake import lookup as _baked_lookup
+from .bake import lookup_xyz as _baked_lookup_xyz
 from .sh import _PREC, eval_basis
 from .traversal import LeafInfo, dda_unit, descend, get_delta_scale, world2tree
 
@@ -83,10 +84,14 @@ class PackedFeatures(NamedTuple):
     D: int
 
 
+# Row-count cap for the packed feature table (see ops/bake.MAX_TABLE_ROWS).
+_MAX_FEATURE_ROWS = 1 << 16
+
+
 def _pack_features(features: jax.Array) -> PackedFeatures:
     M, D = features.shape
     G = 1
-    while -(-M // G) > (1 << 17) and G < 64:
+    while -(-M // G) > _MAX_FEATURE_ROWS and G < 64:
         G *= 2
     if G == 1 or M == 0:
         return PackedFeatures(features, 1, M, D)
@@ -264,8 +269,143 @@ def _chunked_carry(single_fn, opt, ray_arrays, carry_init, fills=_RAY_FILLS):
 
 
 # ---------------------------------------------------------------------------
-# Forward
+# Forward — round-based "tape" march
+#
+# Each while-loop iteration (a *round*) marches `opt.round_size` samples:
+#   phase 1: K dependent structure lookups (the only truly sequential
+#            work — each sample's position needs the previous leaf's
+#            exit distance), recording (data_idx, delta_t, validity);
+#   phase 2: all radiometry for the round — feature gathers, basis
+#            evaluation, compositing — computed vectorized over the
+#            round tape (unrolled elementwise chains XLA fuses).
+# This cuts while-loop plumbing (cond reduction, carry copies) to once
+# per K samples and takes the feature gather + color math off the
+# critical t-dependency chain. Semantics are bit-identical to a
+# sample-at-a-time march; the step cap is exact (a march takes at most
+# `max_steps` samples, matching the scan oracle).
 # ---------------------------------------------------------------------------
+
+
+def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
+    """Structure-only march step on unstacked per-axis coordinates — the
+    whole step is elementwise math around the structure gather, fusing
+    into ~2 kernels (stacked (B,3) forms cost ~4 extra ops/step).
+
+    Returns (data_idx, delta_t, cell_id): the leaf's feature row
+    (>= n_features: empty), the leaf-adaptive step length
+    `(subcube_tmax - subcube_tmin)/cube_sz + step_size` (parity:
+    rt_kernel.cu:273-276), and the flat cell id (weight accumulation)."""
+    ox, oy, oz = oxyz
+    dx, dy, dz = dxyz
+    ivx, ivy, ivz = ivxyz
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    if isinstance(spec, BakedTree):
+        data_idx, cube_sz, fx, fy, fz, cell_id = _baked_lookup_xyz(
+            spec, px, py, pz
+        )
+    else:
+        leaf = descend(spec, jnp.stack([px, py, pz], axis=-1))
+        data_idx, cube_sz, cell_id = leaf.data_idx, leaf.cube_sz, leaf.node_flat
+        fx, fy, fz = leaf.frac[:, 0], leaf.frac[:, 1], leaf.frac[:, 2]
+    # dda_unit on the unit leaf cube, unrolled per axis (elementwise only)
+    t1x = -fx * ivx
+    t2x = t1x + ivx
+    t1y = -fy * ivy
+    t2y = t1y + ivy
+    t1z = -fz * ivz
+    t2z = t1z + ivz
+    sub_tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    sub_tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    sub_tmin = jnp.maximum(sub_tmin, 0.0)
+    sub_tmax = jnp.minimum(sub_tmax, 1e9)
+    delta_t = (sub_tmax - sub_tmin) / cube_sz + step_size
+    return data_idx, delta_t, cell_id
+
+
+def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active):
+    """Phase 1: K dependent structure lookups (the only sequential work).
+
+    Returns stacked (K, B) tape arrays (idx, dt, valid, cell) plus the
+    post-round (t, active)."""
+    K = max(1, opt.round_size)
+    cap_ragged = (opt.max_steps % K) != 0
+    idx_k, dt_k, val_k, cell_k = [], [], [], []
+    tt, act = t, active
+    for k in range(K):
+        valid = act
+        if cap_ragged:
+            # Exact global step cap when max_steps isn't a multiple of K
+            # (compiled out otherwise: cond guarantees step0+K<=max_steps).
+            valid = jnp.logical_and(valid, step0 + k < opt.max_steps)
+        data_idx, delta_t, cell_id = _lookup_leaf_xyz(
+            spec, oxyz, dxyz, ivxyz, tt, opt.step_size
+        )
+        idx_k.append(data_idx)
+        dt_k.append(delta_t)
+        val_k.append(valid)
+        cell_k.append(cell_id)
+        tt = tt + delta_t
+        act = jnp.logical_and(act, tt < tmax)
+    return (
+        jnp.stack(idx_k),
+        jnp.stack(dt_k),
+        jnp.stack(val_k),
+        jnp.stack(cell_k),
+        tt,
+        act,
+    )
+
+
+def _gather_round(features_t: PackedFeatures, idx, dtype):
+    """Phase 2a: feature rows + densities for a whole (K, B) round tape
+    in ONE gather. Returns (feat (K*B, D), sigma (K, B)); empty leaves
+    (idx >= n_features) read row 0 and get sigma 0."""
+    K, B = idx.shape
+    M = features_t.M
+    if M == 0:
+        return (
+            jnp.zeros((K * B, features_t.D), dtype),
+            jnp.zeros((K, B), dtype),
+        )
+    vf = idx < M
+    feat = _gather_features(features_t, jnp.where(vf, idx, 0).reshape(-1))
+    sigma = jnp.where(vf, feat[:, -1].reshape(K, B), 0.0)
+    return feat, sigma
+
+
+def _round_colors(spec, opt, vdirs, gi_flat, feat, base_basis, window,
+                  n_color, K):
+    """Per-sample sigmoid colors for a round, (K, B, n_color) — one
+    einsum over the stacked tape (the per-ray basis broadcasts across K;
+    with per-voxel transformation matrices the rotated basis is
+    re-evaluated per sample, rt_kernel.cu:283-291)."""
+    KB = feat.shape[0]
+    B = KB // K
+    if opt.format == FORMAT_RGBA:
+        return jax.nn.sigmoid(feat[:, :n_color]).reshape(K, B, n_color)
+    coeffs = feat[:, : n_color * opt.basis_dim].reshape(
+        K, B, n_color, opt.basis_dim
+    )
+    if spec.transformation_matrices is not None:
+        rot = spec.transformation_matrices[gi_flat][:, :3, :3]
+        rd = jnp.einsum(
+            "bij,bj->bi", rot, jnp.tile(vdirs, (K, 1)), precision=_PREC
+        )
+        basis = (
+            eval_basis(opt.format, opt.basis_dim, rd, spec.extra_data) * window
+        ).reshape(K, B, opt.basis_dim)
+        tmp = jnp.einsum("abk,abck->abc", basis, coeffs, precision=_PREC)
+    else:
+        tmp = jnp.einsum("bk,abck->abc", base_basis, coeffs, precision=_PREC)
+    return jax.nn.sigmoid(tmp)
 
 
 def _volume_render_fwd_impl(
@@ -277,11 +417,12 @@ def _volume_render_fwd_impl(
     opt: RenderOptions,
     want_weight_accum: bool,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Forward ray march (chunked). Returns ((B, n_color+1) color+alpha,
-    optional flat (capacity*N^3,) weight accumulation)."""
+    """Forward ray march (chunked rounds). Returns ((B, n_color+1)
+    color+alpha, optional flat (capacity*N^3,) weight accumulation)."""
     D = features.shape[1]
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     dtype = origins.dtype
+    K = max(1, opt.round_size)
 
     is_baked = isinstance(spec, BakedTree)
     n_cells = spec.n_tree_cells if is_baked else spec.child_flat.shape[0]
@@ -297,12 +438,18 @@ def _volume_render_fwd_impl(
     can_stop = opt.stop_thresh > 0.0
 
     features_t = _pack_features(features)
+    M = features_t.M
 
     def single(origins_, dirs_, vdirs_, waccum0_):
         B = origins_.shape[0]
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        # Split coordinates once per chunk; the march loop closes over the
+        # per-axis arrays (elementwise-only phase 1).
+        oxyz = (o[:, 0], o[:, 1], o[:, 2])
+        dxyz = (d[:, 0], d[:, 1], d[:, 2])
+        ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
         if opt.format != FORMAT_RGBA:
             window = jnp.asarray(_basis_window(opt))
             base_basis = (
@@ -314,49 +461,72 @@ def _volume_render_fwd_impl(
             base_basis = None
 
         def cond(carry):
-            step, t, L, out_c, alpha, active, stopped, waccum = carry
-            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+            step0, t, L, out_c, alpha, active, stopped, waccum = carry
+            return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
 
-        def _micro(carry):
-            step, t, L, out_c, alpha, active, stopped, waccum = carry
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
+        def body(carry):
+            step0, t, L, out_c, alpha, active, stopped, waccum = carry
+            idx, dt, valid, cell, t_end, act_end = _march_round(
+                spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
-            att = jnp.exp(-delta_t * delta_scale * sigma)
-            weight = L * (1.0 - att)
+            feat, sigma = _gather_round(features_t, idx, dtype)
 
-            basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
-            s = _colors(feat, basis_step, opt, n_color)
-            out_c = out_c + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
-            newL = jnp.where(contrib, L * att, L)
+            # Phase 2: radiometry for the whole round, stacked over K —
+            # a handful of (K, B) ops per ROUND (per-k unrolling costs
+            # ~1µs/op dispatch; the per-ray prefix is a K-length cumprod).
+            contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            att = jnp.exp(-dt * delta_scale[None] * sigma)
+            att_eff = jnp.where(contrib0, att, 1.0)
+            cp = jnp.cumprod(att_eff, axis=0)  # L_after_k / L_in
+            L_after = L[None] * cp
+            if can_stop:
+                stop0 = jnp.logical_and(contrib0, L_after <= opt.stop_thresh)
+                # no stop strictly before k (the stop sample itself counts)
+                before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
+                contrib = jnp.logical_and(contrib0, before)
+                stop_first = jnp.logical_and(stop0, before)  # one-hot in K
+            else:
+                contrib = contrib0
+            L_before = L[None] * jnp.concatenate(
+                [jnp.ones((1, B), dtype), cp[:-1]], axis=0
+            )
+            weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
+
+            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+            s = _round_colors(
+                spec, opt, vdirs_, gi_flat, feat, base_basis, window,
+                n_color, K,
+            )
+            out_c = out_c + jnp.sum(weight[:, :, None] * s, axis=0)
 
             if want_weight_accum:
                 node_flat = (
-                    spec.src_map[leaf.node_flat] if is_baked else leaf.node_flat
+                    spec.src_map[cell.reshape(-1)]
+                    if is_baked
+                    else cell.reshape(-1)
                 )
-                w_idx = jnp.where(contrib, node_flat, n_cells)
-                waccum = waccum.at[w_idx].add(weight, mode="drop")
+                w_idx = jnp.where(
+                    contrib.reshape(-1), node_flat, n_cells
+                )
+                waccum = waccum.at[w_idx].add(
+                    weight.reshape(-1), mode="drop"
+                )
 
-            t = t + delta_t
+            active = act_end
             if can_stop:
-                stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-                scale = 1.0 / (1.0 - newL)
-                out_c = jnp.where(stop_now[:, None], out_c * scale[:, None], out_c)
-                alpha = jnp.where(stop_now, 1.0 - newL, alpha)
-                stopped = jnp.logical_or(stopped, stop_now)
-                active = jnp.logical_and(
-                    active, jnp.logical_and(~stop_now, t < tmax)
+                stop_any = jnp.any(stop_first, axis=0)
+                L_stop = jnp.sum(jnp.where(stop_first, L_after, 0.0), axis=0)
+                newL = jnp.where(stop_any, L_stop, L * cp[-1])
+                scale = 1.0 / (1.0 - L_stop)
+                out_c = jnp.where(
+                    stop_any[:, None], out_c * scale[:, None], out_c
                 )
+                alpha = jnp.where(stop_any, 1.0 - L_stop, alpha)
+                stopped = jnp.logical_or(stopped, stop_any)
+                active = jnp.logical_and(active, jnp.logical_not(stop_any))
             else:
-                active = jnp.logical_and(active, t < tmax)
-            return step + 1, t, newL, out_c, alpha, active, stopped, waccum
-
-        def body(carry):
-            # Two samples per loop iteration: halves the while-loop
-            # plumbing (cond reduction, carry copies) per sample; the
-            # second sample is fully masked for rays that just finished.
-            return _micro(_micro(carry))
+                newL = L * cp[-1]
+            return step0 + K, t_end, newL, out_c, alpha, active, stopped, waccum
 
         stopped0 = jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool)
         alpha0 = jnp.zeros((B,), dtype) if can_stop else jnp.zeros((1,), dtype)
@@ -399,8 +569,72 @@ def _volume_render_fwd_impl(
 
 
 # ---------------------------------------------------------------------------
-# Backward (two re-march passes, parity: rt_kernel.cu:330-496)
+# Backward (re-march rounds, parity: rt_kernel.cu:330-496)
 # ---------------------------------------------------------------------------
+
+
+def _grad_rows(opt, feat, basis_step, weight, g_color, n_color):
+    """Per-sample color-coefficient gradient rows (B, n_cc) plus the
+    sample colors' grad dot product total_color (B,).
+
+    SH rows are the flat outer product (weight * s(1-s) * g_color) ⊗
+    basis, built with repeat/tile (2-D row scatters are per-ROW costed;
+    3-D buffers and in-loop reshapes are pathological — see
+    docs/PERFORMANCE.md)."""
+    if opt.format != FORMAT_RGBA:
+        B = feat.shape[0]
+        coeffs = feat[:, : n_color * opt.basis_dim].reshape(
+            B, n_color, opt.basis_dim
+        )
+        tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs, precision=_PREC)
+        s = jax.nn.sigmoid(tmp)
+        gs = s * (1.0 - s)
+        rows = (
+            jnp.repeat(weight[:, None] * gs * g_color, opt.basis_dim, axis=1)
+            * jnp.tile(basis_step, (1, n_color))
+        )
+    else:
+        s = jax.nn.sigmoid(feat[:, :n_color])
+        rows = weight[:, None] * s * (1.0 - s) * g_color
+    total_color = jnp.sum(s * g_color, axis=-1)
+    return rows, total_color
+
+
+def _round_grad_rows(opt, spec, vdirs, gi_flat, feat, base_basis, window,
+                     weight, g_color, n_color, K):
+    """Stacked-round color-gradient rows ((K*B, n_cc)) + per-sample
+    colors' grad dot product total_color (K, B). `weight` is the (K, B)
+    compositing weight; `g_color` the per-ray (B, n_color) output grads
+    (broadcast across K)."""
+    KB = feat.shape[0]
+    B = KB // K
+    s = _round_colors(
+        spec, opt, vdirs, gi_flat, feat, base_basis, window, n_color, K
+    )  # (K, B, n_color)
+    total_color = jnp.sum(s * g_color[None], axis=-1)
+    if opt.format != FORMAT_RGBA:
+        gs = s * (1.0 - s)
+        a = (weight[:, :, None] * gs * g_color[None]).reshape(KB, n_color)
+        if spec.transformation_matrices is not None:
+            rot = spec.transformation_matrices[gi_flat][:, :3, :3]
+            rd = jnp.einsum(
+                "bij,bj->bi", rot, jnp.tile(vdirs, (K, 1)), precision=_PREC
+            )
+            basis = (
+                eval_basis(opt.format, opt.basis_dim, rd, spec.extra_data)
+                * window
+            )
+        else:
+            basis = jnp.tile(base_basis, (K, 1))
+        rows = (
+            jnp.repeat(a, opt.basis_dim, axis=1)
+            * jnp.tile(basis, (1, n_color))
+        )
+    else:
+        rows = (
+            weight[:, :, None] * s * (1.0 - s) * g_color[None]
+        ).reshape(KB, n_color)
+    return rows, total_color
 
 
 def _volume_render_bwd_impl(
@@ -423,10 +657,19 @@ def _volume_render_bwd_impl(
     then merge into ONE (the `single_pass` path). With thresholds active
     the reference's asymmetric rules (fwd gates on sigma_thresh, bwd on
     sigma > 0) make those quantities differ, so the literal two-pass
-    re-march is used (parity: rt_kernel.cu:330-496)."""
+    re-march is used (parity: rt_kernel.cu:330-496).
+
+    Both paths march in rounds (see the forward): per round, K structure
+    lookups, vectorized gradient math, and ONE gradient scatter. In
+    single-pass mode the color-coefficient rows and the sigma gradient
+    merge into a single (K*B, D) row scatter — the feature layout puts
+    sigma in the last column, so the scatter target IS the final (M, D)
+    gradient; no assembly pass."""
     M, D = features.shape
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
+    n_cc = n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
     dtype = origins.dtype
+    K = max(1, opt.round_size)
     features_t = _pack_features(features)
     single_pass = (
         opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0 and out_res is not None
@@ -435,6 +678,9 @@ def _volume_render_bwd_impl(
     def single(origins_, dirs_, vdirs_, grad_out_, out_res_, grad_f0):
       B = origins_.shape[0]
       o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins_, dirs_)
+      oxyz = (o[:, 0], o[:, 1], o[:, 2])
+      dxyz = (d[:, 0], d[:, 1], d[:, 2])
+      ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
 
       if opt.format != FORMAT_RGBA:
         window = jnp.asarray(_basis_window(opt))
@@ -446,142 +692,102 @@ def _volume_render_bwd_impl(
       g_color = grad_out_[:, :n_color]
       g_alpha = grad_out_[:, n_color]
 
+      def march(step0, t):
+          """One stacked round under BACKWARD rules (active = hit &
+          t < tmax, contribution gates on sigma > 0 — rt_kernel.cu:382)
+          plus the shared prefix quantities."""
+          active = jnp.logical_and(hit, t < tmax)
+          idx, dt, valid, _, t_end, _ = _march_round(
+              spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
+          )
+          feat, sigma = _gather_round(features_t, idx, dtype)
+          gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+          contrib = jnp.logical_and(valid, sigma > 0.0)
+          att = jnp.exp(-dt * delta_scale[None] * sigma)
+          att_eff = jnp.where(contrib, att, 1.0)
+          cp = jnp.cumprod(att_eff, axis=0)
+          return idx, dt, contrib, att, cp, feat, gi_flat, t_end
+
+      def cond(carry):
+          step0, t = carry[0], carry[1]
+          return jnp.logical_and(
+              step0 < opt.max_steps,
+              jnp.any(jnp.logical_and(hit, t < tmax)),
+          )
+
+      def scatter_rows(grad, idx_all, rows_all):
+          """One merged row scatter per round, skipped entirely on
+          all-empty rounds (most rounds cross empty space)."""
+          return jax.lax.cond(
+              jnp.any(idx_all < M),
+              lambda g: g.at[idx_all].add(rows_all, mode="drop"),
+              lambda g: g,
+              grad,
+          )
+
+      def prefix(L, cp):
+          L_before = L[None] * jnp.concatenate(
+              [jnp.ones((1, B), dtype), cp[:-1]], axis=0
+          )
+          return L_before, L[None] * cp
+
       if single_pass:
           # accum starts at the ray total and is consumed front-to-back;
-          # color-grad and sigma-grad scatters happen in the same march.
+          # color and sigma gradients scatter together, one row per sample.
           accum_total = jnp.sum(out_res_[:, :n_color] * g_color, axis=-1)
           L_ray = 1.0 - out_res_[:, n_color]
-          grad_c0, grad_s0 = grad_f0
-
-          def cond_sp(carry):
-              step, t, L, acc, grad_c, grad_s = carry
-              return jnp.logical_and(
-                  step < opt.max_steps,
-                  jnp.any(jnp.logical_and(hit, t < tmax)),
-              )
-
-          def _micro_sp(carry):
-              step, t, L, acc, grad_c, grad_s = carry
-              active = jnp.logical_and(hit, t < tmax)
-              leaf, feat, delta_t, sigma, valid, idx = _sample(
-                  spec, features_t, o, d, invdir, t, opt.step_size
-              )
-              contrib = jnp.logical_and(active, sigma > 0.0)
-              att = jnp.exp(-delta_t * sigma * delta_scale)
-              weight = L * (1.0 - att)
-
-              basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
-              if opt.format != FORMAT_RGBA:
-                  coeffs = feat[:, : n_color * opt.basis_dim].reshape(
-                      B, n_color, opt.basis_dim
-                  )
-                  tmp = jnp.einsum(
-                      "bk,bck->bc", basis_step, coeffs, precision=_PREC
-                  )
-                  s = jax.nn.sigmoid(tmp)
-                  gs = s * (1.0 - s)
-                  # flat (B, C*K) outer product via repeat/tile — scatters
-                  # into 2-D buffers are per-ROW costed (~45ns/row) vs
-                  # per-element for 3-D buffers, and this avoids an
-                  # in-loop reshape.
-                  rows = (
-                      jnp.repeat(weight[:, None] * gs * g_color,
-                                 opt.basis_dim, axis=1)
-                      * jnp.tile(basis_step, (1, n_color))
-                  )
-              else:
-                  s = jax.nn.sigmoid(feat[:, :n_color])
-                  rows = weight[:, None] * s * (1.0 - s) * g_color
-              total_color = jnp.sum(s * g_color, axis=-1)
-
-              newL = jnp.where(contrib, L * att, L)
-              new_acc = acc - jnp.where(contrib, weight * total_color, 0.0)
-              g_sigma = delta_t * delta_scale * (
-                  total_color * newL - new_acc
-              ) + delta_t * delta_scale * g_alpha * L_ray
-
-              scat_idx = jnp.where(contrib, idx, M)
-
-              def do_scatter(bufs):
-                  gc, gs_ = bufs
-                  gc = gc.at[scat_idx].add(rows, mode="drop")
-                  gs_ = gs_.at[scat_idx].add(
-                      jnp.where(contrib, g_sigma, 0.0), mode="drop"
-                  )
-                  return gc, gs_
-
-              grad_c, grad_s = jax.lax.cond(
-                  jnp.any(contrib), do_scatter, lambda b: b, (grad_c, grad_s)
-              )
-              return step + 1, t + delta_t, newL, new_acc, grad_c, grad_s
 
           def body_sp(carry):
-              return _micro_sp(_micro_sp(carry))
+              step0, t, L, acc, grad = carry
+              idx, dt, contrib, att, cp, feat, gi_flat, t_end = march(step0, t)
+              L_before, L_after = prefix(L, cp)
+              weight = L_before * (1.0 - att)
+              rows, total_color = _round_grad_rows(
+                  opt, spec, vdirs_, gi_flat, feat, base_basis, window,
+                  weight, g_color, n_color, K,
+              )
+              wtc = jnp.where(contrib, weight * total_color, 0.0)
+              acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
+              dts = dt * delta_scale[None]
+              g_sigma = dts * (total_color * L_after - acc_after) + (
+                  dts * (g_alpha * L_ray)[None]
+              )
+              rows_full = jnp.concatenate(
+                  [rows, g_sigma.reshape(-1)[:, None]], axis=-1
+              )
+              sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+              grad = scatter_rows(grad, sidx, rows_full)
+              return step0 + K, t_end, L * cp[-1], acc_after[-1], grad
 
           init = (
               jnp.zeros((), jnp.int32),
               tmin,
               jnp.ones((B,), dtype),
               accum_total,
-              grad_c0,
-              grad_s0,
+              grad_f0,
           )
-          _, _, _, _, grad_c, grad_s = jax.lax.while_loop(cond_sp, body_sp, init)
-          return grad_c, grad_s
+          *_, grad = jax.lax.while_loop(cond, body_sp, init)
+          return grad
 
-      # ---- PASS 1: color gradients + accum ---------------------------------
-      def cond1(carry):
-          step, t, L, accum, grad_c = carry
-          return jnp.logical_and(
-              step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
-          )
-
-      def _micro1(carry):
-          step, t, L, accum, grad_c = carry
-          active = jnp.logical_and(hit, t < tmax)
-          leaf, feat, delta_t, sigma, valid, idx = _sample(
-              spec, features_t, o, d, invdir, t, opt.step_size
-          )
-          contrib = jnp.logical_and(active, sigma > 0.0)
-          att = jnp.exp(-delta_t * sigma * delta_scale)
-          weight = L * (1.0 - att)
-
-          basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
-          if opt.format != FORMAT_RGBA:
-              coeffs = feat[:, : n_color * opt.basis_dim].reshape(
-                  B, n_color, opt.basis_dim
-              )
-              tmp = jnp.einsum("bk,bck->bc", basis_step, coeffs, precision=_PREC)
-              s = jax.nn.sigmoid(tmp)
-              gs = s * (1.0 - s)
-              rows = (
-                  jnp.repeat(weight[:, None] * gs * g_color,
-                             opt.basis_dim, axis=1)
-                  * jnp.tile(basis_step, (1, n_color))
-              )
-          else:
-              s = jax.nn.sigmoid(feat[:, :n_color])
-              rows = weight[:, None] * s * (1.0 - s) * g_color
-          total_color = jnp.sum(s * g_color, axis=-1)
-
-          # Skip the (expensive, ~2.8ns/element) scatter entirely on
-          # iterations where no ray contributes (empty-space steps).
-          scat_idx = jnp.where(contrib, idx, M)
-          grad_c = jax.lax.cond(
-              jnp.any(contrib),
-              lambda gc: gc.at[scat_idx].add(rows, mode="drop"),
-              lambda gc: gc,
-              grad_c,
-          )
-
-          L = jnp.where(contrib, L * att, L)
-          accum = accum + jnp.where(contrib, weight * total_color, 0.0)
-          return step + 1, t + delta_t, L, accum, grad_c
+      # ---- PASS 1: color gradients + accum (rounds) -----------------------
+      grad_c0, grad_s0 = grad_f0
 
       def body1(carry):
-          return _micro1(_micro1(carry))
+          step0, t, L, accum, grad_c = carry
+          idx, dt, contrib, att, cp, feat, gi_flat, t_end = march(step0, t)
+          L_before, _ = prefix(L, cp)
+          weight = L_before * (1.0 - att)
+          rows, total_color = _round_grad_rows(
+              opt, spec, vdirs_, gi_flat, feat, base_basis, window,
+              weight, g_color, n_color, K,
+          )
+          accum = accum + jnp.sum(
+              jnp.where(contrib, weight * total_color, 0.0), axis=0
+          )
+          sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+          grad_c = scatter_rows(grad_c, sidx, rows)
+          return step0 + K, t_end, L * cp[-1], accum, grad_c
 
-      grad_c0, grad_s0 = grad_f0
       init1 = (
           jnp.zeros((), jnp.int32),
           tmin,
@@ -589,58 +795,56 @@ def _volume_render_bwd_impl(
           jnp.zeros((B,), dtype),
           grad_c0,
       )
-      _, _, L_ray, accum, grad_c = jax.lax.while_loop(cond1, body1, init1)
+      _, _, L_ray, accum, grad_c = jax.lax.while_loop(cond, body1, init1)
       total_grad = jnp.sum(g_color, axis=-1)
       accum = accum + L_ray * opt.background_brightness * total_grad
 
-      # ---- PASS 2: sigma gradients -----------------------------------------
-      def cond2(carry):
-          step, t, L, acc, grad_s = carry
-          return jnp.logical_and(
-              step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
-          )
-
-      def _micro2(carry):
-          step, t, L, acc, grad_s = carry
-          active = jnp.logical_and(hit, t < tmax)
-          leaf, feat, delta_t, sigma, valid, idx = _sample(
-              spec, features_t, o, d, invdir, t, opt.step_size
-          )
-          contrib = jnp.logical_and(active, sigma > 0.0)
-          att = jnp.exp(-delta_t * sigma * delta_scale)
-          weight = L * (1.0 - att)
-
-          basis_step = _step_basis(spec, opt, vdirs_, idx, base_basis, window)
-          s = _colors(feat, basis_step, opt, n_color)
-          total_color = jnp.sum(s * g_color, axis=-1)
-
-          newL = jnp.where(contrib, L * att, L)
-          new_acc = acc - jnp.where(contrib, weight * total_color, 0.0)
-          g_sigma = delta_t * delta_scale * (
-              total_color * newL - new_acc
-          ) + delta_t * delta_scale * g_alpha * L_ray
-
-          scat_idx = jnp.where(contrib, idx, M)
-          grad_s = jax.lax.cond(
-              jnp.any(contrib),
-              lambda gs_: gs_.at[scat_idx].add(
-                  jnp.where(contrib, g_sigma, 0.0), mode="drop"
-              ),
-              lambda gs_: gs_,
-              grad_s,
-          )
-          return step + 1, t + delta_t, newL, new_acc, grad_s
-
+      # ---- PASS 2: sigma gradients (rounds, scalar scatter) ----------------
       def body2(carry):
-          return _micro2(_micro2(carry))
+          step0, t, L, acc, grad_s = carry
+          idx, dt, contrib, att, cp, feat, gi_flat, t_end = march(step0, t)
+          L_before, L_after = prefix(L, cp)
+          weight = L_before * (1.0 - att)
+          s = _round_colors(
+              spec, opt, vdirs_, gi_flat, feat, base_basis, window,
+              n_color, K,
+          )
+          total_color = jnp.sum(s * g_color[None], axis=-1)
+          wtc = jnp.where(contrib, weight * total_color, 0.0)
+          acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
+          dts = dt * delta_scale[None]
+          g_sigma = dts * (total_color * L_after - acc_after) + (
+              dts * (g_alpha * L_ray)[None]
+          )
+          sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+          grad_s = scatter_rows(
+              grad_s, sidx, jnp.where(contrib, g_sigma, 0.0).reshape(-1)
+          )
+          return step0 + K, t_end, L * cp[-1], acc_after[-1], grad_s
 
       init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_s0)
-      _, _, _, _, grad_s = jax.lax.while_loop(cond2, body2, init2)
+      *_, grad_s = jax.lax.while_loop(cond, body2, init2)
       return grad_c, grad_s
 
-    n_cc = n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
     if out_res is None:
         out_res = jnp.zeros_like(grad_out)
+    if single_pass:
+        # Merged buffer: coeff columns then the sigma column. For the
+        # standard layout (data_dim == n_cc + 1) its column layout equals
+        # the feature layout — it IS the final gradient, no assembly.
+        buf = _chunked_carry(
+            single,
+            opt,
+            (origins, dirs, vdirs, grad_out, out_res),
+            jnp.zeros((M, n_cc + 1), dtype),
+            fills=(1e9, 1.0, 1.0, 0.0, 0.0),
+        )
+        if n_cc + 1 == D:
+            return buf
+        grad_f = jnp.zeros((M, D), dtype)
+        grad_f = grad_f.at[:, :n_cc].set(buf[:, :n_cc])
+        grad_f = grad_f.at[:, D - 1].add(buf[:, n_cc])
+        return grad_f
     grad_c, grad_s = _chunked_carry(
         single,
         opt,

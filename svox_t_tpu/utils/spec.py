@@ -73,6 +73,13 @@ class RenderOptions:
     # measured waste is ~10x on image renders where most rays miss).
     # <= 0 disables chunking.
     chunk_size: int = 1024
+    # TPU-specific: samples marched per while-loop iteration ("round").
+    # Phase 1 of a round performs `round_size` dependent structure
+    # lookups (the only truly sequential work); phase 2 computes all
+    # radiometry for the round vectorized. Larger rounds amortize loop
+    # plumbing (cond reduction, carry copies) but waste up to
+    # round_size-1 samples on rays that finish mid-round.
+    round_size: int = 8
 
 
 @jax.tree_util.register_dataclass

@@ -136,3 +136,33 @@ def test_set_api(rng):
     t.set(jnp.asarray(centers[:3]), jnp.asarray(vals))
     got = np.asarray(t(t.features, jnp.asarray(centers[:3])))
     np.testing.assert_allclose(got, vals)
+
+
+def test_unique_leaf_nodes_on_device(rng):
+    """On-device fixed-capacity compaction matches np.unique and is
+    jittable (parity: svox_kernel.cu:239-269, 312 — minus the host sync)."""
+    import jax
+    from svox_t_tpu.ops import query as query_ops
+
+    t, feats, centers = build_tree(rng)
+    # duplicate points so node_ids contain repeats
+    pts = np.concatenate([centers[:20], centers[:10], centers[5:15]])
+    spec = t._spec()
+    _, node_ids, _ = query_ops.query(
+        spec, feats, jnp.asarray(pts, np.float32), True
+    )
+    leaf, count = jax.jit(
+        lambda ids: query_ops.unique_leaf_nodes(ids, t.N)
+    )(node_ids)
+    n = int(count)
+    got = np.asarray(leaf)
+    # padded rows are -1 beyond count
+    assert (got[n:] == -1).all()
+    # matches host np.unique + unpack, in the same (sorted) order
+    uniq = np.unique(np.asarray(jax.device_get(node_ids)))
+    assert n == len(uniq)
+    expect = t._unpack_index_np(uniq)
+    np.testing.assert_array_equal(got[:n], expect)
+    # tree.forward(want_leaf_node=True) returns the trimmed list
+    _, leaf2 = t(feats, jnp.asarray(pts, np.float32), want_leaf_node=True)
+    np.testing.assert_array_equal(np.asarray(leaf2), expect)

@@ -245,6 +245,166 @@ def test_empty_feature_pool(rng):
     np.testing.assert_allclose(out[:, -1], 0.0)
 
 
+@pytest.mark.parametrize("round_size", [1, 3, 8])
+def test_round_size_invariance(rng, round_size):
+    """The round-based march must be invariant to round_size (up to XLA
+    fusion-order float rounding), including a ragged max_steps (not a
+    multiple of the round), for both forward and the hand-written VJP."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "SH1", 4)
+    rays = make_rays(rng, 32)
+    spec = t._spec()
+    opt = dataclasses.replace(
+        r._get_options(False), max_steps=50, round_size=round_size
+    )
+    opt_ref = dataclasses.replace(opt, round_size=1)
+
+    out = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ref = volume_render(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt_ref
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def loss(f, o):
+        return jnp.sum(
+            volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, o)
+        )
+
+    g = np.asarray(jax.grad(loss)(feats, opt))
+    g_ref = np.asarray(jax.grad(loss)(feats, opt_ref))
+    scale = np.abs(g_ref).max() + 1e-8
+    np.testing.assert_allclose(g / scale, g_ref / scale, atol=3e-6)
+
+
+def test_max_steps_exact(rng):
+    """A march takes AT MOST max_steps samples — production must equal
+    the scan oracle (which takes exactly max_steps) even when the cap
+    truncates rays mid-march and is not a multiple of the round size."""
+    import dataclasses
+
+    from svox_t_tpu.ops.reference_renderer import volume_render_oracle
+
+    t, feats, r = _setup(rng)
+    rays = make_rays(rng, 32)
+    spec = t._spec()
+    for cap in (1, 3, 7):
+        opt = dataclasses.replace(r._get_options(False), max_steps=cap)
+        out = volume_render(
+            spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+        )
+        ref = volume_render_oracle(
+            spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-6, err_msg=f"cap={cap}"
+        )
+
+
+@pytest.mark.parametrize("data_format,data_dim", [("RGBA", 4), ("SH4", 13)])
+def test_fast_mode_forward_oracle_parity(rng, data_format, data_dim):
+    """fast=True (sigma_thresh = stop_thresh = 1e-2) must match the scan
+    oracle EXACTLY with the same thresholds — covers the early-stop
+    renormalization branch (rt_kernel.cu:313-319)."""
+    t, feats, r = _setup(rng, data_format, data_dim, sigma_scale=40.0)
+    rays = make_rays(rng, 64)
+    spec = t._spec()
+    opt = r._get_options(True)
+    out = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ref = volume_render_oracle(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # the early-stop branch must actually fire for this to test anything
+    assert (np.asarray(out)[:, -1] > 1.0 - opt.stop_thresh - 1e-6).any()
+
+
+def test_early_stop_renormalization_oracle(rng):
+    """Aggressive stop_thresh: production forward == oracle exactly,
+    renormalization branch exercised (alpha pinned at 1 - L_stop)."""
+    t, feats, r = _setup(rng, sigma_scale=50.0)
+    r.stop_thresh = 0.5
+    r.sigma_thresh = 0.0
+    rays = make_rays(rng, 32)
+    spec = t._spec()
+    opt = r._get_options(False)
+    out = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ref = volume_render_oracle(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert (np.asarray(out)[:, -1] >= 0.5 - 1e-6).any()
+
+
+@pytest.mark.parametrize("data_format,data_dim", [("RGBA", 4), ("SH4", 13)])
+def test_backward_thresholded_matches_oracle(rng, data_format, data_dim):
+    """The thresholded (fast-mode) backward: production two-pass round
+    march vs the independent scan-based backward oracle implementing the
+    reference's asymmetric rules (rt_kernel.cu:364-494)."""
+    from svox_t_tpu.ops.reference_renderer import (
+        volume_render_backward_oracle)
+    from svox_t_tpu.ops.render import volume_render_backward
+
+    t, feats, r = _setup(rng, data_format, data_dim, sigma_scale=40.0)
+    rays = make_rays(rng, 48)
+    spec = t._spec()
+    opt = r._get_options(True)  # sigma_thresh = stop_thresh = 1e-2
+    gmat = jnp.asarray(rng.randn(48, 4 if data_format == "RGBA" else 4).astype(
+        np.float32))
+    g1 = np.asarray(
+        volume_render_backward(
+            spec, feats, rays.origins, rays.dirs, rays.viewdirs, gmat, opt
+        )
+    )
+    g2 = np.asarray(
+        volume_render_backward_oracle(
+            spec, feats, rays.origins, rays.dirs, rays.viewdirs, gmat, opt
+        )
+    )
+    scale = np.abs(g2).max() + 1e-8
+    np.testing.assert_allclose(g1 / scale, g2 / scale, atol=3e-6)
+
+
+def test_backward_thresholded_path_fd(rng):
+    """With epsilon thresholds the thresholded CODE PATH (two-pass round
+    march) runs but its semantics coincide with the exact gradient —
+    check against autodiff through the forward oracle and FD."""
+    from svox_t_tpu.ops.reference_renderer import volume_render_oracle
+
+    t, feats, r = _setup(rng, "RGBA", 4, sigma_scale=10.0)
+    r.sigma_thresh = 1e-9
+    r.stop_thresh = 1e-9
+    rays = make_rays(rng, 24)
+    spec = t._spec()
+    opt = r._get_options(False)
+    assert opt.sigma_thresh > 0  # the thresholded path compiles in
+
+    def loss_prod(f):
+        return jnp.sum(
+            volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        )
+
+    def loss_oracle(f):
+        return jnp.sum(
+            volume_render_oracle(
+                spec, f, rays.origins, rays.dirs, rays.viewdirs, opt
+            )
+        )
+
+    g1 = np.asarray(jax.grad(loss_prod)(feats))
+    g2 = np.asarray(jax.grad(loss_oracle)(feats))
+    scale = np.abs(g2).max() + 1e-8
+    np.testing.assert_allclose(g1 / scale, g2 / scale, atol=3e-5)
+    f0 = np.asarray(feats)
+    for (i, j) in [(0, 0), (3, 3)]:
+        eps = 1e-2
+        fp = f0.copy(); fp[i, j] += eps
+        fm = f0.copy(); fm[i, j] -= eps
+        fd = (float(loss_prod(jnp.asarray(fp))) -
+              float(loss_prod(jnp.asarray(fm)))) / (2 * eps)
+        assert abs(fd - g1[i, j]) < 5e-3 + 0.05 * abs(fd)
+
+
 def test_render_persp_weight_accum(rng):
     t, feats, r = _setup(rng)
     c2w = np.eye(4, dtype=np.float32)
