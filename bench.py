@@ -70,13 +70,38 @@ def main():
             lambda ff: jnp.sum(volume_render(sp, ff, o, d, v, opt_))
         )(f)
 
+    # Sustained variants: N frames per dispatch, each frame's features
+    # perturbed so the relay cannot serve cached results; one fetch of a
+    # value depending on every frame. This is the serving-relevant
+    # number: a single dispatch through the axon relay carries a fixed
+    # ~25-30 ms host round-trip that a frame stream amortizes away.
+    N_SUSTAIN = 4
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def fwd_sustained(sp, f, o, d, v, opt_):
+        def one(i, acc):
+            out = volume_render(sp, f * (1.0 + 1e-7 * i), o, d, v, opt_)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def fwdbwd_sustained(sp, f, o, d, v, opt_):
+        def one(i, acc):
+            g = jax.grad(
+                lambda ff: jnp.sum(volume_render(sp, ff, o, d, v, opt_))
+            )(f * (1.0 + 1e-7 * i))
+            return acc + jnp.sum(g)
+        return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
+
     # Warmup (compile)
     out = fwd(baked, feats, origins, dirs, vdirs, opt)
     out.block_until_ready()
     g = fwdbwd(baked, feats, origins, dirs, vdirs, opt)
     g.block_until_ready()
+    _ = float(fwd_sustained(baked, feats, origins, dirs, vdirs, opt))
+    _ = float(fwdbwd_sustained(baked, feats, origins, dirs, vdirs, opt))
 
-    def bench(fn, n_iter=5):
+    def bench(fn, n_iter=5, scalar=False):
         # Honest timing through the axon relay requires (a) perturbing the
         # inputs each iteration (identical dispatches can be served from a
         # cache) and (b) fetching a value that depends on the whole result
@@ -88,13 +113,15 @@ def main():
             _ = float(jnp.sum(f_i))
             t0 = time.time()
             res = fn(baked, f_i, origins, dirs, vdirs, opt)
-            _ = float(jnp.sum(res))
+            _ = float(res) if scalar else float(jnp.sum(res))
             times.append(time.time() - t0)
         return min(times)
 
-    fwd_s = bench(fwd)
+    fwd_lat_s = bench(fwd)
+    fwd_s = bench(fwd_sustained, n_iter=4, scalar=True) / N_SUSTAIN
     fwd_mrays = n_rays / fwd_s / 1e6
-    bwd_s = bench(fwdbwd, n_iter=3)
+    bwd_lat_s = bench(fwdbwd, n_iter=3)
+    bwd_s = bench(fwdbwd_sustained, n_iter=3, scalar=True) / N_SUSTAIN
     bwd_mrays = n_rays / bwd_s / 1e6
 
     # "fast" mode (sigma_thresh = stop_thresh = 1e-2): the reference's
@@ -123,9 +150,12 @@ def main():
                 "unit": "Mrays/s",
                 "vs_baseline": round(fwd_mrays / 100.0, 4),
                 "fwd_ms": round(fwd_s * 1e3, 1),
+                "fwd_single_call_ms": round(fwd_lat_s * 1e3, 1),
                 "fwd_bwd_mrays_s": round(bwd_mrays, 3),
                 "fwd_bwd_ms": round(bwd_s * 1e3, 1),
+                "fwd_bwd_single_call_ms": round(bwd_lat_s * 1e3, 1),
                 "fwd_bwd_vs_target": round(bwd_mrays / 25.0, 4),
+                "sustained_frames_per_call": N_SUSTAIN,
                 "fast_mode_mrays_s": round(fast_mrays, 3),
                 "fast_mode_ms": round(fast_s * 1e3, 1),
                 "n_rays": int(n_rays),

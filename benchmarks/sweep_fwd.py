@@ -109,5 +109,67 @@ def main():
         run(tag, mr, k, c)
 
 
+def extra_experiments():
+    """Follow-ups: relay fixed-overhead quantification (multi-frame calls)
+    and width-1 top tables (no one-hot lane select)."""
+    W = H = 800
+    tree, feats = build_shell_tree(depth=7, data_format="SH9", data_dim=28)
+    r = st.VolumeRenderer(tree, step_size=1e-3)
+    opt = dataclasses.replace(r._get_options(False), round_size=4)
+    c2w = orbit_camera()
+    perm, _ = _tile_perm(W, H, 32)
+    origins, dirs = cam2world_rays(c2w, W, H, fx=W * 1.1, fy=W * 1.1)
+    origins, dirs = origins[perm], dirs[perm]
+    vdirs = dirs
+    n_rays = origins.shape[0]
+
+    @functools.partial(jax.jit, static_argnames=("opt_", "k"))
+    def fwd_k(sp, f, o, d, v, opt_, k):
+        def one(i, acc):
+            out = volume_render(sp, f * (1.0 + 1e-7 * i), o, d, v, opt_)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, k, one, 0.0)
+
+    def timed(fn, *args):
+        ts = []
+        for i in range(4):
+            f_i = feats * (1.0 + 1e-7 * (i + 1))
+            _ = float(jnp.sum(f_i))
+            t0 = time.time()
+            _ = float(fn(*args[:1], f_i, *args[2:]))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    baked = tree._baked_spec()
+    for k in (1, 2, 4):
+        dt = timed(fwd_k, baked, feats, origins, dirs, vdirs, opt, k)
+        print(
+            f"multi-frame x{k}: {dt*1e3:8.1f} ms total, {dt/k*1e3:8.1f} ms/frame,"
+            f" {n_rays*k/dt/1e6:7.2f} Mrays/s sustained", flush=True,
+        )
+
+    # width-1 top table: no lane select, 2M-row gather operand
+    import svox_t_tpu.ops.bake as bake_mod2
+    spec = tree._spec()
+    import numpy as _np
+    old = bake_mod2.bake_arrays
+    def baked_w1():
+        import types
+        src = bake_mod2.bake(spec)
+        top_flat = _np.asarray(jax.device_get(src.top)).reshape(-1, 1)
+        import dataclasses as _dc
+        return _dc.replace(
+            src, top=jnp.asarray(top_flat), top_width=1,
+        )
+    b1 = baked_w1()
+    dt = timed(fwd_k, b1, feats, origins, dirs, vdirs, opt, 1)
+    print(f"width-1 top ({b1.top.shape}): {dt*1e3:8.1f} ms, {n_rays/dt/1e6:7.2f} Mrays/s", flush=True)
+    dt = timed(fwd_k, b1, feats, origins, dirs, vdirs, opt, 4)
+    print(f"width-1 top x4: {dt/4*1e3:8.1f} ms/frame, {n_rays*4/dt/1e6:7.2f} Mrays/s sustained", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SWEEP_EXTRA"):
+        extra_experiments()
+    else:
+        main()

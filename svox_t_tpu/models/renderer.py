@@ -147,11 +147,19 @@ class VolumeRenderer:
         max_steps: int = 1024,
         backend: str = "baked",
         chunk_size: int = 1024,
+        interp: str = "nearest",
     ):
         """`backend`: "baked" (default) renders through the baked dense-top
         + brick structure (ops/bake.py — 2 gathers/sample); "tree" walks
-        the raw octree (parity-identical semantics, slower)."""
+        the raw octree (parity-identical semantics, slower).
+
+        `interp`: "nearest" (reference semantics — leaf-constant
+        features) or "trilinear" (per-sample interpolation over the 8
+        neighboring cells of the leaf's resolution grid; ~8x gather
+        cost, differentiable through all 8 corners)."""
         assert backend in ("tree", "baked")
+        assert interp in ("nearest", "trilinear", 0, 1)
+        self.interp = 1 if interp in ("trilinear", 1) else 0
         self.backend = backend
         self.chunk_size = chunk_size
         self.tree = tree
@@ -343,4 +351,5 @@ class VolumeRenderer:
             stop_thresh=float(stop_thresh),
             max_steps=int(self.max_steps),
             chunk_size=int(self.chunk_size),
+            interp=int(self.interp),
         )

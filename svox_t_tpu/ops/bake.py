@@ -378,11 +378,15 @@ def _row_gather(table2d: jax.Array, idx: jax.Array) -> jax.Array:
     copy every iteration.
     """
     width = table2d.shape[1]
+    if width == 1:
+        return table2d[idx, 0]
     shift = width.bit_length() - 1  # log2(width); width is a power of 2
-    rows = table2d[idx >> shift]  # (B, width)
-    lane = (idx & (width - 1))[:, None]
-    oh = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane
-    return jnp.sum(jnp.where(oh, rows, 0), axis=1)
+    rows = table2d[idx >> shift]  # (..., width)
+    lane = (idx & (width - 1))[..., None]
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1) == lane
+    )
+    return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
 
 
 def lookup_xyz(baked: BakedTree, px, py, pz):

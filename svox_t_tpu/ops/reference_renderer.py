@@ -52,6 +52,16 @@ def volume_render_oracle(
         leaf, feat, delta_t, sigma, valid, idx = _sample(
             spec, features, o, d, invdir, t, opt.step_size
         )
+        if opt.interp:
+            from .render import _gather_interp, _pack_features
+
+            pos = o + t[:, None] * d
+            feat, sigma2, _ = _gather_interp(
+                spec, _pack_features(features),
+                pos[:, 0][None], pos[:, 1][None], pos[:, 2][None],
+                leaf.cube_sz[None], features.dtype,
+            )
+            sigma = sigma2[0]
         contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
         att = jnp.exp(-delta_t * delta_scale * sigma)
         weight = L * (1.0 - att)

@@ -306,9 +306,19 @@ def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
             spec, px, py, pz
         )
     else:
-        leaf = descend(spec, jnp.stack([px, py, pz], axis=-1))
-        data_idx, cube_sz, cell_id = leaf.data_idx, leaf.cube_sz, leaf.node_flat
-        fx, fy, fz = leaf.frac[:, 0], leaf.frac[:, 1], leaf.frac[:, 2]
+        shape = px.shape
+        leaf = descend(
+            spec,
+            jnp.stack(
+                [px.reshape(-1), py.reshape(-1), pz.reshape(-1)], axis=-1
+            ),
+        )
+        data_idx = leaf.data_idx.reshape(shape)
+        cube_sz = leaf.cube_sz.reshape(shape)
+        cell_id = leaf.node_flat.reshape(shape)
+        fx = leaf.frac[:, 0].reshape(shape)
+        fy = leaf.frac[:, 1].reshape(shape)
+        fz = leaf.frac[:, 2].reshape(shape)
     # dda_unit on the unit leaf cube, unrolled per axis (elementwise only)
     t1x = -fx * ivx
     t2x = t1x + ivx
@@ -327,17 +337,19 @@ def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
     sub_tmin = jnp.maximum(sub_tmin, 0.0)
     sub_tmax = jnp.minimum(sub_tmax, 1e9)
     delta_t = (sub_tmax - sub_tmin) / cube_sz + step_size
-    return data_idx, delta_t, cell_id
+    return data_idx, delta_t, cell_id, cube_sz
 
 
 def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active):
     """Phase 1: K dependent structure lookups (the only sequential work).
 
-    Returns stacked (K, B) tape arrays (idx, dt, valid, cell) plus the
-    post-round (t, active)."""
+    Returns stacked (K, B) tape arrays (idx, dt, valid, cell[, t_at,
+    cube — interp mode records the sample parameter and leaf size so
+    phase 2 can rebuild corner positions]) plus the post-round
+    (t, active)."""
     K = max(1, opt.round_size)
     cap_ragged = (opt.max_steps % K) != 0
-    idx_k, dt_k, val_k, cell_k = [], [], [], []
+    idx_k, dt_k, val_k, cell_k, t_k, cube_k = [], [], [], [], [], []
     tt, act = t, active
     for k in range(K):
         valid = act
@@ -345,23 +357,95 @@ def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active):
             # Exact global step cap when max_steps isn't a multiple of K
             # (compiled out otherwise: cond guarantees step0+K<=max_steps).
             valid = jnp.logical_and(valid, step0 + k < opt.max_steps)
-        data_idx, delta_t, cell_id = _lookup_leaf_xyz(
+        data_idx, delta_t, cell_id, cube_sz = _lookup_leaf_xyz(
             spec, oxyz, dxyz, ivxyz, tt, opt.step_size
         )
         idx_k.append(data_idx)
         dt_k.append(delta_t)
         val_k.append(valid)
         cell_k.append(cell_id)
+        if opt.interp:
+            t_k.append(tt)
+            cube_k.append(cube_sz)
         tt = tt + delta_t
         act = jnp.logical_and(act, tt < tmax)
-    return (
+    tape = (
         jnp.stack(idx_k),
         jnp.stack(dt_k),
         jnp.stack(val_k),
         jnp.stack(cell_k),
-        tt,
-        act,
     )
+    if opt.interp:
+        tape = tape + (jnp.stack(t_k), jnp.stack(cube_k))
+    else:
+        tape = tape + (None, None)
+    return tape + (tt, act)
+
+
+def _interp_corners(spec, px, py, pz, cube_sz):
+    """Trilinear corner cells on the sample leaf's own resolution grid:
+    8 (data_idx, weight) pairs. Leaves are treated as point samples at
+    their cell centers; corner positions outside [0,1] clamp to the
+    border cell (clamp-to-edge)."""
+    gx = px * cube_sz - 0.5
+    gy = py * cube_sz - 0.5
+    gz = pz * cube_sz - 0.5
+    bx = jnp.floor(gx)
+    by = jnp.floor(gy)
+    bz = jnp.floor(gz)
+    wx = gx - bx
+    wy = gy - by
+    wz = gz - bz
+    inv = 1.0 / cube_sz
+    out = []
+    for i in (0, 1):
+        cx = (bx + (i + 0.5)) * inv
+        fx = wx if i else 1.0 - wx
+        for j in (0, 1):
+            cy = (by + (j + 0.5)) * inv
+            fy = wy if j else 1.0 - wy
+            for k in (0, 1):
+                cz = (bz + (k + 0.5)) * inv
+                fz = wz if k else 1.0 - wz
+                if isinstance(spec, BakedTree):
+                    idx_c = _baked_lookup_xyz(spec, cx, cy, cz)[0]
+                else:
+                    shape = cx.shape
+                    leaf = descend(
+                        spec,
+                        jnp.stack(
+                            [cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)],
+                            axis=-1,
+                        ),
+                    )
+                    idx_c = leaf.data_idx.reshape(shape)
+                out.append((idx_c, fx * fy * fz))
+    return out
+
+
+def _gather_interp(spec, features_t: PackedFeatures, px, py, pz, cube_sz,
+                   dtype):
+    """Trilinearly interpolated feature rows for a (K, B) round tape.
+    Returns (feat (K*B, D), sigma (K, B), corners) — `corners` is the
+    (data_idx, weight) list the backward scatters through. Empty corner
+    cells (idx >= n_features) contribute zero."""
+    K, B = px.shape
+    M = features_t.M
+    corners = _interp_corners(spec, px, py, pz, cube_sz)
+    if M == 0:
+        return (
+            jnp.zeros((K * B, features_t.D), dtype),
+            jnp.zeros((K, B), dtype),
+            corners,
+        )
+    feat = jnp.zeros((K * B, features_t.D), dtype)
+    for idx_c, w in corners:
+        idxf = idx_c.reshape(-1)
+        vf = idxf < M
+        fc = _gather_features(features_t, jnp.where(vf, idxf, 0))
+        feat = feat + (w.reshape(-1) * vf)[:, None] * fc
+    sigma = feat[:, -1].reshape(K, B)
+    return feat, sigma, corners
 
 
 def _gather_round(features_t: PackedFeatures, idx, dtype):
@@ -466,67 +550,92 @@ def _volume_render_fwd_impl(
 
         def body(carry):
             step0, t, L, out_c, alpha, active, stopped, waccum = carry
-            idx, dt, valid, cell, t_end, act_end = _march_round(
+            idx, dt, valid, cell, t_at, cube, t_end, act_end = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            feat, sigma = _gather_round(features_t, idx, dtype)
 
             # Phase 2: radiometry for the whole round, stacked over K —
             # a handful of (K, B) ops per ROUND (per-k unrolling costs
             # ~1µs/op dispatch; the per-ray prefix is a K-length cumprod).
-            contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
-            att = jnp.exp(-dt * delta_scale[None] * sigma)
-            att_eff = jnp.where(contrib0, att, 1.0)
-            cp = jnp.cumprod(att_eff, axis=0)  # L_after_k / L_in
-            L_after = L[None] * cp
-            if can_stop:
-                stop0 = jnp.logical_and(contrib0, L_after <= opt.stop_thresh)
-                # no stop strictly before k (the stop sample itself counts)
-                before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
-                contrib = jnp.logical_and(contrib0, before)
-                stop_first = jnp.logical_and(stop0, before)  # one-hot in K
-            else:
-                contrib = contrib0
-            L_before = L[None] * jnp.concatenate(
-                [jnp.ones((1, B), dtype), cp[:-1]], axis=0
+            # Runs unconditionally: skipping all-empty rounds via
+            # lax.cond measured 1.6x SLOWER end-to-end (cond boundaries
+            # copy carried buffers and break fusion on this stack).
+            def phase2(ops):
+                L, out_c, alpha, active, stopped, waccum = ops
+                if opt.interp:
+                    px = oxyz[0][None] + t_at * dxyz[0][None]
+                    py = oxyz[1][None] + t_at * dxyz[1][None]
+                    pz = oxyz[2][None] + t_at * dxyz[2][None]
+                    feat, sigma, _ = _gather_interp(
+                        spec, features_t, px, py, pz, cube, dtype
+                    )
+                else:
+                    feat, sigma = _gather_round(features_t, idx, dtype)
+                contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+                att = jnp.exp(-dt * delta_scale[None] * sigma)
+                att_eff = jnp.where(contrib0, att, 1.0)
+                cp = jnp.cumprod(att_eff, axis=0)  # L_after_k / L_in
+                L_after = L[None] * cp
+                if can_stop:
+                    stop0 = jnp.logical_and(
+                        contrib0, L_after <= opt.stop_thresh
+                    )
+                    # no stop strictly before k (the stop sample counts)
+                    before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
+                    contrib = jnp.logical_and(contrib0, before)
+                    stop_first = jnp.logical_and(stop0, before)  # one-hot
+                else:
+                    contrib = contrib0
+                L_before = L[None] * jnp.concatenate(
+                    [jnp.ones((1, B), dtype), cp[:-1]], axis=0
+                )
+                weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
+
+                gi_flat = (
+                    jnp.where(idx < M, idx, 0) if M else idx
+                ).reshape(-1)
+                s = _round_colors(
+                    spec, opt, vdirs_, gi_flat, feat, base_basis, window,
+                    n_color, K,
+                )
+                out_c = out_c + jnp.sum(weight[:, :, None] * s, axis=0)
+
+                if want_weight_accum:
+                    node_flat = (
+                        spec.src_map[cell.reshape(-1)]
+                        if is_baked
+                        else cell.reshape(-1)
+                    )
+                    w_idx = jnp.where(
+                        contrib.reshape(-1), node_flat, n_cells
+                    )
+                    waccum = waccum.at[w_idx].add(
+                        weight.reshape(-1), mode="drop"
+                    )
+
+                if can_stop:
+                    stop_any = jnp.any(stop_first, axis=0)
+                    L_stop = jnp.sum(
+                        jnp.where(stop_first, L_after, 0.0), axis=0
+                    )
+                    newL = jnp.where(stop_any, L_stop, L * cp[-1])
+                    scale = 1.0 / (1.0 - L_stop)
+                    out_c = jnp.where(
+                        stop_any[:, None], out_c * scale[:, None], out_c
+                    )
+                    alpha = jnp.where(stop_any, 1.0 - L_stop, alpha)
+                    stopped = jnp.logical_or(stopped, stop_any)
+                    active = jnp.logical_and(
+                        active, jnp.logical_not(stop_any)
+                    )
+                else:
+                    newL = L * cp[-1]
+                return newL, out_c, alpha, active, stopped, waccum
+
+            L, out_c, alpha, active, stopped, waccum = phase2(
+                (L, out_c, alpha, act_end, stopped, waccum)
             )
-            weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
-
-            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
-            s = _round_colors(
-                spec, opt, vdirs_, gi_flat, feat, base_basis, window,
-                n_color, K,
-            )
-            out_c = out_c + jnp.sum(weight[:, :, None] * s, axis=0)
-
-            if want_weight_accum:
-                node_flat = (
-                    spec.src_map[cell.reshape(-1)]
-                    if is_baked
-                    else cell.reshape(-1)
-                )
-                w_idx = jnp.where(
-                    contrib.reshape(-1), node_flat, n_cells
-                )
-                waccum = waccum.at[w_idx].add(
-                    weight.reshape(-1), mode="drop"
-                )
-
-            active = act_end
-            if can_stop:
-                stop_any = jnp.any(stop_first, axis=0)
-                L_stop = jnp.sum(jnp.where(stop_first, L_after, 0.0), axis=0)
-                newL = jnp.where(stop_any, L_stop, L * cp[-1])
-                scale = 1.0 / (1.0 - L_stop)
-                out_c = jnp.where(
-                    stop_any[:, None], out_c * scale[:, None], out_c
-                )
-                alpha = jnp.where(stop_any, 1.0 - L_stop, alpha)
-                stopped = jnp.logical_or(stopped, stop_any)
-                active = jnp.logical_and(active, jnp.logical_not(stop_any))
-            else:
-                newL = L * cp[-1]
-            return step0 + K, t_end, newL, out_c, alpha, active, stopped, waccum
+            return step0 + K, t_end, L, out_c, alpha, active, stopped, waccum
 
         stopped0 = jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool)
         alpha0 = jnp.zeros((B,), dtype) if can_stop else jnp.zeros((1,), dtype)
@@ -637,6 +746,67 @@ def _round_grad_rows(opt, spec, vdirs, gi_flat, feat, base_basis, window,
     return rows, total_color
 
 
+def _scatter_add_compact(grad, sidx, rows, M):
+    """Scatter-add `rows` into `grad` at row indices `sidx` (index == M
+    means dropped dummy), compacting to the contributing rows first.
+
+    Measured cost model (v5e, this stack): a row scatter into a big
+    HBM-resident buffer costs ~40-70 ns per scattered ROW — dummies and
+    dropped rows INCLUDED, any width 1-128, add or set, sorted or not.
+    Compaction maps (scatters into the small position buffer) are cheap.
+    So: build the contributing-sample position map once, then dispatch
+    (lax.switch) to the smallest power-of-two tier that holds `count`
+    contributing rows — each round pays ~tier x 50 ns instead of the
+    full (K*B) x 50 ns. Contributions are spatially coherent (shell
+    crossings light up whole tiles), so counts are bimodal: near-zero or
+    large; the tier ladder serves both.
+    """
+    T = sidx.shape[0]
+    tiers = []
+    t = 128
+    while t < T:
+        tiers.append(t)
+        t *= 2
+    if not tiers:
+        return grad.at[sidx].add(rows, mode="drop")
+    cap = tiers[-1]  # largest compact tier (< T)
+    live = sidx < M
+    pos = jnp.cumsum(live) - 1
+    count = pos[-1] + 1
+    slot = jnp.where(live, pos, cap)
+    sample_map = (
+        jnp.full((cap + 1,), T, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(T, dtype=jnp.int32), mode="drop")
+    )
+    pad_rows = jnp.concatenate(
+        [rows, jnp.zeros((1,) + rows.shape[1:], rows.dtype)]
+    )
+    pad_idx = jnp.concatenate([sidx, jnp.full((1,), M, sidx.dtype)])
+
+    def skip(g):
+        return g
+
+    def make_compact(tier):
+        def compact(g):
+            m = sample_map[:tier]
+            return g.at[pad_idx[m]].add(pad_rows[m], mode="drop")
+        return compact
+
+    def full(g):
+        return g.at[sidx].add(rows, mode="drop")
+
+    branches = [skip] + [make_compact(t) for t in tiers] + [full]
+    # branch index: 0 = skip; 1 + position of the smallest tier >= count;
+    # len(tiers) + 1 = full fallback.
+    branch = jnp.zeros((), jnp.int32)
+    for i, t in enumerate(reversed(tiers)):
+        branch = jnp.where(count <= t, len(tiers) - i, branch)
+    branch = jnp.where(count > tiers[-1], len(tiers) + 1, branch)
+    branch = jnp.where(count <= 0, 0, branch)
+    return jax.lax.switch(branch, branches, grad)
+
+
 def _volume_render_bwd_impl(
     spec: TreeSpec,
     features: jax.Array,
@@ -693,36 +863,70 @@ def _volume_render_bwd_impl(
       g_alpha = grad_out_[:, n_color]
 
       def march(step0, t):
-          """One stacked round under BACKWARD rules (active = hit &
-          t < tmax, contribution gates on sigma > 0 — rt_kernel.cu:382)
-          plus the shared prefix quantities."""
+          """One stacked round of structure lookups under BACKWARD rules
+          (active = hit & t < tmax — rt_kernel.cu:382)."""
           active = jnp.logical_and(hit, t < tmax)
-          idx, dt, valid, _, t_end, _ = _march_round(
+          idx, dt, valid, _, t_at, cube, t_end, _ = _march_round(
               spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
           )
-          feat, sigma = _gather_round(features_t, idx, dtype)
+          return idx, dt, valid, t_at, cube, t_end
+
+      def round_quantities(idx, dt, valid, t_at, cube):
+          """Gather + shared prefix quantities (contribution gates on
+          sigma > 0 regardless of sigma_thresh — the reference's
+          deliberate asymmetry). `corners` (interp mode) carries the
+          (data_idx, weight) pairs gradients scatter through."""
+          if opt.interp:
+              px = oxyz[0][None] + t_at * dxyz[0][None]
+              py = oxyz[1][None] + t_at * dxyz[1][None]
+              pz = oxyz[2][None] + t_at * dxyz[2][None]
+              feat, sigma, corners = _gather_interp(
+                  spec, features_t, px, py, pz, cube, dtype
+              )
+          else:
+              feat, sigma = _gather_round(features_t, idx, dtype)
+              corners = None
           gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
           contrib = jnp.logical_and(valid, sigma > 0.0)
           att = jnp.exp(-dt * delta_scale[None] * sigma)
           att_eff = jnp.where(contrib, att, 1.0)
           cp = jnp.cumprod(att_eff, axis=0)
-          return idx, dt, contrib, att, cp, feat, gi_flat, t_end
+          return feat, gi_flat, contrib, att, cp, corners
+
+      def scatter_grads(grad, contrib, gi_flat, corners, rows_all):
+          """Scatter per-sample gradient rows (or scalars) to the feature
+          pool: nearest mode writes each sample's leaf row; interp mode
+          distributes to the 8 corner cells weighted by the trilinear
+          weights (chain rule through feat = sum_c w_c * f_c).
+
+          Row scatters cost ~45-65ns/ROW whether or not a row is a
+          dropped dummy, and most round slots cross empty space — so the
+          scatter first COMPACTS to the contributing rows (a cheap
+          scalar position scatter + gather) and only falls back to the
+          full-width scatter when more than cap rows contribute."""
+          cf = contrib.reshape(-1)
+          if corners is None:
+              sidx = jnp.where(cf, gi_flat, M)
+              return _scatter_add_compact(grad, sidx, rows_all, M)
+          sidxs, rws = [], []
+          for idx_c, w in corners:
+              icf = idx_c.reshape(-1)
+              ok = jnp.logical_and(cf, icf < M)
+              wf = w.reshape(-1)
+              sidxs.append(jnp.where(ok, icf, M))
+              rws.append(
+                  wf[:, None] * rows_all if rows_all.ndim == 2
+                  else wf * rows_all
+              )
+          return _scatter_add_compact(
+              grad, jnp.concatenate(sidxs), jnp.concatenate(rws), M
+          )
 
       def cond(carry):
           step0, t = carry[0], carry[1]
           return jnp.logical_and(
               step0 < opt.max_steps,
               jnp.any(jnp.logical_and(hit, t < tmax)),
-          )
-
-      def scatter_rows(grad, idx_all, rows_all):
-          """One merged row scatter per round, skipped entirely on
-          all-empty rounds (most rounds cross empty space)."""
-          return jax.lax.cond(
-              jnp.any(idx_all < M),
-              lambda g: g.at[idx_all].add(rows_all, mode="drop"),
-              lambda g: g,
-              grad,
           )
 
       def prefix(L, cp):
@@ -739,25 +943,33 @@ def _volume_render_bwd_impl(
 
           def body_sp(carry):
               step0, t, L, acc, grad = carry
-              idx, dt, contrib, att, cp, feat, gi_flat, t_end = march(step0, t)
-              L_before, L_after = prefix(L, cp)
-              weight = L_before * (1.0 - att)
-              rows, total_color = _round_grad_rows(
-                  opt, spec, vdirs_, gi_flat, feat, base_basis, window,
-                  weight, g_color, n_color, K,
-              )
-              wtc = jnp.where(contrib, weight * total_color, 0.0)
-              acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
-              dts = dt * delta_scale[None]
-              g_sigma = dts * (total_color * L_after - acc_after) + (
-                  dts * (g_alpha * L_ray)[None]
-              )
-              rows_full = jnp.concatenate(
-                  [rows, g_sigma.reshape(-1)[:, None]], axis=-1
-              )
-              sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-              grad = scatter_rows(grad, sidx, rows_full)
-              return step0 + K, t_end, L * cp[-1], acc_after[-1], grad
+              idx, dt, valid, t_at, cube, t_end = march(step0, t)
+
+              def do(ops):
+                  L, acc, grad = ops
+                  feat, gi_flat, contrib, att, cp, corners = round_quantities(
+                      idx, dt, valid, t_at, cube
+                  )
+                  L_before, L_after = prefix(L, cp)
+                  weight = L_before * (1.0 - att)
+                  rows, total_color = _round_grad_rows(
+                      opt, spec, vdirs_, gi_flat, feat, base_basis, window,
+                      weight, g_color, n_color, K,
+                  )
+                  wtc = jnp.where(contrib, weight * total_color, 0.0)
+                  acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
+                  dts = dt * delta_scale[None]
+                  g_sigma = dts * (total_color * L_after - acc_after) + (
+                      dts * (g_alpha * L_ray)[None]
+                  )
+                  rows_full = jnp.concatenate(
+                      [rows, g_sigma.reshape(-1)[:, None]], axis=-1
+                  )
+                  grad = scatter_grads(grad, contrib, gi_flat, corners, rows_full)
+                  return L * cp[-1], acc_after[-1], grad
+
+              L, acc, grad = do((L, acc, grad))
+              return step0 + K, t_end, L, acc, grad
 
           init = (
               jnp.zeros((), jnp.int32),
@@ -774,19 +986,27 @@ def _volume_render_bwd_impl(
 
       def body1(carry):
           step0, t, L, accum, grad_c = carry
-          idx, dt, contrib, att, cp, feat, gi_flat, t_end = march(step0, t)
-          L_before, _ = prefix(L, cp)
-          weight = L_before * (1.0 - att)
-          rows, total_color = _round_grad_rows(
-              opt, spec, vdirs_, gi_flat, feat, base_basis, window,
-              weight, g_color, n_color, K,
-          )
-          accum = accum + jnp.sum(
-              jnp.where(contrib, weight * total_color, 0.0), axis=0
-          )
-          sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-          grad_c = scatter_rows(grad_c, sidx, rows)
-          return step0 + K, t_end, L * cp[-1], accum, grad_c
+          idx, dt, valid, t_at, cube, t_end = march(step0, t)
+
+          def do(ops):
+              L, accum, grad_c = ops
+              feat, gi_flat, contrib, att, cp, corners = round_quantities(
+                  idx, dt, valid, t_at, cube
+              )
+              L_before, _ = prefix(L, cp)
+              weight = L_before * (1.0 - att)
+              rows, total_color = _round_grad_rows(
+                  opt, spec, vdirs_, gi_flat, feat, base_basis, window,
+                  weight, g_color, n_color, K,
+              )
+              accum = accum + jnp.sum(
+                  jnp.where(contrib, weight * total_color, 0.0), axis=0
+              )
+              grad_c = scatter_grads(grad_c, contrib, gi_flat, corners, rows)
+              return L * cp[-1], accum, grad_c
+
+          L, accum, grad_c = do((L, accum, grad_c))
+          return step0 + K, t_end, L, accum, grad_c
 
       init1 = (
           jnp.zeros((), jnp.int32),
@@ -802,25 +1022,34 @@ def _volume_render_bwd_impl(
       # ---- PASS 2: sigma gradients (rounds, scalar scatter) ----------------
       def body2(carry):
           step0, t, L, acc, grad_s = carry
-          idx, dt, contrib, att, cp, feat, gi_flat, t_end = march(step0, t)
-          L_before, L_after = prefix(L, cp)
-          weight = L_before * (1.0 - att)
-          s = _round_colors(
-              spec, opt, vdirs_, gi_flat, feat, base_basis, window,
-              n_color, K,
-          )
-          total_color = jnp.sum(s * g_color[None], axis=-1)
-          wtc = jnp.where(contrib, weight * total_color, 0.0)
-          acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
-          dts = dt * delta_scale[None]
-          g_sigma = dts * (total_color * L_after - acc_after) + (
-              dts * (g_alpha * L_ray)[None]
-          )
-          sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-          grad_s = scatter_rows(
-              grad_s, sidx, jnp.where(contrib, g_sigma, 0.0).reshape(-1)
-          )
-          return step0 + K, t_end, L * cp[-1], acc_after[-1], grad_s
+          idx, dt, valid, t_at, cube, t_end = march(step0, t)
+
+          def do(ops):
+              L, acc, grad_s = ops
+              feat, gi_flat, contrib, att, cp, corners = round_quantities(
+                  idx, dt, valid, t_at, cube
+              )
+              L_before, L_after = prefix(L, cp)
+              weight = L_before * (1.0 - att)
+              s = _round_colors(
+                  spec, opt, vdirs_, gi_flat, feat, base_basis, window,
+                  n_color, K,
+              )
+              total_color = jnp.sum(s * g_color[None], axis=-1)
+              wtc = jnp.where(contrib, weight * total_color, 0.0)
+              acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
+              dts = dt * delta_scale[None]
+              g_sigma = dts * (total_color * L_after - acc_after) + (
+                  dts * (g_alpha * L_ray)[None]
+              )
+              grad_s = scatter_grads(
+                  grad_s, contrib, gi_flat, corners,
+                  jnp.where(contrib, g_sigma, 0.0).reshape(-1),
+              )
+              return L * cp[-1], acc_after[-1], grad_s
+
+          L, acc, grad_s = do((L, acc, grad_s))
+          return step0 + K, t_end, L, acc, grad_s
 
       init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_s0)
       *_, grad_s = jax.lax.while_loop(cond, body2, init2)

@@ -78,8 +78,15 @@ class RenderOptions:
     # lookups (the only truly sequential work); phase 2 computes all
     # radiometry for the round vectorized. Larger rounds amortize loop
     # plumbing (cond reduction, carry copies) but waste up to
-    # round_size-1 samples on rays that finish mid-round.
-    round_size: int = 8
+    # round_size-1 samples on rays that finish mid-round. K=4 measured
+    # best on the 800^2 bench scene (v5e): larger rounds lose more to
+    # mid-round waste than they save in plumbing.
+    round_size: int = 4
+    # 0 = nearest-leaf-constant sampling (reference semantics);
+    # 1 = per-sample trilinear feature interpolation over the 8
+    # neighboring cells of the leaf's own resolution grid (the north-star
+    # option; ~8x gather cost — opt-in). Empty neighbors contribute 0.
+    interp: int = 0
 
 
 @jax.tree_util.register_dataclass

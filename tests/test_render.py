@@ -405,6 +405,74 @@ def test_backward_thresholded_path_fd(rng):
         assert abs(fd - g1[i, j]) < 5e-3 + 0.05 * abs(fd)
 
 
+@pytest.mark.parametrize("data_format,data_dim", [("RGBA", 4), ("SH4", 13)])
+def test_trilinear_matches_oracle(rng, data_format, data_dim):
+    """interp=trilinear: production round march vs the scan oracle (same
+    interpolation helper, independent march/compositing machinery)."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, data_format, data_dim)
+    rays = make_rays(rng, 48)
+    spec = t._spec()
+    opt = dataclasses.replace(r._get_options(False), interp=1)
+    out = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ref = volume_render_oracle(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # trilinear must differ from nearest on a non-constant pool
+    out_nearest = volume_render(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs,
+        dataclasses.replace(opt, interp=0),
+    )
+    assert np.abs(np.asarray(out) - np.asarray(out_nearest)).max() > 1e-4
+
+
+def test_trilinear_constant_pool_equals_nearest(rng):
+    """With identical feature rows everywhere (and all leaves occupied),
+    trilinear interpolation is exact: sum of weights = 1."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "RGBA", 4, n_random_refines=0)
+    const = jnp.tile(jnp.asarray([[0.3, -0.2, 0.8, 12.0]], jnp.float32),
+                     (feats.shape[0], 1))
+    rays = make_rays(rng, 24)
+    spec = t._spec()
+    opt0 = r._get_options(False)
+    opt1 = dataclasses.replace(opt0, interp=1)
+    out0 = volume_render(spec, const, rays.origins, rays.dirs, rays.viewdirs, opt0)
+    out1 = volume_render(spec, const, rays.origins, rays.dirs, rays.viewdirs, opt1)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=2e-5)
+
+
+def test_trilinear_grad_matches_autodiff(rng):
+    """Trilinear custom VJP (8-corner weighted scatter) vs autodiff
+    through the interp oracle."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "RGBA", 4)
+    rays = make_rays(rng, 32)
+    spec = t._spec()
+    opt = dataclasses.replace(r._get_options(False), interp=1)
+
+    def loss_prod(f):
+        return jnp.sum(
+            volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        )
+
+    def loss_oracle(f):
+        return jnp.sum(
+            volume_render_oracle(
+                spec, f, rays.origins, rays.dirs, rays.viewdirs, opt
+            )
+        )
+
+    g1 = np.asarray(jax.grad(loss_prod)(feats))
+    g2 = np.asarray(jax.grad(loss_oracle)(feats))
+    scale = np.abs(g2).max() + 1e-8
+    np.testing.assert_allclose(g1 / scale, g2 / scale, atol=3e-5)
+
+
 def test_render_persp_weight_accum(rng):
     t, feats, r = _setup(rng)
     c2w = np.eye(4, dtype=np.float32)
@@ -416,3 +484,46 @@ def test_render_persp_weight_accum(rng):
     w = acc()
     assert w.sum() > 0
     np.testing.assert_allclose(w.sum(), img[..., -1].sum(), rtol=1e-4)
+
+
+def test_scatter_add_compact_branches(rng):
+    """All three branches of the compacting scatter (skip / compact /
+    full fallback) must produce the exact dense scatter result."""
+    from svox_t_tpu.ops.render import _scatter_add_compact
+
+    M, D, T = 50, 6, 512
+    grad0 = jnp.zeros((M, D), jnp.float32)
+    rows = jnp.asarray(rng.randn(T, D).astype(np.float32))
+
+    def dense(sidx):
+        ref = np.zeros((M, D), np.float32)
+        for i, j in enumerate(np.asarray(sidx)):
+            if j < M:
+                ref[j] += np.asarray(rows)[i]
+        return ref
+
+    # skip: nothing contributes
+    sidx = jnp.full((T,), M, jnp.int32)
+    out = _scatter_add_compact(grad0, sidx, rows, M)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    # compact: a few contributors (duplicates included)
+    s = np.full((T,), M, np.int32)
+    s[[3, 10, 77, 100, 101]] = [5, 5, 0, 49, 5]
+    out = _scatter_add_compact(grad0, jnp.asarray(s), rows, M)
+    np.testing.assert_allclose(np.asarray(out), dense(s), atol=1e-6)
+
+    # full fallback: everything contributes (count > cap)
+    s = rng.randint(0, M, T).astype(np.int32)
+    out = _scatter_add_compact(grad0, jnp.asarray(s), rows, M)
+    np.testing.assert_allclose(np.asarray(out), dense(s), atol=1e-5)
+
+    # 1-D rows (sigma-gradient path)
+    rows1 = jnp.asarray(rng.randn(T).astype(np.float32))
+    g1 = jnp.zeros((M,), jnp.float32)
+    s = np.full((T,), M, np.int32)
+    s[:10] = np.arange(10)
+    out = _scatter_add_compact(g1, jnp.asarray(s), rows1, M)
+    ref = np.zeros((M,), np.float32)
+    ref[:10] = np.asarray(rows1)[:10]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
