@@ -130,15 +130,16 @@ def main():
     opt_fast = r._get_options(True)
     out = fwd(baked, feats, origins, dirs, vdirs, opt_fast)
     out.block_until_ready()
+    _ = float(fwd_sustained(baked, feats, origins, dirs, vdirs, opt_fast))
     times = []
-    for i in range(5):
+    for i in range(4):
         f_i = feats * (1.0 + 1e-7 * (i + 1))
         _ = float(jnp.sum(f_i))
         t0 = time.time()
-        res = fwd(baked, f_i, origins, dirs, vdirs, opt_fast)
-        _ = float(jnp.sum(res))
+        res = fwd_sustained(baked, f_i, origins, dirs, vdirs, opt_fast)
+        _ = float(res)
         times.append(time.time() - t0)
-    fast_s = min(times)
+    fast_s = min(times) / N_SUSTAIN
     fast_mrays = n_rays / fast_s / 1e6
 
     alpha = float(jnp.mean(out[:, -1]))
