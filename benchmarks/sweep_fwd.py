@@ -63,12 +63,11 @@ def main():
                 bake_mod.MAX_TABLE_ROWS = old
         return baked_cache[max_rows]
 
-    def run(tag, max_rows, round_size, chunk_size):
+    def run(tag, max_rows, round_size, chunk_size, tile=32):
         baked = get_baked(max_rows)
         opt = dataclasses.replace(
             opt0, round_size=round_size, chunk_size=chunk_size
         )
-        tile = max(8, int(np.sqrt(chunk_size)))
         perm, _ = _tile_perm(W, H, tile)
         origins, dirs = cam2world_rays(c2w, W, H, fx=W * 1.1, fy=W * 1.1)
         origins, dirs = origins[perm], dirs[perm]
@@ -97,16 +96,16 @@ def main():
         return best
 
     configs = [
-        ("baseline(r1-equivalent widths)", 1 << 17, 8, 1024),
-        ("narrow tables", 1 << 16, 8, 1024),
-        ("narrow + K=4", 1 << 16, 4, 1024),
-        ("narrow + K=16", 1 << 16, 16, 1024),
-        ("narrow + C=4096", 1 << 16, 8, 4096),
-        ("narrow + K=16 + C=4096", 1 << 16, 16, 4096),
-        ("very narrow tables", 1 << 15, 8, 1024),
+        ("K=4 C=1024 (default)", 1 << 16, 4, 1024),
+        ("K=4 C=2048", 1 << 16, 4, 2048),
+        ("K=4 C=4096", 1 << 16, 4, 4096),
+        ("K=2 C=1024", 1 << 16, 2, 1024),
+        ("K=2 C=2048", 1 << 16, 2, 2048),
+        ("K=4 C=2048 tile16", 1 << 16, 4, 2048, 16),
+        ("K=6 C=1024", 1 << 16, 6, 1024),
     ]
-    for tag, mr, k, c in configs:
-        run(tag, mr, k, c)
+    for cfg in configs:
+        run(*cfg)
 
 
 def extra_experiments():

@@ -137,12 +137,19 @@ class N3TreeView:
             )
             self.tree.features = feats.at[scat].set(value, mode="drop")
         else:
-            cur = np.array(jax.device_get(feats))
-            rows = cur[ids[valid]]
-            rows[:, self._chan_key] = np.asarray(jax.device_get(value))[valid] \
-                if np.ndim(value) > 0 and np.shape(value)[0] == len(ids) else value
-            cur[ids[valid]] = rows
-            self.tree.features = jnp.asarray(cur)
+            # Channel-key write: one device scatter into the (row, col)
+            # product of selected leaves x selected channels. Accepts a
+            # scalar, a per-leaf vector, or a full (n_leaves, n_cols)
+            # block (broadcast like NumPy).
+            scat = jnp.asarray(np.where(valid, ids, feats.shape[0]))
+            cols = np.atleast_1d(np.arange(feats.shape[1])[self._chan_key])
+            v = jnp.asarray(value, feats.dtype)
+            if v.ndim == 1 and v.shape[0] == len(ids) and len(cols) == 1:
+                v = v[:, None]
+            v = jnp.broadcast_to(v, (len(ids), len(cols)))
+            self.tree.features = feats.at[
+                scat[:, None], jnp.asarray(cols)[None, :]
+            ].set(v, mode="drop")
 
     def __setitem__(self, key, value):
         val = np.asarray(jax.device_get(self.values_nograd))

@@ -192,3 +192,93 @@ def test_baked_transformation_matrices(scene):
     np.testing.assert_allclose(
         np.asarray(out_tree), np.asarray(out_baked), atol=2e-6
     )
+
+
+def test_baked_brick_path_parity(scene):
+    """Force brick_levels > 0 (small top) and check lookup + render +
+    gradient parity with the tree walk — covers the two-gather brick
+    path that dense-top scenes (depth <= 8) never touch."""
+    t, feats, centers, rng = scene
+    from svox_t_tpu.ops.traversal import descend
+
+    spec = t._spec()
+    baked = bake_ops.bake(spec, top_levels=2)  # R=4; everything deeper -> bricks
+    assert baked.brick_levels > 0
+    assert baked.brick.size > baked.B ** 3  # bricks actually allocated
+
+    pts = jnp.asarray(rng.rand(400, 3).astype(np.float32))
+    leaf = descend(spec, pts)
+    di, cube, frac, cell = bake_ops.lookup(baked, pts)
+    M = feats.shape[0]
+    vt = np.asarray(leaf.data_idx) < M
+    vb = np.asarray(di) < M
+    np.testing.assert_array_equal(vt, vb)
+    np.testing.assert_array_equal(
+        np.asarray(leaf.data_idx)[vt], np.asarray(di)[vb]
+    )
+    np.testing.assert_allclose(np.asarray(leaf.cube_sz), np.asarray(cube))
+
+    # per-axis variant must agree with the stacked one
+    di2, cube2, fx, fy, fz, cell2 = bake_ops.lookup_xyz(
+        baked, pts[:, 0], pts[:, 1], pts[:, 2]
+    )
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(di2))
+    np.testing.assert_array_equal(np.asarray(cell), np.asarray(cell2))
+
+    rays = make_rays(rng, 48)
+    opt = _opts(t)
+    out_tree = volume_render(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    out_brick = volume_render(
+        baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_brick), np.asarray(out_tree), atol=1e-6
+    )
+
+    g_tree = jax.grad(lambda f: jnp.sum(volume_render(
+        spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)))(feats)
+    g_brick = jax.grad(lambda f: jnp.sum(volume_render(
+        baked, f, rays.origins, rays.dirs, rays.viewdirs, opt)))(feats)
+    scale = float(jnp.abs(g_tree).max()) + 1e-8
+    np.testing.assert_allclose(
+        np.asarray(g_brick) / scale, np.asarray(g_tree) / scale, atol=3e-6
+    )
+
+
+def test_baked_deep_tree_bricks(rng):
+    """Depth-10 tree (chain refinement past the dense-top limit):
+    the bake must pick brick_levels >= 1 automatically and stay exact."""
+    from svox_t_tpu.ops.traversal import descend
+
+    t, feats, centers = build_tree(
+        rng, depth_limit=10, n_random_refines=0
+    )
+    # refine one leaf chain down to depth 10
+    for _ in range(9):
+        leaves = t._all_leaves()
+        deepest = leaves[-1:]
+        t.refine(sel=tuple(deepest.T), leaf_node=deepest)
+    centers_local = t[:].corners_local + 0.5 * t[:].lengths_local[:, None]
+    centers_world = np.asarray(
+        jax.device_get(t.tree2world(jnp.asarray(centers_local)))
+    )
+    t.construct_tree(centers_world)
+    M = centers_world.shape[0]
+    feats = jnp.asarray(rng.randn(M, 4).astype(np.float32))
+
+    spec = t._spec()
+    baked = t._baked_spec()
+    assert baked.brick_levels >= 1  # depth 10 > dense-top limit (8)
+
+    pts = jnp.asarray(
+        np.clip(centers_local + rng.randn(*centers_local.shape) * 1e-4,
+                0, 1 - 1e-6).astype(np.float32)
+    )
+    leaf = descend(spec, pts)
+    di, cube, frac, cell = bake_ops.lookup(baked, pts)
+    np.testing.assert_array_equal(
+        np.asarray(leaf.data_idx), np.asarray(di)
+    )
+    np.testing.assert_allclose(np.asarray(leaf.cube_sz), np.asarray(cube))

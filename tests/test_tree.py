@@ -239,6 +239,36 @@ def test_view_set_and_inplace(rng):
     assert float(np.asarray(t[:].values).min()) >= 0.0
 
 
+def test_view_set_channel_key(rng):
+    """Channel-key writes: scalar broadcast, per-leaf vector, and slice
+    of channels — device scatter, other channels untouched."""
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    before = np.asarray(t[:].values).copy()
+    n = before.shape[0]
+
+    # scalar into one channel
+    t[:, 1].set(7.5)
+    after = np.asarray(t[:].values)
+    np.testing.assert_allclose(after[:, 1], 7.5)
+    np.testing.assert_allclose(after[:, 0], before[:, 0])
+    np.testing.assert_allclose(after[:, 2:], before[:, 2:])
+
+    # per-leaf vector into one channel
+    vec = np.linspace(0.0, 1.0, n).astype(np.float32)
+    t[:, 2].set(vec)
+    after = np.asarray(t[:].values)
+    np.testing.assert_allclose(after[:, 2], vec, atol=1e-6)
+    np.testing.assert_allclose(after[:, 1], 7.5)
+
+    # block into a channel slice
+    blk = np.stack([vec, 2 * vec], axis=1)
+    t[:, 0:2].set(blk)
+    after = np.asarray(t[:].values)
+    np.testing.assert_allclose(after[:, 0:2], blk, atol=1e-6)
+    np.testing.assert_allclose(after[:, 2], vec, atol=1e-6)
+
+
 def test_view_invalidation(rng):
     t, feats, centers = build_tree(rng)
     view = t[:]
