@@ -148,6 +148,7 @@ class VolumeRenderer:
         backend: str = "baked",
         chunk_size: int = 1024,
         interp: str = "nearest",
+        round_size: int = 0,
     ):
         """`backend`: "baked" (default) renders through the baked dense-top
         + brick structure (ops/bake.py — 2 gathers/sample); "tree" walks
@@ -160,6 +161,11 @@ class VolumeRenderer:
         assert backend in ("tree", "baked")
         assert interp in ("nearest", "trilinear", 0, 1)
         self.interp = 1 if interp in ("trilinear", 1) else 0
+        # round_size 0 = auto: K=4 amortizes loop plumbing best, but on
+        # scenes whose gather tables exceed ~32 MB the per-round working
+        # set degrades gather rates (measured 8ns/idx vs 1.7); K=2 wins
+        # there (docs/PERFORMANCE.md).
+        self.round_size = int(round_size)
         self.backend = backend
         self.chunk_size = chunk_size
         self.tree = tree
@@ -352,4 +358,21 @@ class VolumeRenderer:
             max_steps=int(self.max_steps),
             chunk_size=int(self.chunk_size),
             interp=int(self.interp),
+            round_size=self._auto_round_size(),
         )
+
+    def _auto_round_size(self) -> int:
+        if self.round_size > 0:
+            return self.round_size
+        try:
+            if self.backend == "baked":
+                baked = self.tree._baked_spec()
+                cells = baked.top.size + baked.brick.size
+            else:
+                cells = self.tree._spec().child_flat.shape[0]
+            # feature-pool size estimated from the tree (the pool itself
+            # is a per-call argument)
+            table_bytes = 4 * cells + 4 * self.tree.n_leaves * self.tree.data_dim
+        except Exception:
+            return 4
+        return 2 if table_bytes > (32 << 20) else 4

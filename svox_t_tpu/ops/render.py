@@ -154,7 +154,9 @@ def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
         return leaf, feat, delta_t, sigma, valid, idx
     valid = leaf.data_idx < M
     idx = jnp.where(valid, leaf.data_idx, 0)
-    feat = _gather_features(ft, idx)
+    # Compute in the ray dtype: a bf16 feature pool (halves gather-table
+    # bytes for big scenes) still composites and differentiates in f32.
+    feat = _gather_features(ft, idx).astype(pos.dtype)
     sigma = jnp.where(valid, feat[:, -1], 0.0)
     return leaf, feat, delta_t, sigma, valid, idx
 
@@ -442,7 +444,9 @@ def _gather_interp(spec, features_t: PackedFeatures, px, py, pz, cube_sz,
     for idx_c, w in corners:
         idxf = idx_c.reshape(-1)
         vf = idxf < M
-        fc = _gather_features(features_t, jnp.where(vf, idxf, 0))
+        fc = _gather_features(
+            features_t, jnp.where(vf, idxf, 0)
+        ).astype(dtype)
         feat = feat + (w.reshape(-1) * vf)[:, None] * fc
     sigma = feat[:, -1].reshape(K, B)
     return feat, sigma, corners
@@ -460,7 +464,9 @@ def _gather_round(features_t: PackedFeatures, idx, dtype):
             jnp.zeros((K, B), dtype),
         )
     vf = idx < M
-    feat = _gather_features(features_t, jnp.where(vf, idx, 0).reshape(-1))
+    feat = _gather_features(
+        features_t, jnp.where(vf, idx, 0).reshape(-1)
+    ).astype(dtype)
     sigma = jnp.where(vf, feat[:, -1].reshape(K, B), 0.0)
     return feat, sigma
 
@@ -732,13 +738,16 @@ def _round_grad_rows(opt, spec, vdirs, gi_flat, feat, base_basis, window,
             basis = (
                 eval_basis(opt.format, opt.basis_dim, rd, spec.extra_data)
                 * window
-            )
+            )[:, None, :]
         else:
-            basis = jnp.tile(base_basis, (K, 1))
-        rows = (
-            jnp.repeat(a, opt.basis_dim, axis=1)
-            * jnp.tile(basis, (1, n_color))
-        )
+            basis = jnp.broadcast_to(
+                base_basis[None, :, None, :],
+                (K, B, 1, opt.basis_dim),
+            ).reshape(KB, 1, opt.basis_dim)
+        # outer product by broadcasting; the (KB, C, bd) -> (KB, n_cc)
+        # reshape merges minor dims (layout-preserving, no copy) - cheaper
+        # than the repeat/tile construction by one materialized operand.
+        rows = (a[:, :, None] * basis).reshape(KB, n_color * opt.basis_dim)
     else:
         rows = (
             weight[:, :, None] * s * (1.0 - s) * g_color[None]
@@ -1057,6 +1066,11 @@ def _volume_render_bwd_impl(
 
     if out_res is None:
         out_res = jnp.zeros_like(grad_out)
+    out_dtype = features.dtype
+
+    def _cast(g):
+        return g if g.dtype == out_dtype else g.astype(out_dtype)
+
     if single_pass:
         # Merged buffer: coeff columns then the sigma column. For the
         # standard layout (data_dim == n_cc + 1) its column layout equals
@@ -1069,11 +1083,11 @@ def _volume_render_bwd_impl(
             fills=(1e9, 1.0, 1.0, 0.0, 0.0),
         )
         if n_cc + 1 == D:
-            return buf
+            return _cast(buf)
         grad_f = jnp.zeros((M, D), dtype)
         grad_f = grad_f.at[:, :n_cc].set(buf[:, :n_cc])
         grad_f = grad_f.at[:, D - 1].add(buf[:, n_cc])
-        return grad_f
+        return _cast(grad_f)
     grad_c, grad_s = _chunked_carry(
         single,
         opt,
@@ -1088,7 +1102,7 @@ def _volume_render_bwd_impl(
     grad_f = jnp.zeros((M, D), dtype)
     grad_f = grad_f.at[:, :n_cc].set(grad_c)
     grad_f = grad_f.at[:, D - 1].add(grad_s)
-    return grad_f
+    return _cast(grad_f)
 
 
 # ---------------------------------------------------------------------------

@@ -527,3 +527,35 @@ def test_scatter_add_compact_branches(rng):
     ref = np.zeros((M,), np.float32)
     ref[:10] = np.asarray(rows1)[:10]
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_bf16_feature_pool(rng):
+    """bf16 feature pools (halved gather-table bytes for big scenes):
+    forward within bf16 tolerance of f32, gradients flow and come back
+    in the pool dtype."""
+    t, feats, r = _setup(rng, "SH1", 4)
+    rays = make_rays(rng, 32)
+    spec = t._spec()
+    opt = r._get_options(False)
+    out32 = np.asarray(
+        volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    )
+    f16 = feats.astype(jnp.bfloat16)
+    out16 = np.asarray(
+        volume_render(spec, f16, rays.origins, rays.dirs, rays.viewdirs, opt)
+    ).astype(np.float32)
+    assert np.abs(out16 - out32).max() < 0.05
+
+    g = jax.grad(
+        lambda f: jnp.sum(
+            volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        )
+    )(f16)
+    assert g.dtype == jnp.bfloat16
+    g32 = np.asarray(jax.grad(
+        lambda f: jnp.sum(
+            volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        )
+    )(feats))
+    scale = np.abs(g32).max() + 1e-8
+    assert np.abs(np.asarray(g).astype(np.float32) - g32).max() / scale < 0.05
