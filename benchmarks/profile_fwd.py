@@ -7,12 +7,12 @@ Usage: python benchmarks/profile_fwd.py [fwd|bwd|fast]
 Writes aggregation to stdout; trace dir under /tmp/svox_trace.
 """
 
-import glob
-import gzip
-import json
+
+
+
 import os
 import sys
-from collections import defaultdict
+
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bench")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
@@ -29,35 +29,9 @@ from svox_t_tpu.ops.render import cam2world_rays, volume_render
 
 
 def aggregate(trace_dir, top=40):
-    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
-    assert files, f"no trace under {trace_dir}"
-    f = max(files, key=os.path.getmtime)
-    with gzip.open(f, "rt") as fh:
-        data = json.load(fh)
-    events = data.get("traceEvents", [])
-    # find TPU device pid
-    tpu_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            nm = e.get("args", {}).get("name", "")
-            if "TPU" in nm and "pjrt" not in nm.lower():
-                tpu_pids.add(e["pid"])
-    by_name = defaultdict(float)
-    count = defaultdict(int)
-    total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            # exclude the top-level module event (covers children)
-            nm = e.get("name", "")
-            if nm.startswith("jit_") or nm.startswith("module"):
-                continue
-            by_name[nm] += e["dur"]
-            count[nm] += 1
-            total += e["dur"]
-    print(f"TPU pids: {sorted(tpu_pids)}; total op-time {total/1e3:.2f} ms")
-    rows = sorted(by_name.items(), key=lambda kv: -kv[1])[:top]
-    for nm, dur in rows:
-        print(f"{dur/1e3:9.3f} ms  x{count[nm]:<6d} {nm[:120]}")
+    from svox_t_tpu.utils.profiling import TraceResult
+
+    TraceResult(trace_dir).summary(top=top)
 
 
 def main():

@@ -342,14 +342,17 @@ def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
     return data_idx, delta_t, cell_id, cube_sz
 
 
-def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active):
+def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
+                 want_pos=None):
     """Phase 1: K dependent structure lookups (the only sequential work).
 
     Returns stacked (K, B) tape arrays (idx, dt, valid, cell[, t_at,
-    cube — interp mode records the sample parameter and leaf size so
-    phase 2 can rebuild corner positions]) plus the post-round
+    cube — recorded when `want_pos` (default: interp mode) so phase 2
+    can rebuild sample positions / corner cells]) plus the post-round
     (t, active)."""
     K = max(1, opt.round_size)
+    if want_pos is None:
+        want_pos = bool(opt.interp)
     cap_ragged = (opt.max_steps % K) != 0
     idx_k, dt_k, val_k, cell_k, t_k, cube_k = [], [], [], [], [], []
     tt, act = t, active
@@ -366,7 +369,7 @@ def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active):
         dt_k.append(delta_t)
         val_k.append(valid)
         cell_k.append(cell_id)
-        if opt.interp:
+        if want_pos:
             t_k.append(tt)
             cube_k.append(cube_sz)
         tt = tt + delta_t
@@ -377,7 +380,7 @@ def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active):
         jnp.stack(val_k),
         jnp.stack(cell_k),
     )
-    if opt.interp:
+    if want_pos:
         tape = tape + (jnp.stack(t_k), jnp.stack(cube_k))
     else:
         tape = tape + (None, None)

@@ -25,8 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.spec import RenderOptions, TreeSpec
-from .render import (_chunked_carry, _chunked_outputs, _pack_features,
-                     _ray_setup, _sample, _zero_cotangent)
+from .render import (_chunked_carry, _chunked_outputs, _gather_round,
+                     _march_round, _pack_features, _ray_setup, _sample,
+                     _scatter_add_compact, _volume_render_fwd_impl,
+                     _zero_cotangent)
 from .sh import _PREC
 from .traversal import tree2world
 
@@ -37,122 +39,106 @@ from .traversal import tree2world
 
 
 def _opacity_fwd_impl(spec, features, origins, dirs, opt):
-    features_t = _pack_features(features)
-    def single(origins_, dirs_):
-        B = origins_.shape[0]
-        dtype = origins_.dtype
-        o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
-            spec, origins_, dirs_
-        )
-
-        def cond(carry):
-            step, t, L, active, stopped, alpha = carry
-            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
-
-        def body(carry):
-            step, t, L, active, stopped, alpha = carry
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
-            )
-            contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
-            att = jnp.exp(-delta_t * delta_scale * sigma)
-            newL = jnp.where(contrib, L * att, L)
-            stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-            alpha = jnp.where(stop_now, 1.0 - newL, alpha)
-            stopped = jnp.logical_or(stopped, stop_now)
-            t = t + delta_t
-            active = jnp.logical_and(
-                active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
-            )
-            return step + 1, t, newL, active, stopped, alpha
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            tmin,
-            jnp.ones((B,), dtype),
-            hit,
-            jnp.zeros((B,), bool),
-            jnp.zeros((B,), dtype),
-        )
-        _, _, L, _, stopped, alpha = jax.lax.while_loop(cond, body, init)
-        alpha = jnp.where(hit, jnp.where(stopped, alpha, 1.0 - L), 0.0)
-        return alpha[:, None]
-
-    out, _ = _chunked_outputs(single, opt, (origins, dirs))
-    return out
+    """Alpha-only march. The main renderer's alpha channel has exactly
+    the opacity semantics (1 - transmittance, early-stop pinning, miss
+    rays -> 0), so the forward reuses the round-based march wholesale —
+    the color math it also computes is a small fraction of a round."""
+    out, _ = _volume_render_fwd_impl(
+        spec, features, origins, dirs, dirs, opt, False
+    )
+    return out[:, -1:]
 
 
-def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt):
+def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
+                      out_res=None):
     """Clean sigma-only VJP: grad_sigma_i = delta_t * delta_scale * g *
     L_ray, where L_ray is the final transmittance over samples with
     sigma > 0 (equivalent to both reference backward paths; see module
-    docstring)."""
+    docstring). Round-based march; in exact mode L_ray comes from the
+    saved forward output (1 - alpha) and the re-march count drops to one.
+    Gradient rows scatter through the tiered compact scatter."""
     M, D = features.shape
     features_t = _pack_features(features)
+    K = max(1, opt.round_size)
+    single_pass = (
+        opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
+        and out_res is not None
+    )
 
-    def single(origins_, dirs_, grad_out_, grad_f):
+    def single(origins_, dirs_, grad_out_, out_res_, grad_s):
         B = origins_.shape[0]
         dtype = origins_.dtype
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        oxyz = (o[:, 0], o[:, 1], o[:, 2])
+        dxyz = (d[:, 0], d[:, 1], d[:, 2])
+        ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
         g = grad_out_[:, 0]
 
-        # Pass A: final transmittance with the backward's sigma > 0 rule.
-        def condA(carry):
-            step, t, L = carry
-            return jnp.logical_and(
-                step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
-            )
-
-        def bodyA(carry):
-            step, t, L = carry
+        def march(step0, t):
             active = jnp.logical_and(hit, t < tmax)
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
+            idx, dt, valid, _, _, _, t_end, _ = _march_round(
+                spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            contrib = jnp.logical_and(active, sigma > 0.0)
-            att = jnp.exp(-delta_t * sigma * delta_scale)
-            L = jnp.where(contrib, L * att, L)
-            return step + 1, t + delta_t, L
+            feat, sigma = _gather_round(features_t, idx, dtype)
+            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+            contrib = jnp.logical_and(valid, sigma > 0.0)
+            return idx, dt, contrib, sigma, gi_flat, t_end
 
-        _, _, L_ray = jax.lax.while_loop(
-            condA, bodyA, (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype))
-        )
-
-        # Pass B: scatter sigma grads.
-        def condB(carry):
-            step, t, gf = carry
+        def cond(carry):
+            step0, t = carry[0], carry[1]
             return jnp.logical_and(
-                step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+                step0 < opt.max_steps,
+                jnp.any(jnp.logical_and(hit, t < tmax)),
             )
 
+        if single_pass:
+            L_ray = 1.0 - out_res_[:, 0]
+        else:
+            # Pass A: final transmittance under the backward's sigma > 0
+            # rule.
+            def bodyA(carry):
+                step0, t, L = carry
+                idx, dt, contrib, sigma, _, t_end = march(step0, t)
+                att_eff = jnp.where(
+                    contrib, jnp.exp(-dt * delta_scale[None] * sigma), 1.0
+                )
+                return step0 + K, t_end, L * jnp.prod(att_eff, axis=0)
+
+            _, _, L_ray = jax.lax.while_loop(
+                cond, bodyA,
+                (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype)),
+            )
+
+        # Pass B: scatter sigma grads (g_sigma has no per-sample feature
+        # dependence beyond the contribution gate).
         def bodyB(carry):
-            step, t, gf = carry
-            active = jnp.logical_and(hit, t < tmax)
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
+            step0, t, gs = carry
+            idx, dt, contrib, sigma, gi_flat, t_end = march(step0, t)
+            g_sigma = dt * delta_scale[None] * (g * L_ray)[None]
+            sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+            gs = _scatter_add_compact(
+                gs, sidx, jnp.where(contrib, g_sigma, 0.0).reshape(-1), M
             )
-            contrib = jnp.logical_and(active, sigma > 0.0)
-            g_sigma = delta_t * delta_scale * g * L_ray
-            scat_idx = jnp.where(contrib, idx, M)
-            gf = gf.at[scat_idx, D - 1].add(
-                jnp.where(contrib, g_sigma, 0.0), mode="drop"
-            )
-            return step + 1, t + delta_t, gf
+            return step0 + K, t_end, gs
 
-        _, _, grad_f = jax.lax.while_loop(
-            condB, bodyB, (jnp.zeros((), jnp.int32), tmin, grad_f)
+        _, _, grad_s = jax.lax.while_loop(
+            cond, bodyB, (jnp.zeros((), jnp.int32), tmin, grad_s)
         )
-        return grad_f
+        return grad_s
 
-    return _chunked_carry(
+    if out_res is None:
+        out_res = jnp.zeros_like(grad_out)
+    grad_s = _chunked_carry(
         single,
         opt,
-        (origins, dirs, grad_out),
-        jnp.zeros((M, D), origins.dtype),
-        fills=(1e9, 1.0, 0.0),
+        (origins, dirs, grad_out, out_res),
+        jnp.zeros((M,), origins.dtype),
+        fills=(1e9, 1.0, 0.0, 0.0),
     )
+    grad_f = jnp.zeros((M, D), origins.dtype)
+    return grad_f.at[:, D - 1].set(grad_s)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -163,12 +149,14 @@ def opacity_render(spec, features, origins, dirs, opt: RenderOptions):
 
 def _op_fwd(spec, features, origins, dirs, opt):
     out = _opacity_fwd_impl(spec, features, origins, dirs, opt)
-    return out, (spec, features, origins, dirs)
+    return out, (spec, features, origins, dirs, out)
 
 
 def _op_bwd(opt, res, g):
-    spec, features, origins, dirs = res
-    grad_features = _opacity_bwd_impl(spec, features, origins, dirs, g, opt)
+    spec, features, origins, dirs, out = res
+    grad_features = _opacity_bwd_impl(
+        spec, features, origins, dirs, g, opt, out_res=out
+    )
     return (
         _zero_cotangent(spec),
         grad_features,
@@ -187,8 +175,14 @@ opacity_render.defvjp(_op_fwd, _op_bwd)
 
 def _first_hit(spec, features, origins, dirs, opt):
     """March until sigma > sigma_thresh; returns (found (B,), t_hit (B,),
-    pos_tree (B,3), data_idx (B,), delta_scale (B,))."""
+    pos_tree (B,3), data_idx (B,), delta_scale (B,)).
+
+    Round-based: per round, the first contributing sample per ray is
+    selected with a prefix mask (hit position recomputed from t_hit
+    after the loop — pos = o + t*d exactly)."""
     features_t = _pack_features(features)
+    M = features_t.M
+    K = max(1, opt.round_size)
 
     def single(origins_, dirs_):
         B = origins_.shape[0]
@@ -196,31 +190,36 @@ def _first_hit(spec, features, origins, dirs, opt):
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        oxyz = (o[:, 0], o[:, 1], o[:, 2])
+        dxyz = (d[:, 0], d[:, 1], d[:, 2])
+        ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
 
         def cond(carry):
-            step, t, active, found, t_hit, pos_hit, idx_hit = carry
-            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+            step0 = carry[0]
+            active = carry[2]
+            return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
 
         def body(carry):
-            step, t, active, found, t_hit, pos_hit, idx_hit = carry
-            pos = o + t[:, None] * d
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
+            step0, t, active, found, t_hit, idx_hit = carry
+            idx, dt, valid, _, t_at, _, t_end, act_end = _march_round(
+                spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
+                want_pos=True,
             )
-            hit_now = jnp.logical_and(active, sigma > opt.sigma_thresh)
-            # NOTE: the hit position recorded by the reference is the
-            # clamped in-tree sample point transformed back to world space
-            # (rt_kernel.cu:756-761); we record the unclamped sample
-            # position, identical for points inside the volume.
-            t_hit = jnp.where(hit_now, t, t_hit)
-            pos_hit = jnp.where(hit_now[:, None], pos, pos_hit)
-            idx_hit = jnp.where(hit_now, leaf.data_idx, idx_hit)
-            found = jnp.logical_or(found, hit_now)
-            t = t + delta_t
-            active = jnp.logical_and(
-                active, jnp.logical_and(jnp.logical_not(hit_now), t < tmax)
+            _, sigma = _gather_round(features_t, idx, dtype)
+            contrib = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            # first contributing sample in this round, per ray
+            first = jnp.logical_and(
+                contrib, (jnp.cumsum(contrib, axis=0) - contrib) == 0
             )
-            return step + 1, t, active, found, t_hit, pos_hit, idx_hit
+            any_first = jnp.any(first, axis=0)
+            t_sel = jnp.sum(jnp.where(first, t_at, 0.0), axis=0)
+            i_sel = jnp.sum(jnp.where(first, idx, 0), axis=0)
+            newly = jnp.logical_and(any_first, jnp.logical_not(found))
+            t_hit = jnp.where(newly, t_sel, t_hit)
+            idx_hit = jnp.where(newly, i_sel, idx_hit)
+            found = jnp.logical_or(found, any_first)
+            active = jnp.logical_and(act_end, jnp.logical_not(found))
+            return step0 + K, t_end, active, found, t_hit, idx_hit
 
         init = (
             jnp.zeros((), jnp.int32),
@@ -228,11 +227,15 @@ def _first_hit(spec, features, origins, dirs, opt):
             hit,
             jnp.zeros((B,), bool),
             jnp.zeros((B,), dtype),
-            jnp.zeros((B, 3), dtype),
             jnp.zeros((B,), jnp.int32),
         )
-        _, _, _, found, t_hit, pos_hit, idx_hit = jax.lax.while_loop(
-            cond, body, init
+        _, _, _, found, t_hit, idx_hit = jax.lax.while_loop(cond, body, init)
+        # NOTE: the hit position recorded by the reference is the clamped
+        # in-tree sample point transformed back to world space
+        # (rt_kernel.cu:756-761); we record the unclamped sample position,
+        # identical for points inside the volume.
+        pos_hit = jnp.where(
+            found[:, None], o + t_hit[:, None] * d, 0.0
         )
         return found, t_hit, pos_hit, idx_hit, delta_scale
 
@@ -292,6 +295,9 @@ def _mf_blend(spec, joint_features, idx, valid, out_dim):
 def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt):
     out_dim = joint_features.shape[1]
     features_t = _pack_features(features)
+    M = features_t.M
+    K = max(1, opt.round_size)
+    can_stop = opt.stop_thresh > 0.0
 
     def single(origins_, dirs_):
         B = origins_.shape[0]
@@ -299,32 +305,57 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        oxyz = (o[:, 0], o[:, 1], o[:, 2])
+        dxyz = (d[:, 0], d[:, 1], d[:, 2])
+        ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
 
         def cond(carry):
-            step, t, L, out, active, stopped = carry
-            return jnp.logical_and(step < opt.max_steps, jnp.any(active))
+            step0 = carry[0]
+            active = carry[4]
+            return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
 
         def body(carry):
-            step, t, L, out, active, stopped = carry
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
+            step0, t, L, out, active, stopped = carry
+            idx, dt, valid, _, _, _, t_end, act_end = _march_round(
+                spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            contrib = jnp.logical_and(active, sigma > opt.sigma_thresh)
-            att = jnp.exp(-delta_t * delta_scale * sigma)
-            weight = L * (1.0 - att)
-            blended = _mf_blend(spec, joint_features, idx, valid, out_dim)
-            s = jax.nn.sigmoid(blended)
-            out = out + jnp.where(contrib[:, None], weight[:, None] * s, 0.0)
-            newL = jnp.where(contrib, L * att, L)
-            stop_now = jnp.logical_and(contrib, newL <= opt.stop_thresh)
-            scale = 1.0 / (1.0 - newL)
-            out = jnp.where(stop_now[:, None], out * scale[:, None], out)
-            stopped = jnp.logical_or(stopped, stop_now)
-            t = t + delta_t
-            active = jnp.logical_and(
-                active, jnp.logical_and(jnp.logical_not(stop_now), t < tmax)
+            feat, sigma = _gather_round(features_t, idx, dtype)
+            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+            contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            att = jnp.exp(-dt * delta_scale[None] * sigma)
+            att_eff = jnp.where(contrib0, att, 1.0)
+            cp = jnp.cumprod(att_eff, axis=0)
+            L_after = L[None] * cp
+            if can_stop:
+                stop0 = jnp.logical_and(contrib0, L_after <= opt.stop_thresh)
+                before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
+                contrib = jnp.logical_and(contrib0, before)
+                stop_first = jnp.logical_and(stop0, before)
+            else:
+                contrib = contrib0
+            L_before = L[None] * jnp.concatenate(
+                [jnp.ones((1, B), dtype), cp[:-1]], axis=0
             )
-            return step + 1, t, newL, out, active, stopped
+            weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
+
+            blended = _mf_blend(
+                spec, joint_features, gi_flat, (idx < M).reshape(-1), out_dim
+            )
+            s = jax.nn.sigmoid(blended).reshape(K, B, out_dim)
+            out = out + jnp.sum(weight[:, :, None] * s, axis=0)
+
+            active = act_end
+            if can_stop:
+                stop_any = jnp.any(stop_first, axis=0)
+                L_stop = jnp.sum(jnp.where(stop_first, L_after, 0.0), axis=0)
+                newL = jnp.where(stop_any, L_stop, L * cp[-1])
+                scale = 1.0 / (1.0 - L_stop)
+                out = jnp.where(stop_any[:, None], out * scale[:, None], out)
+                stopped = jnp.logical_or(stopped, stop_any)
+                active = jnp.logical_and(active, jnp.logical_not(stop_any))
+            else:
+                newL = L * cp[-1]
+            return step0 + K, t_end, newL, out, active, stopped
 
         init = (
             jnp.zeros((), jnp.int32),
@@ -332,16 +363,19 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
             jnp.ones((B,), dtype),
             jnp.zeros((B, out_dim), dtype),
             hit,
-            jnp.zeros((B,), bool),
+            jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool),
         )
         _, _, L, out, _, stopped = jax.lax.while_loop(cond, body, init)
         bg = opt.background_brightness
         # Miss rays output zeros (NOT background) — rt_kernel.cu:912-918.
-        out = jnp.where(
-            hit[:, None],
-            jnp.where(stopped[:, None], out, out + (L * bg)[:, None]),
-            0.0,
-        )
+        if can_stop:
+            out = jnp.where(
+                hit[:, None],
+                jnp.where(stopped[:, None], out, out + (L * bg)[:, None]),
+                0.0,
+            )
+        else:
+            out = jnp.where(hit[:, None], out + (L * bg)[:, None], 0.0)
         return out
 
     out, _ = _chunked_outputs(single, opt, (origins, dirs))
@@ -352,9 +386,12 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     """Single re-march scattering grads into joint_features rows via
     skinning weights. This is the *corrected* version of
     rt_kernel.cu:982-1065 (the reference reads an uninitialized buffer and
-    scatters with a wrong index; SURVEY.md K14)."""
-    J, K = joint_features.shape
+    scatters with a wrong index; SURVEY.md K14). Round-based: one tiered
+    compact scatter of (sample x bone) rows per round."""
+    J, Kd = joint_features.shape
     features_t = _pack_features(features)
+    M = features_t.M
+    K = max(1, opt.round_size)
 
     def single(origins_, dirs_, grad_out_, grad_jf):
         B = origins_.shape[0]
@@ -362,38 +399,50 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        oxyz = (o[:, 0], o[:, 1], o[:, 2])
+        dxyz = (d[:, 0], d[:, 1], d[:, 2])
+        ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
 
         def cond(carry):
-            step, t, L, gjf = carry
+            step0, t = carry[0], carry[1]
             return jnp.logical_and(
-                step < opt.max_steps, jnp.any(jnp.logical_and(hit, t < tmax))
+                step0 < opt.max_steps,
+                jnp.any(jnp.logical_and(hit, t < tmax)),
             )
 
         def body(carry):
-            step, t, L, gjf = carry
+            step0, t, L, gjf = carry
             active = jnp.logical_and(hit, t < tmax)
-            leaf, feat, delta_t, sigma, valid, idx = _sample(
-                spec, features_t, o, d, invdir, t, opt.step_size
+            idx, dt, valid, _, _, _, t_end, _ = _march_round(
+                spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            contrib = jnp.logical_and(active, sigma > 0.0)
-            att = jnp.exp(-delta_t * sigma * delta_scale)
-            weight = L * (1.0 - att)
-
-            blended = _mf_blend(spec, joint_features, idx, valid, K)
-            s = jax.nn.sigmoid(blended)
-            g_blend = weight[:, None] * s * (1.0 - s) * grad_out_  # (B, K)
-
-            sw = spec.skinning_weights[idx]
-            jidx = spec.joint_index[idx]
-            bone_ok = jnp.logical_and(sw > 0, contrib[:, None])
-            rows = jnp.where(
-                bone_ok[:, :, None], sw[:, :, None] * g_blend[:, None, :], 0.0
+            feat, sigma = _gather_round(features_t, idx, dtype)
+            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+            contrib = jnp.logical_and(valid, sigma > 0.0)
+            att = jnp.exp(-dt * sigma * delta_scale[None])
+            att_eff = jnp.where(contrib, att, 1.0)
+            cp = jnp.cumprod(att_eff, axis=0)
+            L_before = L[None] * jnp.concatenate(
+                [jnp.ones((1, B), dtype), cp[:-1]], axis=0
             )
+            weight = L_before * (1.0 - att)
+
+            blended = _mf_blend(
+                spec, joint_features, gi_flat, (idx < M).reshape(-1), Kd
+            )
+            s = jax.nn.sigmoid(blended)  # (K*B, Kd)
+            g_blend = (
+                weight.reshape(-1)[:, None] * s * (1.0 - s)
+                * jnp.tile(grad_out_, (K, 1))
+            )
+
+            sw = spec.skinning_weights[gi_flat]     # (K*B, n_bones)
+            jidx = spec.joint_index[gi_flat]        # (K*B, n_bones)
+            bone_ok = jnp.logical_and(sw > 0, contrib.reshape(-1)[:, None])
+            rows = (sw[:, :, None] * g_blend[:, None, :]).reshape(-1, Kd)
             scat = jnp.where(bone_ok, jidx, J).reshape(-1)
-            gjf = gjf.at[scat].add(rows.reshape(-1, K), mode="drop")
-
-            L = jnp.where(contrib, L * att, L)
-            return step + 1, t + delta_t, L, gjf
+            gjf = _scatter_add_compact(gjf, scat, rows, J)
+            return step0 + K, t_end, L * cp[-1], gjf
 
         init = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), grad_jf)
         _, _, _, grad_jf = jax.lax.while_loop(cond, body, init)
@@ -403,7 +452,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         single,
         opt,
         (origins, dirs, grad_out),
-        jnp.zeros((J, K), origins.dtype),
+        jnp.zeros((J, Kd), origins.dtype),
         fills=(1e9, 1.0, 0.0),
     )
 

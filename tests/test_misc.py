@@ -95,3 +95,25 @@ def test_renderoptions_hashable():
     o1 = st.RenderOptions(step_size=1e-3)
     o2 = st.RenderOptions(step_size=1e-3)
     assert hash(o1) == hash(o2) and o1 == o2
+
+
+def test_profiling_trace_capture():
+    """device_trace captures and aggregates device-side op events (on
+    CPU the device name differs, so just exercise capture + parse)."""
+    import jax.numpy as jnp
+
+    from svox_t_tpu.utils.profiling import TraceResult, device_trace
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            with device_trace(td) as t:
+                x = jnp.arange(1024.0)
+                float(jnp.sum(x * x))
+        except FileNotFoundError:
+            return  # no trace emitted on this backend — capture still ran
+        assert t.result is not None
+        assert isinstance(t.total_ms, float)
+        t2 = TraceResult(td)
+        assert t2.total_ms == t.total_ms
