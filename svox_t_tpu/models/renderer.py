@@ -373,6 +373,8 @@ class VolumeRenderer:
             # feature-pool size estimated from the tree (the pool itself
             # is a per-call argument)
             table_bytes = 4 * cells + 4 * self.tree.n_leaves * self.tree.data_dim
-        except Exception:
+        except AttributeError:
+            # tree not fully constructed yet (e.g. options built before
+            # refine) — real bake errors propagate
             return 4
         return 2 if table_bytes > (32 << 20) else 4

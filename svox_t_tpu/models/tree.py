@@ -382,7 +382,10 @@ class N3Tree:
         with the reference's `op=torch.mean` — svox.py:352) that row is
         overwritten with op over the children's feature rows and the
         updated pool is stored back on the tree; `op=None` keeps the
-        first child's row untouched. (The reference applies op to its
+        first child's row untouched. NOTE: empty children contribute
+        ZERO rows to the reduction (op=np.mean over a node with one
+        occupied child of N^3 dilutes its features by N^3) — pass
+        op=None or a custom op when that is not wanted. (The reference applies op to its
         int32 *index table* — an upstream-svox holdover that scrambles
         the svox_t indirection; reducing the feature rows is the sane
         interpretation.) Use shrink_to_fit() to recover freed nodes."""

@@ -40,6 +40,12 @@ def volume_render_oracle(
 
     o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
 
+    from .render import _gather_interp, _pack_features
+
+    # Packed once outside the scan (padding/reshaping the pool inside
+    # the loop body would materialize it every step).
+    features_t = _pack_features(features)
+
     if opt.format != FORMAT_RGBA:
         window = jnp.asarray(_basis_window(opt))
         base_basis = eval_basis(opt.format, opt.basis_dim, vdirs, spec.extra_data) * window
@@ -50,14 +56,12 @@ def volume_render_oracle(
     def step(carry, _):
         t, L, out_c, alpha, active, stopped = carry
         leaf, feat, delta_t, sigma, valid, idx = _sample(
-            spec, features, o, d, invdir, t, opt.step_size
+            spec, features_t, o, d, invdir, t, opt.step_size
         )
         if opt.interp:
-            from .render import _gather_interp, _pack_features
-
             pos = o + t[:, None] * d
             feat, sigma2, _ = _gather_interp(
-                spec, _pack_features(features),
+                spec, features_t,
                 pos[:, 0][None], pos[:, 1][None], pos[:, 2][None],
                 leaf.cube_sz[None], features.dtype,
             )

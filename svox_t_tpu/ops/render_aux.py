@@ -25,10 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.spec import RenderOptions, TreeSpec
-from .render import (_chunked_carry, _chunked_outputs, _gather_round,
-                     _march_round, _pack_features, _ray_setup, _sample,
-                     _scatter_add_compact, _volume_render_fwd_impl,
-                     _zero_cotangent)
+from .render import (_chunked_carry, _chunked_outputs, _gather_interp,
+                     _gather_round, _march_round, _pack_features,
+                     _ray_setup, _scatter_add_compact,
+                     _volume_render_fwd_impl, _zero_cotangent)
 from .sh import _PREC
 from .traversal import tree2world
 
@@ -78,13 +78,24 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
 
         def march(step0, t):
             active = jnp.logical_and(hit, t < tmax)
-            idx, dt, valid, _, _, _, t_end, _ = _march_round(
+            idx, dt, valid, _, t_at, cube, t_end, _ = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            feat, sigma = _gather_round(features_t, idx, dtype)
+            if opt.interp:
+                # Mirror the forward: interpolated sigma gates the
+                # contribution; gradients flow to the 8 corner cells.
+                px = oxyz[0][None] + t_at * dxyz[0][None]
+                py = oxyz[1][None] + t_at * dxyz[1][None]
+                pz = oxyz[2][None] + t_at * dxyz[2][None]
+                _, sigma, corners = _gather_interp(
+                    spec, features_t, px, py, pz, cube, dtype
+                )
+            else:
+                _, sigma = _gather_round(features_t, idx, dtype)
+                corners = None
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
             contrib = jnp.logical_and(valid, sigma > 0.0)
-            return idx, dt, contrib, sigma, gi_flat, t_end
+            return idx, dt, contrib, sigma, gi_flat, corners, t_end
 
         def cond(carry):
             step0, t = carry[0], carry[1]
@@ -100,7 +111,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
             # rule.
             def bodyA(carry):
                 step0, t, L = carry
-                idx, dt, contrib, sigma, _, t_end = march(step0, t)
+                idx, dt, contrib, sigma, _, _, t_end = march(step0, t)
                 att_eff = jnp.where(
                     contrib, jnp.exp(-dt * delta_scale[None] * sigma), 1.0
                 )
@@ -115,12 +126,23 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
         # dependence beyond the contribution gate).
         def bodyB(carry):
             step0, t, gs = carry
-            idx, dt, contrib, sigma, gi_flat, t_end = march(step0, t)
+            idx, dt, contrib, sigma, gi_flat, corners, t_end = march(step0, t)
             g_sigma = dt * delta_scale[None] * (g * L_ray)[None]
-            sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-            gs = _scatter_add_compact(
-                gs, sidx, jnp.where(contrib, g_sigma, 0.0).reshape(-1), M
-            )
+            vals = jnp.where(contrib, g_sigma, 0.0).reshape(-1)
+            if corners is None:
+                sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+                gs = _scatter_add_compact(gs, sidx, vals, M)
+            else:
+                cf = contrib.reshape(-1)
+                sidxs, vs = [], []
+                for idx_c, w in corners:
+                    icf = idx_c.reshape(-1)
+                    ok = jnp.logical_and(cf, icf < M)
+                    sidxs.append(jnp.where(ok, icf, M))
+                    vs.append(w.reshape(-1) * vals)
+                gs = _scatter_add_compact(
+                    gs, jnp.concatenate(sidxs), jnp.concatenate(vs), M
+                )
             return step0 + K, t_end, gs
 
         _, _, grad_s = jax.lax.while_loop(

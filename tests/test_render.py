@@ -559,3 +559,68 @@ def test_bf16_feature_pool(rng):
     )(feats))
     scale = np.abs(g32).max() + 1e-8
     assert np.abs(np.asarray(g).astype(np.float32) - g32).max() / scale < 0.05
+
+
+def test_trilinear_baked_backend_parity(rng):
+    """Trilinear on the BAKED backend (the production default): corner
+    lookups through _baked_lookup_xyz must match the tree-walk spec for
+    forward AND the 8-corner gradient scatter, including a bricked bake."""
+    import dataclasses
+
+    from svox_t_tpu.ops import bake as bake_ops
+
+    t, feats, r = _setup(rng, "SH1", 4)
+    rays = make_rays(rng, 32)
+    spec = t._spec()
+    opt = dataclasses.replace(r._get_options(False), interp=1)
+    out_tree = volume_render(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    for baked in (t._baked_spec(), bake_ops.bake(spec, top_levels=2)):
+        out_baked = volume_render(
+            baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_baked), np.asarray(out_tree), atol=1e-5
+        )
+        g_tree = jax.grad(lambda f: jnp.sum(volume_render(
+            spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)))(feats)
+        g_baked = jax.grad(lambda f, b=baked: jnp.sum(volume_render(
+            b, f, rays.origins, rays.dirs, rays.viewdirs, opt)))(feats)
+        scale = float(jnp.abs(g_tree).max()) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(g_baked) / scale, np.asarray(g_tree) / scale,
+            atol=1e-5,
+        )
+
+
+def test_opacity_trilinear_grad(rng):
+    """Interp-aware opacity VJP: gradients flow to corner cells and
+    match finite differences."""
+    import dataclasses
+
+    from svox_t_tpu.ops.render_aux import opacity_render
+
+    t, feats, r = _setup(rng, "RGBA", 4, n_random_refines=0)
+    rays = make_rays(rng, 12)
+    spec = t._spec()
+    opt = dataclasses.replace(r._get_options(False), interp=1)
+
+    def loss(f):
+        return jnp.sum(opacity_render(spec, f, rays.origins, rays.dirs, opt))
+
+    g = np.asarray(jax.grad(loss)(feats))
+    assert np.isfinite(g).all()
+    # only the sigma channel receives gradient
+    np.testing.assert_array_equal(g[:, :-1], 0.0)
+    f0 = np.asarray(feats)
+    checked = 0
+    order = np.argsort(-np.abs(g[:, -1]))
+    for i in order[:3]:
+        eps = 1e-2
+        fp = f0.copy(); fp[i, -1] += eps
+        fm = f0.copy(); fm[i, -1] -= eps
+        fd = (float(loss(jnp.asarray(fp))) - float(loss(jnp.asarray(fm)))) / (2 * eps)
+        assert abs(fd - g[i, -1]) < 5e-3 + 0.05 * abs(fd), (i, fd, g[i, -1])
+        checked += 1
+    assert checked == 3
