@@ -822,6 +822,22 @@ class N3Tree:
     def _pack_index(self, txyz):
         return _pack_jnp(jnp.asarray(txyz), self.N)
 
+    def _unpack_index(self, flat):
+        """(Q,) packed ids -> (Q, 4) [node, x, y, z] (svox.py:833-838)."""
+        return self._unpack_index_np(np.asarray(jax.device_get(flat)))
+
+    def _make_val_tensor(self, val):
+        """Broadcast a scalar / (1,)-channel value to (Q, data_dim)
+        (parity: svox.py:865-874)."""
+        val = jnp.asarray(val, self.dtype)
+        while val.ndim < 2:
+            val = val[None]
+        if val.shape[-1] == 1:
+            val = jnp.broadcast_to(val, val.shape[:-1] + (self.data_dim,))
+        else:
+            assert val.shape[-1] == self.data_dim
+        return val
+
     def _resize_add_cap(self, cap_needed):
         """Geometric capacity growth (svox.py:841-863; the CPU-offload OOM
         hack is unnecessary here — buffers live in host RAM)."""
