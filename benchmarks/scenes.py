@@ -126,6 +126,21 @@ def build_shell_tree(
     return t, jnp.asarray(feats)
 
 
+def build_opaque_tree(depth: int = 7, data_format: str = "SH9",
+                      data_dim: int = 28, radius: float = 0.30,
+                      seed: int = 0, N: int = 2, sigma: float = 400.0):
+    """Shell scene with near-opaque surface densities — the workload
+    where the reference's `fast` mode (early ray termination,
+    renderer.py:428-433) pays: rays stop at the first surface crossing
+    instead of marching through to the far side."""
+    t, feats = build_shell_tree(
+        depth=depth, data_format=data_format, data_dim=data_dim,
+        radius=radius, seed=seed, N=N,
+    )
+    feats = feats.at[:, -1].set(sigma)
+    return t, feats
+
+
 def orbit_camera(theta: float = 0.5, phi: float = 0.4, dist: float = 2.2):
     """c2w matrix orbiting the unit-cube center, looking at it."""
     eye = 0.5 + dist * np.array(

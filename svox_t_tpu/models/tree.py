@@ -249,8 +249,19 @@ class N3Tree:
         if self._cached_baked is not None:
             from ..ops import bake as bake_ops
 
+            # Keep the exact ray-cull box valid: old occupied cells keep
+            # their (possibly stale) rows, new points may occupy cells
+            # outside the old box -> union of the two.
+            lo, hi = query_ops.points_leaf_aabb(
+                spec, jnp.asarray(indices, self.dtype)
+            )
+            old_lo = self._cached_baked.aabb_lo
+            old_hi = self._cached_baked.aabb_hi
+            if old_lo is not None:
+                lo = jnp.minimum(lo, old_lo)
+                hi = jnp.maximum(hi, old_hi)
             self._cached_baked = bake_ops.refresh(
-                self._cached_baked, new_data_flat
+                self._cached_baked, new_data_flat, aabb_lo=lo, aabb_hi=hi
             )
 
     def construct_tree_device(self, spec: TreeSpec, indices) -> TreeSpec:

@@ -80,6 +80,13 @@ class BakedTree:
     scaling: jax.Array
     extra_data: Optional[jax.Array] = None
     transformation_matrices: Optional[jax.Array] = None
+    # Tree-space AABB of DATA-OCCUPIED leaf cells. Rays that miss it
+    # produce exactly the background (occupied cells are all inside), so
+    # the renderer culls them and clamps tmax to the AABB exit — an
+    # EXACT optimization (samples beyond the exit contribute nothing).
+    # None = no culling (whole cube).
+    aabb_lo: Optional[jax.Array] = None
+    aabb_hi: Optional[jax.Array] = None
     N: int = dataclasses.field(default=2, metadata=dict(static=True))
     top_levels: int = dataclasses.field(default=5, metadata=dict(static=True))
     brick_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -208,6 +215,17 @@ def bake_arrays(
     rows = np.where(rows < 0, EMPTY_ROW, rows)
     packed = ((depths.astype(np.int64) << ROW_BITS) | rows).astype(np.int64)
 
+    # Occupied-cell AABB in tree coords (see BakedTree.aabb_lo).
+    occ = rows < EMPTY_ROW
+    if occ.any():
+        size_occ = (F // (N ** (depths[occ] + 1)))[:, None]
+        aabb_lo = (corners[occ].min(axis=0) / F).astype(np.float32)
+        aabb_hi = ((corners[occ] + size_occ).max(axis=0) / F).astype(np.float32)
+    else:
+        # no data anywhere: a null box culls every ray (all-background)
+        aabb_lo = np.ones(3, np.float32)
+        aabb_hi = np.zeros(3, np.float32)
+
     top = np.full((R, R, R), EMPTY_ROW, np.int64)
     top_depth = np.zeros((R, R, R), np.int64)
     top_src = np.zeros((R, R, R), np.int64)
@@ -328,6 +346,8 @@ def bake_arrays(
         n_tree_cells=int(child.size),
         top_width=int(top_width),
         brick_width=int(brick_width),
+        aabb_lo=jnp.asarray(aabb_lo),
+        aabb_hi=jnp.asarray(aabb_hi),
     )
 
 
@@ -352,9 +372,16 @@ def bake(spec: TreeSpec, top_levels: Optional[int] = None) -> BakedTree:
     )
 
 
-def refresh(baked: BakedTree, data_flat: jax.Array) -> BakedTree:
+def refresh(baked: BakedTree, data_flat: jax.Array,
+            aabb_lo=None, aabb_hi=None) -> BakedTree:
     """On-device re-bake after construct_tree re-pointed the index table
-    (structure unchanged): one gather + repack."""
+    (structure unchanged): one gather + repack.
+
+    Re-pointing can occupy cells outside the old occupied-AABB, so the
+    cull box must be updated: pass the new box (callers with the points
+    know it — `N3Tree.construct_tree` passes the union of the old box
+    and the points' covering-leaf box); with None the box conservatively
+    resets to the full cube (culling off, never wrong)."""
     n_top = baked.top.size
     rows = jnp.minimum(data_flat[baked.src_map], EMPTY_ROW)
     rows = jnp.where(rows < 0, EMPTY_ROW, rows)
@@ -362,8 +389,15 @@ def refresh(baked: BakedTree, data_flat: jax.Array) -> BakedTree:
     new_top = jnp.where(
         baked.top < 0, baked.top, packed[:n_top].reshape(baked.top.shape)
     )
+    if aabb_lo is None:
+        aabb_lo = jnp.zeros(3, jnp.float32)
+        aabb_hi = jnp.ones(3, jnp.float32)
     return dataclasses.replace(
-        baked, top=new_top, brick=packed[n_top:].reshape(baked.brick.shape)
+        baked,
+        top=new_top,
+        brick=packed[n_top:].reshape(baked.brick.shape),
+        aabb_lo=jnp.asarray(aabb_lo),
+        aabb_hi=jnp.asarray(aabb_hi),
     )
 
 

@@ -139,6 +139,25 @@ def construct_tree(spec: TreeSpec, points: jax.Array) -> jax.Array:
     return spec.data_flat.at[leaf.node_flat].set(tids)
 
 
+def points_leaf_aabb(spec: TreeSpec, points: jax.Array, world: bool = True):
+    """Tree-space AABB of the leaf cells covering `points` — the tight
+    occupied box after `construct_tree` points the tree at them (used to
+    keep the baked render structure's exact ray-cull box up to date).
+
+    :return: (lo (3,), hi (3,)) float32 device arrays.
+    """
+    leaf = _descend_points(spec, points, world)
+    pos = world2tree(points, spec.offset, spec.scaling) if world else points
+    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+    cs = leaf.cube_sz[:, None]
+    lo_cells = jnp.floor(pos * cs) / cs
+    hi_cells = lo_cells + 1.0 / cs
+    return (
+        jnp.min(lo_cells, axis=0).astype(jnp.float32),
+        jnp.max(hi_cells, axis=0).astype(jnp.float32),
+    )
+
+
 def calc_corners(spec: TreeSpec, indexer: jax.Array) -> jax.Array:
     """Lower corner of leaf cells in tree coords [0,1]^3
     (parity: calc_corner_kernel, svox_kernel.cu:213-237).

@@ -124,6 +124,30 @@ def _ray_setup(spec: TreeSpec, origins, dirs):
     return o, d, invdir, delta_scale, tmin, tmax, hit
 
 
+def _clip_to_occupied(spec, o, invdir, tmin, tmax, hit):
+    """EXACT ray cull against the baked occupied-cell AABB: rays missing
+    it produce exactly the background (identical to marching through
+    empty space), and samples beyond its exit contribute nothing — so
+    `hit` is tightened and tmax clamped without changing any output.
+    The march's t-sequence up to the clamp is untouched (tmin is NOT
+    moved: advancing it would shift every subsequent sample position).
+    No-op for tree-walk specs (no box) — backend parity tests compare
+    the two paths' outputs, which stay equal by the argument above."""
+    lo = getattr(spec, "aabb_lo", None)
+    if lo is None:
+        return tmax, hit
+    hi = spec.aabb_hi
+    t1 = (lo - o) * invdir
+    t2 = (hi - o) * invdir
+    a_lo = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    a_hi = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = jnp.logical_and(
+        hit,
+        jnp.logical_and(a_hi >= jnp.maximum(a_lo, 0.0), a_hi >= tmin),
+    )
+    return jnp.minimum(tmax, a_hi), hit
+
+
 def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
     """One march sample for the whole batch: leaf lookup + step length +
     density. Returns (leaf, delta_t, sigma, valid, idx).
@@ -538,6 +562,7 @@ def _volume_render_fwd_impl(
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
         # Split coordinates once per chunk; the march loop closes over the
         # per-axis arrays (elementwise-only phase 1).
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
@@ -860,6 +885,7 @@ def _volume_render_bwd_impl(
     def single(origins_, dirs_, vdirs_, grad_out_, out_res_, grad_f0):
       B = origins_.shape[0]
       o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins_, dirs_)
+      tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
       oxyz = (o[:, 0], o[:, 1], o[:, 2])
       dxyz = (d[:, 0], d[:, 1], d[:, 2])
       ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])

@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.spec import RenderOptions, TreeSpec
-from .render import (_chunked_carry, _chunked_outputs, _gather_interp,
-                     _gather_round, _march_round, _pack_features,
-                     _ray_setup, _scatter_add_compact,
+from .render import (_chunked_carry, _chunked_outputs, _clip_to_occupied,
+                     _gather_interp, _gather_round, _march_round,
+                     _pack_features, _ray_setup, _scatter_add_compact,
                      _volume_render_fwd_impl, _zero_cotangent)
 from .sh import _PREC
 from .traversal import tree2world
@@ -71,6 +71,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
@@ -212,6 +213,7 @@ def _first_hit(spec, features, origins, dirs, opt):
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
@@ -327,6 +329,7 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
@@ -421,6 +424,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
+        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])

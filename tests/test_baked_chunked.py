@@ -282,3 +282,88 @@ def test_baked_deep_tree_bricks(rng):
         np.asarray(leaf.data_idx), np.asarray(di)
     )
     np.testing.assert_allclose(np.asarray(leaf.cube_sz), np.asarray(cube))
+
+
+def test_occupied_aabb_cull_exact(rng):
+    """The baked occupied-AABB ray cull must be invisible in outputs:
+    rays missing the (small, off-center) occupied box get exactly the
+    background, everything else matches the tree walk — forward, grads,
+    and aux renders."""
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=2)
+    # clear the helper's full pointing (stale rows count as occupied —
+    # the bake is conservative), then occupy only a corner
+    from svox_t_tpu.utils.spec import DATA_SENTINEL
+    t.data[:] = DATA_SENTINEL
+    t._invalidate_spec()
+    sub = centers[np.all(centers < 0.4, axis=1)]
+    if len(sub) < 4:
+        sub = centers[:8]
+    t.construct_tree(sub)
+    feats_sub = jnp.asarray(
+        np.abs(np.random.RandomState(3).randn(len(sub), 4)).astype(np.float32) * 8
+    )
+    spec = t._spec()
+    baked = t._baked_spec()
+    assert baked.aabb_lo is not None
+    lo, hi = np.asarray(baked.aabb_lo), np.asarray(baked.aabb_hi)
+    assert (hi - lo).max() < 1.0  # genuinely smaller than the cube
+
+    rays = make_rays(rng, 96)
+    opt = _opts(t)
+    out_tree = volume_render(
+        spec, feats_sub, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    out_baked = volume_render(
+        baked, feats_sub, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_baked), np.asarray(out_tree), atol=1e-6
+    )
+    g_tree = jax.grad(lambda f: jnp.sum(volume_render(
+        spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)))(feats_sub)
+    g_baked = jax.grad(lambda f: jnp.sum(volume_render(
+        baked, f, rays.origins, rays.dirs, rays.viewdirs, opt)))(feats_sub)
+    np.testing.assert_allclose(
+        np.asarray(g_baked), np.asarray(g_tree), atol=1e-5
+    )
+    op_t = opacity_render(spec, feats_sub, rays.origins, rays.dirs, opt)
+    op_b = opacity_render(baked, feats_sub, rays.origins, rays.dirs, opt)
+    np.testing.assert_allclose(np.asarray(op_b), np.asarray(op_t), atol=1e-6)
+    d_t = render_depth(spec, feats_sub, rays.origins, rays.dirs, opt)
+    d_b = render_depth(baked, feats_sub, rays.origins, rays.dirs, opt)
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_t), atol=1e-6)
+
+
+def test_aabb_union_after_repoint(rng):
+    """construct_tree with points OUTSIDE the old occupied box must
+    expand the cull box (union) so the new cells render."""
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=2)
+    from svox_t_tpu.utils.spec import DATA_SENTINEL
+    t.data[:] = DATA_SENTINEL
+    t._invalidate_spec()
+    corner = centers[np.all(centers < 0.4, axis=1)]
+    if len(corner) < 2:
+        corner = centers[:4]
+    t.construct_tree(corner)
+    _ = t._baked_spec()  # bake with the small box
+    far = centers[np.all(centers > 0.6, axis=1)]
+    if len(far) < 2:
+        far = centers[-4:]
+    t.construct_tree(far)  # refresh must expand the box
+    baked = t._baked_spec()
+    feats_far = jnp.asarray(
+        np.abs(np.random.RandomState(4).randn(len(far), 4)).astype(np.float32) * 8
+    )
+    spec = t._spec()
+    rays = make_rays(rng, 64)
+    opt = _opts(t)
+    out_tree = volume_render(
+        spec, feats_far, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    out_baked = volume_render(
+        baked, feats_far, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_baked), np.asarray(out_tree), atol=1e-6
+    )
+    assert float(jnp.abs(out_tree[:, -1]).max()) > 0  # something rendered
