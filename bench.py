@@ -142,6 +142,28 @@ def main():
     fast_s = min(times) / N_SUSTAIN
     fast_mrays = n_rays / fast_s / 1e6
 
+    # Opaque-surface variant of the same scene: the workload where the
+    # reference's fast mode (early ray termination) pays — rays stop at
+    # the first surface crossing. Same structure, near-opaque densities.
+    from benchmarks.scenes import build_opaque_tree
+
+    otree, ofeats = build_opaque_tree(depth=depth, data_format="SH9",
+                                      data_dim=28)
+    obaked = otree._baked_spec()
+    out_o = fwd(obaked, ofeats, origins, dirs, vdirs, opt_fast)
+    out_o.block_until_ready()
+    _ = float(fwd_sustained(obaked, ofeats, origins, dirs, vdirs, opt_fast))
+    times = []
+    for i in range(3):
+        f_i = ofeats * (1.0 + 1e-7 * (i + 1))
+        _ = float(jnp.sum(f_i))
+        t0 = time.time()
+        res = fwd_sustained(obaked, f_i, origins, dirs, vdirs, opt_fast)
+        _ = float(res)
+        times.append(time.time() - t0)
+    opaque_fast_s = min(times) / N_SUSTAIN
+    opaque_fast_mrays = n_rays / opaque_fast_s / 1e6
+
     alpha = float(jnp.mean(out[:, -1]))
     print(
         json.dumps(
@@ -159,6 +181,8 @@ def main():
                 "sustained_frames_per_call": N_SUSTAIN,
                 "fast_mode_mrays_s": round(fast_mrays, 3),
                 "fast_mode_ms": round(fast_s * 1e3, 1),
+                "opaque_fast_mrays_s": round(opaque_fast_mrays, 3),
+                "opaque_fast_ms": round(opaque_fast_s * 1e3, 1),
                 "n_rays": int(n_rays),
                 "tree_internal_nodes": int(tree.n_internal),
                 "tree_leaves": int(tree.n_leaves),
