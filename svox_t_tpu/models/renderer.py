@@ -57,19 +57,35 @@ __all__ = ["VolumeRenderer", "Rays", "NDCConfig", "convert_to_ndc"]
 
 
 def convert_to_ndc(origins, directions, focal, w, h, near=1.0):
-    """Convert rays to NDC coordinates (parity: renderer.py:140-160;
-    kept for gradcheck parity — the in-kernel path normalizes dirs)."""
-    t = -(near + origins[..., 2]) / directions[..., 2]
-    origins = origins + t[..., None] * directions
-    dx, dy, dz = directions[..., 0], directions[..., 1], directions[..., 2]
-    ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
-    o0 = -((2 * focal) / w) * (ox / oz)
-    o1 = -((2 * focal) / h) * (oy / oz)
-    o2 = 1 + 2 * near / oz
-    d0 = -((2 * focal) / w) * (dx / dz - ox / oz)
-    d1 = -((2 * focal) / h) * (dy / dz - oy / oz)
-    d2 = -2 * near / oz
-    return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
+    """Convert rays to NDC coordinates (the standard NeRF NDC projection;
+    capability parity: renderer.py:140-160 — kept for gradcheck parity;
+    the in-kernel path normalizes dirs)."""
+    # Shift each origin to the near plane along its own ray, then apply
+    # the perspective NDC warp (origin and direction separately).
+    t_near = -(near + origins[..., 2]) / directions[..., 2]
+    origins = origins + t_near[..., None] * directions
+    sx = -2.0 * focal / w
+    sy = -2.0 * focal / h
+    depth = origins[..., 2]
+    ndc_o = jnp.stack(
+        [
+            sx * origins[..., 0] / depth,
+            sy * origins[..., 1] / depth,
+            1.0 + 2.0 * near / depth,
+        ],
+        -1,
+    )
+    ndc_d = jnp.stack(
+        [
+            sx * (directions[..., 0] / directions[..., 2]
+                  - origins[..., 0] / depth),
+            sy * (directions[..., 1] / directions[..., 2]
+                  - origins[..., 1] / depth),
+            -2.0 * near / depth,
+        ],
+        -1,
+    )
+    return ndc_o, ndc_d
 
 
 @functools.partial(jax.jit, static_argnames=("opt",))

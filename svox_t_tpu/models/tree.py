@@ -391,15 +391,15 @@ class N3Tree:
         are all leaves). The parent becomes a leaf pointing at its first
         non-empty child's feature row; with `op` (default np.mean, parity
         with the reference's `op=torch.mean` — svox.py:352) that row is
-        overwritten with op over the children's feature rows and the
-        updated pool is stored back on the tree; `op=None` keeps the
-        first child's row untouched. NOTE: empty children contribute
-        ZERO rows to the reduction (op=np.mean over a node with one
-        occupied child of N^3 dilutes its features by N^3) — pass
-        op=None or a custom op when that is not wanted. (The reference applies op to its
-        int32 *index table* — an upstream-svox holdover that scrambles
-        the svox_t indirection; reducing the feature rows is the sane
-        interpretation.) Use shrink_to_fit() to recover freed nodes."""
+        overwritten with op over the OCCUPIED children's feature rows
+        (empty cells are excluded from the reduction, so a frontier with
+        one occupied child keeps that child's features rather than an
+        N^3-diluted mean) and the updated pool is stored back on the
+        tree; `op=None` keeps the first child's row untouched. (The
+        reference applies op to its int32 *index table* — an
+        upstream-svox holdover that scrambles the svox_t indirection;
+        reducing the feature rows is the sane interpretation.) Use
+        shrink_to_fit() to recover freed nodes."""
         self._ensure_host_data()
         if self.n_internal - self._n_free <= 1:
             raise RuntimeError("Cannot merge root node")
@@ -420,11 +420,14 @@ class N3Tree:
             vals = self._leaf_feature_values(
                 self.features if features is None else features, nid
             )
-            reduced = op(vals, axis=1)
-            if isinstance(reduced, tuple):
-                reduced = reduced[0]
             ok = parent_row < feats_np.shape[0]
-            feats_np[parent_row[ok]] = reduced[ok]
+            # Reduce over occupied children only (host loop: merges are
+            # rare structure ops; frontiers are small).
+            for i in np.flatnonzero(ok):
+                reduced = op(vals[i][valid[i]], axis=0)
+                if isinstance(reduced, tuple):
+                    reduced = reduced[0]
+                feats_np[parent_row[i]] = reduced
             self.features = jnp.asarray(feats_np)
 
         parent_sel = tuple(self._unpack_index_np(self._parent_depth[nid, 0]).T)

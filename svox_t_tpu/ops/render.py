@@ -124,7 +124,7 @@ def _ray_setup(spec: TreeSpec, origins, dirs):
     return o, d, invdir, delta_scale, tmin, tmax, hit
 
 
-def _clip_to_occupied(spec, o, invdir, tmin, tmax, hit):
+def _clip_to_occupied(spec, o, invdir, tmin, tmax, hit, interp=0):
     """EXACT ray cull against the baked occupied-cell AABB: rays missing
     it produce exactly the background (identical to marching through
     empty space), and samples beyond its exit contribute nothing — so
@@ -132,17 +132,27 @@ def _clip_to_occupied(spec, o, invdir, tmin, tmax, hit):
     The march's t-sequence up to the clamp is untouched (tmin is NOT
     moved: advancing it would shift every subsequent sample position).
     No-op for tree-walk specs (no box) — backend parity tests compare
-    the two paths' outputs, which stay equal by the argument above."""
+    the two paths' outputs, which stay equal by the argument above.
+
+    With trilinear interpolation (`interp`) the cull is DISABLED: interp
+    draws nonzero sigma from occupied corner cells up to half a cell
+    OUTSIDE the occupied box, so clamping at the box exit would drop
+    boundary-skin contributions (and truncate their gradients).
+
+    An all-empty tree is represented by an inverted box (lo > hi); the
+    order-agnostic slab test below would treat it like the full cube, so
+    box validity is gated explicitly (constant-folded under jit)."""
     lo = getattr(spec, "aabb_lo", None)
-    if lo is None:
+    if lo is None or interp:
         return tmax, hit
     hi = spec.aabb_hi
     t1 = (lo - o) * invdir
     t2 = (hi - o) * invdir
     a_lo = jnp.max(jnp.minimum(t1, t2), axis=-1)
     a_hi = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    box_valid = jnp.all(lo <= hi)
     hit = jnp.logical_and(
-        hit,
+        jnp.logical_and(hit, box_valid),
         jnp.logical_and(a_hi >= jnp.maximum(a_lo, 0.0), a_hi >= tmin),
     )
     return jnp.minimum(tmax, a_hi), hit
@@ -562,7 +572,9 @@ def _volume_render_fwd_impl(
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
+        tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp
+        )
         # Split coordinates once per chunk; the march loop closes over the
         # per-axis arrays (elementwise-only phase 1).
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
@@ -885,7 +897,9 @@ def _volume_render_bwd_impl(
     def single(origins_, dirs_, vdirs_, grad_out_, out_res_, grad_f0):
       B = origins_.shape[0]
       o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(spec, origins_, dirs_)
-      tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
+      tmax, hit = _clip_to_occupied(
+          spec, o, invdir, tmin, tmax, hit, opt.interp
+      )
       oxyz = (o[:, 0], o[:, 1], o[:, 2])
       dxyz = (d[:, 0], d[:, 1], d[:, 2])
       ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])

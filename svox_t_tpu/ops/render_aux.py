@@ -71,7 +71,9 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
+        tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp
+        )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
@@ -213,7 +215,9 @@ def _first_hit(spec, features, origins, dirs, opt):
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
+        tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp
+        )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
@@ -329,7 +333,9 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
+        tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp
+        )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
@@ -424,7 +430,9 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(spec, o, invdir, tmin, tmax, hit)
+        tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp
+        )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
         ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])

@@ -7,6 +7,7 @@ Capability parity with the reference `svox_t/helpers.py:378-420`
 
 from __future__ import annotations
 
+import re
 
 class LocalIndex:
     """Marker to query an N3Tree with 'local' coordinates in [0, 1]^3.
@@ -22,11 +23,15 @@ class LocalIndex:
 class DataFormat:
     """Parses the leaf-data format string.
 
-    Formats (parity: svox_t/helpers.py:386-420):
+    Formats (capability parity: svox_t/helpers.py:386-420):
       - ``"RGBA"`` (or any unrecognized string): raw channels + sigma.
       - ``"SH{n}"``: spherical harmonics with n basis functions per channel.
       - ``"SG{n}"``: spherical gaussians.
       - ``"ASG{n}"``: anisotropic spherical gaussians.
+
+    A format string is an alphabetic tag optionally followed by a basis
+    size. Unknown tags fall back to RGBA; a tag with no size has
+    ``basis_dim == -1``.
     """
 
     RGBA = 0
@@ -34,36 +39,21 @@ class DataFormat:
     SG = 2
     ASG = 3
 
+    _CODES = {"SH": SH, "SG": SG, "ASG": ASG}
+    _NAMES = {SH: "SH", SG: "SG", ASG: "ASG", RGBA: "RGBA"}
+
     def __init__(self, txt: str):
-        nonalph_idx = [c.isalpha() for c in txt]
-        if False in nonalph_idx:
-            nonalph_idx = nonalph_idx.index(False)
-            self.basis_dim = int(txt[nonalph_idx:])
-            format_type = txt[:nonalph_idx]
-            if format_type == "SH":
-                self.format = DataFormat.SH
-            elif format_type == "SG":
-                self.format = DataFormat.SG
-            elif format_type == "ASG":
-                self.format = DataFormat.ASG
-            else:
-                self.format = DataFormat.RGBA
+        tag, size = re.fullmatch(r"([A-Za-z]*)(.*)", txt, re.S).group(1, 2)
+        if size:
+            self.format = self._CODES.get(tag, DataFormat.RGBA)
+            self.basis_dim = int(size)
         else:
             self.format = DataFormat.RGBA
             self.basis_dim = -1
 
     def __repr__(self):
-        if self.format == DataFormat.SH:
-            r = "SH"
-        elif self.format == DataFormat.SG:
-            r = "SG"
-        elif self.format == DataFormat.ASG:
-            r = "ASG"
-        else:
-            r = "RGBA"
-        if self.basis_dim >= 0:
-            r += str(self.basis_dim)
-        return r
+        suffix = str(self.basis_dim) if self.basis_dim >= 0 else ""
+        return self._NAMES[self.format] + suffix
 
     def __eq__(self, other):
         if not isinstance(other, DataFormat):

@@ -334,6 +334,71 @@ def test_occupied_aabb_cull_exact(rng):
     np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_t), atol=1e-6)
 
 
+def test_occupied_aabb_cull_interp_parity(rng):
+    """With trilinear interp, occupied corner cells bleed sigma up to
+    half a cell OUTSIDE the occupied box, so the cull must not clamp at
+    the box exit (regression: culling with interp=1 dropped
+    boundary-skin contributions on partially occupied trees)."""
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=2)
+    from svox_t_tpu.utils.spec import DATA_SENTINEL
+    t.data[:] = DATA_SENTINEL
+    t._invalidate_spec()
+    sub = centers[np.all(centers < 0.4, axis=1)]
+    if len(sub) < 4:
+        sub = centers[:8]
+    t.construct_tree(sub)
+    feats_sub = jnp.asarray(
+        np.abs(np.random.RandomState(3).randn(len(sub), 4)).astype(np.float32) * 8
+    )
+    spec = t._spec()
+    baked = t._baked_spec()
+    lo, hi = np.asarray(baked.aabb_lo), np.asarray(baked.aabb_hi)
+    assert (hi - lo).max() < 1.0  # genuinely smaller than the cube
+
+    rays = make_rays(rng, 256)
+    opt = _opts(t, interp=1)
+    out_tree = volume_render(
+        spec, feats_sub, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    out_baked = volume_render(
+        baked, feats_sub, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_baked), np.asarray(out_tree), atol=1e-5
+    )
+    g_tree = jax.grad(lambda f: jnp.sum(volume_render(
+        spec, f, rays.origins, rays.dirs, rays.viewdirs, opt) ** 2))(feats_sub)
+    g_baked = jax.grad(lambda f: jnp.sum(volume_render(
+        baked, f, rays.origins, rays.dirs, rays.viewdirs, opt) ** 2))(feats_sub)
+    np.testing.assert_allclose(
+        np.asarray(g_baked), np.asarray(g_tree), atol=1e-4
+    )
+
+
+def test_empty_tree_inverted_box_culls(rng):
+    """An all-empty tree bakes an inverted 'null box'; the cull must
+    treat it as empty (all-background), not as the full cube (the slab
+    test alone is order-agnostic — regression for the validity gate)."""
+    t, feats, centers = build_tree(rng, depth_limit=3, n_random_refines=1)
+    from svox_t_tpu.utils.spec import DATA_SENTINEL
+    t.data[:] = DATA_SENTINEL
+    t._invalidate_spec()
+    baked = t._baked_spec()
+    lo, hi = np.asarray(baked.aabb_lo), np.asarray(baked.aabb_hi)
+    assert (lo > hi).any()  # the null-box encoding
+    rays = make_rays(rng, 32)
+    opt = _opts(t)
+    out = np.asarray(volume_render(
+        baked, jnp.zeros((0, 4), jnp.float32),
+        rays.origins, rays.dirs, rays.viewdirs, opt,
+    ))
+    expect = np.concatenate(
+        [np.full((32, 3), opt.background_brightness, np.float32),
+         np.zeros((32, 1), np.float32)], axis=1,
+    )
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
 def test_aabb_union_after_repoint(rng):
     """construct_tree with points OUTSIDE the old occupied box must
     expand the cull box (union) so the new cells render."""
