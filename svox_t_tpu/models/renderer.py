@@ -304,12 +304,18 @@ class VolumeRenderer:
         """Volumetric LBS-feature render; differentiable wrt
         `joint_features`. Returns (B, joint_feature_dim)."""
         del cuda
-        spec = self.tree._spec(
-            features,
-            joint_features=joint_features,
-            skinning_weights=skinning_weights,
-            joint_index=joint_index,
-        )
+        if self.backend == "baked":
+            spec = self.tree._baked_spec(
+                skinning_weights=skinning_weights,
+                joint_index=joint_index,
+            )
+        else:
+            spec = self.tree._spec(
+                features,
+                joint_features=joint_features,
+                skinning_weights=skinning_weights,
+                joint_index=joint_index,
+            )
         return _motion_feature_jit(
             spec,
             jnp.asarray(joint_features),

@@ -199,7 +199,8 @@ class N3Tree:
             )
         return spec
 
-    def _baked_spec(self, transformation_matrices=None):
+    def _baked_spec(self, transformation_matrices=None,
+                    skinning_weights=None, joint_index=None):
         """Baked render structure (ops/bake.py): dense top grid + brick
         atlas — 2 gathers per sample instead of ~depth. Cached; refreshed
         cheaply (one gather) after construct_tree re-points the index
@@ -218,15 +219,21 @@ class N3Tree:
                 extra_data=self.extra_data,
             )
         baked = self._cached_baked
+        updates = {}
         if transformation_matrices is not None:
+            updates["transformation_matrices"] = jnp.asarray(
+                transformation_matrices, jnp.float32
+            )
+        if skinning_weights is not None:
+            updates["skinning_weights"] = jnp.asarray(
+                skinning_weights, jnp.float32
+            )
+        if joint_index is not None:
+            updates["joint_index"] = jnp.asarray(joint_index, jnp.int32)
+        if updates:
             import dataclasses as _dc
 
-            baked = _dc.replace(
-                baked,
-                transformation_matrices=jnp.asarray(
-                    transformation_matrices, jnp.float32
-                ),
-            )
+            baked = _dc.replace(baked, **updates)
         return baked
 
     # ------------------------------------------------------------------

@@ -80,6 +80,11 @@ class BakedTree:
     scaling: jax.Array
     extra_data: Optional[jax.Array] = None
     transformation_matrices: Optional[jax.Array] = None
+    # Per-point LBS attributes (indexed by data_idx like the feature
+    # pool; carried unbaked) — lets the baked backend drive
+    # motion_feature_render.
+    skinning_weights: Optional[jax.Array] = None
+    joint_index: Optional[jax.Array] = None
     # Tree-space AABB of DATA-OCCUPIED leaf cells. Rays that miss it
     # produce exactly the background (occupied cells are all inside), so
     # the renderer culls them and clamps tmax to the AABB exit — an

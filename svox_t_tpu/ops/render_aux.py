@@ -229,11 +229,21 @@ def _first_hit(spec, features, origins, dirs, opt):
 
         def body(carry):
             step0, t, active, found, t_hit, idx_hit = carry
-            idx, dt, valid, _, t_at, _, t_end, act_end = _march_round(
+            idx, dt, valid, _, t_at, cube, t_end, act_end = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
                 want_pos=True,
             )
-            _, sigma = _gather_round(features_t, idx, dtype)
+            if opt.interp:
+                # Trilinear density gates the hit, mirroring the main
+                # renderer's interp semantics.
+                px = oxyz[0][None] + t_at * dxyz[0][None]
+                py = oxyz[1][None] + t_at * dxyz[1][None]
+                pz = oxyz[2][None] + t_at * dxyz[2][None]
+                _, sigma, _ = _gather_interp(
+                    spec, features_t, px, py, pz, cube, dtype
+                )
+            else:
+                _, sigma = _gather_round(features_t, idx, dtype)
             contrib = jnp.logical_and(valid, sigma > opt.sigma_thresh)
             # first contributing sample in this round, per ray
             first = jnp.logical_and(
@@ -347,10 +357,21 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
 
         def body(carry):
             step0, t, L, out, active, stopped = carry
-            idx, dt, valid, _, _, _, t_end, act_end = _march_round(
+            idx, dt, valid, _, t_at, cube, t_end, act_end = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            feat, sigma = _gather_round(features_t, idx, dtype)
+            if opt.interp:
+                # Trilinear density (main-renderer semantics); the LBS
+                # blend stays nearest-leaf — skinning rows are per-point
+                # attributes (rt_kernel.cu:937-938 gathers them per leaf).
+                px = oxyz[0][None] + t_at * dxyz[0][None]
+                py = oxyz[1][None] + t_at * dxyz[1][None]
+                pz = oxyz[2][None] + t_at * dxyz[2][None]
+                _, sigma, _ = _gather_interp(
+                    spec, features_t, px, py, pz, cube, dtype
+                )
+            else:
+                _, sigma = _gather_round(features_t, idx, dtype)
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
             contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
             att = jnp.exp(-dt * delta_scale[None] * sigma)
@@ -447,10 +468,18 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         def body(carry):
             step0, t, L, gjf = carry
             active = jnp.logical_and(hit, t < tmax)
-            idx, dt, valid, _, _, _, t_end, _ = _march_round(
+            idx, dt, valid, _, t_at, cube, t_end, _ = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            feat, sigma = _gather_round(features_t, idx, dtype)
+            if opt.interp:
+                px = oxyz[0][None] + t_at * dxyz[0][None]
+                py = oxyz[1][None] + t_at * dxyz[1][None]
+                pz = oxyz[2][None] + t_at * dxyz[2][None]
+                _, sigma, _ = _gather_interp(
+                    spec, features_t, px, py, pz, cube, dtype
+                )
+            else:
+                _, sigma = _gather_round(features_t, idx, dtype)
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
             contrib = jnp.logical_and(valid, sigma > 0.0)
             att = jnp.exp(-dt * sigma * delta_scale[None])

@@ -1,2 +1,4 @@
 from .render import (make_ray_mesh, replicate_spec, shard_rays,
                      render_sharded, make_train_step)
+from .distributed import (initialize, is_multi_process, global_ray_mesh,
+                          shard_global_rays, replicate_global)

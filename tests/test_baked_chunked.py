@@ -194,6 +194,86 @@ def test_baked_transformation_matrices(scene):
     )
 
 
+@pytest.mark.parametrize("interp", [0, 1])
+def test_aux_backend_interp_parity(scene, interp):
+    """Every aux entry point must agree between the tree walk and the
+    baked backend, in nearest AND trilinear (interp) modes — including
+    motion_feature_render, which historically only had a tree path."""
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 64)
+    opt = _opts(t, interp=interp)
+    M = feats.shape[0]
+    # joints in extra_data for motion_render; LBS tables for mf render
+    joints = np.asarray(rng.rand(5, 3), np.float32)
+    t2 = t.partial()
+    t2.extra_data = joints
+    t2._invalidate_spec()
+    spec = t2._spec()
+    baked = t2._baked_spec()
+
+    for fn in (opacity_render, render_depth):
+        a = fn(spec, feats, rays.origins, rays.dirs, opt)
+        b = fn(baked, feats, rays.origins, rays.dirs, opt)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=f"{fn.__name__} interp={interp}",
+        )
+
+    mt = motion_render(spec, feats, rays.origins, rays.dirs, opt)
+    mb = motion_render(baked, feats, rays.origins, rays.dirs, opt)
+    for x, y in zip(mt, mb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5,
+            err_msg=f"motion_render interp={interp}",
+        )
+
+    n_bones, jdim, J = 3, 6, 5
+    sw = jnp.asarray(np.abs(rng.rand(M, n_bones)).astype(np.float32))
+    ji = jnp.asarray(rng.randint(0, J, size=(M, n_bones)).astype(np.int32))
+    jf = jnp.asarray(rng.randn(J, jdim).astype(np.float32))
+    spec_mf = t2._spec(skinning_weights=sw, joint_index=ji)
+    baked_mf = dataclasses.replace(baked, skinning_weights=sw, joint_index=ji)
+    a = motion_feature_render(
+        spec_mf, jf, feats, rays.origins, rays.dirs, opt
+    )
+    b = motion_feature_render(
+        baked_mf, jf, feats, rays.origins, rays.dirs, opt
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5,
+        err_msg=f"motion_feature_render interp={interp}",
+    )
+    ga = jax.grad(lambda j: jnp.sum(motion_feature_render(
+        spec_mf, j, feats, rays.origins, rays.dirs, opt) ** 2))(jf)
+    gb = jax.grad(lambda j: jnp.sum(motion_feature_render(
+        baked_mf, j, feats, rays.origins, rays.dirs, opt) ** 2))(jf)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), atol=1e-4,
+        err_msg=f"motion_feature_render grad interp={interp}",
+    )
+
+
+def test_mf_render_baked_backend_api(scene):
+    """VolumeRenderer(backend='baked').motion_feature_render must route
+    through the baked spec and equal the tree backend."""
+    t, feats, centers, rng = scene
+    rays = make_rays(rng, 32)
+    M = feats.shape[0]
+    n_bones, jdim, J = 3, 6, 4
+    sw = jnp.asarray(np.abs(rng.rand(M, n_bones)).astype(np.float32))
+    ji = jnp.asarray(rng.randint(0, J, size=(M, n_bones)).astype(np.int32))
+    jf = jnp.asarray(rng.randn(J, jdim).astype(np.float32))
+    out_t = st.VolumeRenderer(t, backend="tree").motion_feature_render(
+        feats, jf, sw, ji, rays
+    )
+    out_b = st.VolumeRenderer(t, backend="baked").motion_feature_render(
+        feats, jf, sw, ji, rays
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(out_b), atol=1e-5
+    )
+
+
 def test_baked_brick_path_parity(scene):
     """Force brick_levels > 0 (small top) and check lookup + render +
     gradient parity with the tree walk — covers the two-gather brick
