@@ -360,11 +360,18 @@ class VolumeRenderer:
             ndc_w, ndc_h, ndc_f = -1, -1, -1.0
         sigma_thresh = 1e-2 if fast else 0.0
         stop_thresh = 1e-2 if fast else 0.0
+        # Fast mode also skips the provably-empty approach to the
+        # occupied box (box_advance): the same exactness license as the
+        # thresholds (the approach samples contribute nothing; removing
+        # them shifts later sample positions by bounded amounts).
+        box_advance = 1 if fast else 0
         # Attribute overrides, honored like the reference.
         if hasattr(self, "sigma_thresh"):
             sigma_thresh = self.sigma_thresh
         if hasattr(self, "stop_thresh"):
             stop_thresh = self.stop_thresh
+        if hasattr(self, "box_advance"):
+            box_advance = self.box_advance
         return RenderOptions(
             step_size=float(self.step_size),
             background_brightness=float(self.background_brightness),
@@ -381,6 +388,7 @@ class VolumeRenderer:
             chunk_size=int(self.chunk_size),
             interp=int(self.interp),
             round_size=self._auto_round_size(),
+            box_advance=int(box_advance),
         )
 
     def _auto_round_size(self) -> int:

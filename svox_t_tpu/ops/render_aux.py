@@ -71,8 +71,8 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(
-            spec, o, invdir, tmin, tmax, hit, opt.interp
+        tmin, tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
         )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
@@ -215,8 +215,8 @@ def _first_hit(spec, features, origins, dirs, opt):
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(
-            spec, o, invdir, tmin, tmax, hit, opt.interp
+        tmin, tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
         )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
@@ -343,8 +343,8 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(
-            spec, o, invdir, tmin, tmax, hit, opt.interp
+        tmin, tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
         )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])
@@ -451,8 +451,8 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmax, hit = _clip_to_occupied(
-            spec, o, invdir, tmin, tmax, hit, opt.interp
+        tmin, tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
         )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
         dxyz = (d[:, 0], d[:, 1], d[:, 2])

@@ -87,6 +87,26 @@ class RenderOptions:
     # neighboring cells of the leaf's own resolution grid (the north-star
     # option; ~8x gather cost — opt-in). Empty neighbors contribute 0.
     interp: int = 0
+    # FAST-MODE-ONLY empty-space acceleration: advance each ray's start t
+    # to its entry into the baked occupied-cell AABB (skipping the
+    # provably-empty approach). Samples before the box contribute nothing,
+    # but removing them SHIFTS every subsequent sample position on the
+    # sequential t-chain, so outputs change by O(step_size * sigma) —
+    # the same accuracy license as the reference's fast thresholds
+    # (renderer.py:428-433). MUST stay 0 on the exact-parity path; no-op
+    # for tree-walk specs (no box) and under interp.
+    box_advance: int = 0
+    # Backward gradient-tape capacity (rows). 0 = per-round tiered
+    # scatter (each round pays a latency-chained scatter call). > 0 =
+    # per-round COMPACT-APPEND of contributing gradient rows into a
+    # global (grad_tape_rows, D) tape carried across chunks, with ONE
+    # bulk scatter at the end (measured ~18 ns/row at 1M rows vs
+    # ~80-150 ns/row for per-round calls — docs/PERFORMANCE.md).
+    # Overflowing rounds fall back to the tiered scatter, so any
+    # capacity is CORRECT; size it ~= expected contributing samples.
+    # Exact single-pass nearest-mode backward only (interp/thresholded
+    # paths ignore it).
+    grad_tape_rows: int = 0
 
 
 @jax.tree_util.register_dataclass

@@ -624,3 +624,89 @@ def test_opacity_trilinear_grad(rng):
         assert abs(fd - g[i, -1]) < 5e-3 + 0.05 * abs(fd), (i, fd, g[i, -1])
         checked += 1
     assert checked == 3
+
+
+def test_grad_tape_matches_ladder(rng):
+    """The global gradient tape (grad_tape_rows > 0) must produce the
+    SAME gradients as the per-round tiered scatter at any capacity —
+    including spill-heavy tiny capacities."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "SH4", 13)
+    rays = make_rays(rng, 150)
+    spec = t._baked_spec()
+    opt0 = r._get_options(False)
+
+    def loss(f, opt):
+        return jnp.sum(
+            volume_render(
+                spec, f, rays.origins, rays.dirs, rays.viewdirs, opt
+            ) ** 2
+        )
+
+    g0 = np.asarray(jax.grad(lambda f: loss(f, opt0))(feats))
+    for cap in (1 << 15, 512, 64):
+        opt1 = dataclasses.replace(opt0, grad_tape_rows=cap)
+        g1 = np.asarray(jax.grad(lambda f: loss(f, opt1))(feats))
+        np.testing.assert_allclose(g1, g0, atol=2e-5, err_msg=f"cap={cap}")
+
+
+def test_box_advance_fast_only_semantics(rng):
+    """box_advance skips the provably-empty approach to the occupied
+    box: fast-mode outputs move only within the fast-accuracy envelope,
+    miss rays are unchanged, and exact mode (box_advance=0) is
+    untouched by the presence of the option."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "RGBA", 4, sigma_scale=20.0)
+    rays = make_rays(rng, 128)
+    baked = t._baked_spec()
+    opt_fast = r._get_options(True)
+    assert opt_fast.box_advance == 1  # fast mode enables it
+    opt_fast0 = dataclasses.replace(opt_fast, box_advance=0)
+    a = np.asarray(volume_render(
+        baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt_fast0))
+    b = np.asarray(volume_render(
+        baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt_fast))
+    # bounded divergence (the fast license), not equality
+    assert np.abs(a - b).max() < 0.05
+    # rays that never hit (background, alpha 0) must be identical
+    miss = a[:, -1] == 0.0
+    assert miss.any()
+    np.testing.assert_array_equal(a[miss], b[miss])
+    # exact options keep box_advance off
+    assert r._get_options(False).box_advance == 0
+
+
+def test_box_advance_bwd_consistent(rng):
+    """The backward re-march must advance tmin exactly like the forward
+    (same opt): gradients stay finite-difference-consistent under
+    box_advance."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "RGBA", 4, sigma_scale=5.0)
+    rays = make_rays(rng, 32)
+    baked = t._baked_spec()
+    opt = dataclasses.replace(
+        r._get_options(False), box_advance=1
+    )
+
+    def loss(f):
+        return jnp.sum(volume_render(
+            baked, f, rays.origins, rays.dirs, rays.viewdirs, opt))
+
+    g = np.asarray(jax.grad(loss)(feats))
+    assert np.isfinite(g).all()
+    f0 = np.asarray(feats)
+    order = np.argsort(-np.abs(g).max(axis=1))
+    checked = 0
+    for i in order[:3]:
+        for c in (0, f0.shape[1] - 1):
+            eps = 1e-2
+            fp = f0.copy(); fp[i, c] += eps
+            fm = f0.copy(); fm[i, c] -= eps
+            fd = (float(loss(jnp.asarray(fp))) -
+                  float(loss(jnp.asarray(fm)))) / (2 * eps)
+            assert abs(fd - g[i, c]) < 5e-3 + 0.05 * abs(fd), (i, c, fd, g[i, c])
+            checked += 1
+    assert checked == 6
