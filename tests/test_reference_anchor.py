@@ -286,3 +286,37 @@ def test_cpu_dda_render_matches_reference(rng, tmp_path, data_format,
         np.full(((~hit).sum(), 3), opt.background_brightness, np.float32),
         atol=1e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. npz interchange: a REFERENCE-written legacy (upstream-svox float
+#    `data`) file loads through our legacy path and queries identically
+# ---------------------------------------------------------------------------
+
+
+def test_reference_written_legacy_npz_roundtrip(rng, tmp_path):
+    """The reference's own `save()` of an upstream-svox-style float-data
+    tree must load through our legacy-float path (pool + identity index
+    table) and produce identical query values — our loader's legacy
+    branch exercised on a file the reference code actually wrote."""
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=2)
+    rt = _float_data_ref_tree(t, feats, tmp_path)
+    rt.invradius = torch.ones(3)  # (3,) so save() writes invradius3
+    path = os.path.join(str(tmp_path), "ref_written.npz")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rt.save(path, shrink=False)  # reference-side write
+
+    ours = st.N3Tree.load(path)
+    assert ours.n_internal == int(rt.n_internal)
+    # legacy path: float data became a pool + identity index table
+    assert ours.features.shape[1] == feats.shape[1]
+
+    pts = (rng.rand(300, 3).astype(np.float32) * 1.4 - 0.2).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_vals = ref.N3Tree.forward(
+            rt, None, torch.from_numpy(pts.copy()), cuda=False
+        ).numpy()
+    vals, _, _ = query(ours._spec(), ours.features, jnp.asarray(pts), True)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-6)
