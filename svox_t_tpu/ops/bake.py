@@ -96,10 +96,12 @@ class BakedTree:
     top_levels: int = dataclasses.field(default=5, metadata=dict(static=True))
     brick_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_tree_cells: int = dataclasses.field(default=0, metadata=dict(static=True))
-    # Row widths of the packed tables (power of two). Chosen so each
-    # table stays under ~128k rows: the TPU gather cost knee is on the
-    # operand's ROW COUNT (~2ns/idx below 128k rows, ~9-13ns above),
-    # not its byte size — wide rows keep big tables fast.
+    # Row widths of the packed tables (power of two), kept <= ~128k rows
+    # per table. Round-3 revision of WHY this matters: (65536, 32) is
+    # the layout XLA reliably VMEM-pins AND that tiles without padding
+    # blowup (narrow rows bloat 16x under T(8,128) minor-dim padding,
+    # pushing the table past the pinnable size — the real mechanism
+    # behind the old "row-count knee"). See docs/PERFORMANCE.md.
     top_width: int = dataclasses.field(default=8, metadata=dict(static=True))
     brick_width: int = dataclasses.field(default=8, metadata=dict(static=True))
 
@@ -204,11 +206,16 @@ def bake_arrays(
 
     corners, depths, srcs, D = _leaf_cells(child, parent_depth, n_internal)
     if top_levels is None:
-        # The gather-cost knee is on operand ROW count; adaptive row
-        # width keeps even large dense tops fast, so go fully dense up to
-        # 16M cells (64 MB, depth 8 at N=2). Deeper levels go to bricks.
+        # Dense top only while it stays VMEM-pinnable (~8 MB = 2^21
+        # cells): XLA pins loop-invariant tables into scoped memory
+        # where gathers run ~1.7 ns/idx vs ~11.5 from HBM (round-3 cost
+        # model, docs/PERFORMANCE.md). Deeper levels go to bricks; very
+        # deep trees (D >= 9) measured fastest with an even smaller top
+        # (2^18 cells) — benchmarks/probe_deep.py: depth-9 shell 2.33 ->
+        # 3.4 Mrays/s, depth-8 5.41 -> 7.7.
+        cap_cells = 2 ** 18 if D >= 9 else 2 ** 21
         top_levels = D
-        while (N ** top_levels) ** 3 > 2 ** 24:
+        while (N ** top_levels) ** 3 > cap_cells:
             top_levels -= 1
     top_levels = min(top_levels, D)
     brick_levels = D - top_levels
