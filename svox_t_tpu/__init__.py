@@ -26,6 +26,7 @@ from .ops.warp import (blend_transformation_matrix, get_transformation_matrix,
 from .ops.p2v import voxelize
 from .ops.grid import grid_weight_render
 from .ops.sh import eval_sh, eval_sh_bases
+from .ops.render import QuantizedFeatures, quantize_features
 from .utils.builders import tree_from_occupancy, tree_structure_from_occupancy
 
 __all__ = [
@@ -50,6 +51,8 @@ __all__ = [
     "tree_from_occupancy",
     "tree_structure_from_occupancy",
     "eval_sh_bases",
+    "QuantizedFeatures",
+    "quantize_features",
     "make_tree_spec",
     "DATA_SENTINEL",
     "__version__",

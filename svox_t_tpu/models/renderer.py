@@ -149,6 +149,16 @@ def _motion_feature_jit(spec, joint_features, features, origins, dirs, opt):
     )
 
 
+
+def _as_features(features):
+    """Pass QuantizedFeatures through; convert arrays."""
+    from ..ops.render import QuantizedFeatures
+
+    if isinstance(features, QuantizedFeatures):
+        return features
+    return jnp.asarray(features)
+
+
 class VolumeRenderer:
     """Volume renderer bound to an N3Tree (see module docstring)."""
 
@@ -224,7 +234,7 @@ class VolumeRenderer:
             jnp.asarray(rays.dirs),
             jnp.asarray(rays.viewdirs),
         )
-        features = jnp.asarray(features)
+        features = _as_features(features)
         if self.tree._weight_accum is not None:
             out, waccum = _render_weights_jit(
                 spec, features, origins, dirs, vdirs, opt
@@ -255,7 +265,7 @@ class VolumeRenderer:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
         spec = self._render_spec()
-        features = jnp.asarray(features)
+        features = _as_features(features)
         c2w = jnp.asarray(c2w, jnp.float32)
         if self.tree._weight_accum is not None:
             out, waccum = _persp_jit(
@@ -281,7 +291,7 @@ class VolumeRenderer:
         spec = self._render_spec()
         return _motion_jit(
             spec,
-            jnp.asarray(features),
+            _as_features(features),
             jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs),
             self._get_options(fast),
@@ -293,7 +303,7 @@ class VolumeRenderer:
         spec = self._render_spec()
         return _depth_jit(
             spec,
-            jnp.asarray(features),
+            _as_features(features),
             jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs),
             self._get_options(fast),
@@ -319,7 +329,7 @@ class VolumeRenderer:
         return _motion_feature_jit(
             spec,
             jnp.asarray(joint_features),
-            jnp.asarray(features),
+            _as_features(features),
             jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs),
             self._get_options(fast),
@@ -331,7 +341,7 @@ class VolumeRenderer:
         spec = self._render_spec()
         return _opacity_jit(
             spec,
-            jnp.asarray(features),
+            _as_features(features),
             jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs),
             self._get_options(fast),

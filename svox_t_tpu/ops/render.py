@@ -68,49 +68,96 @@ def _basis_window(opt: RenderOptions) -> np.ndarray:
     return ((idx >= opt.min_comp) & (idx <= opt.max_comp)).astype(np.float32)
 
 
+class QuantizedFeatures(NamedTuple):
+    """Affine-quantized (int8) feature pool — inference-path rendering.
+
+    Dequantization `q * scale + zero` (per channel) happens after each
+    gather, in float math, so radiometry semantics are unchanged up to
+    the quantization error of the pool itself. Quarters the pool's HBM
+    footprint/bandwidth vs f32 — the lever for memory-bound deep scenes
+    (the structural side of what the reference's offline
+    `quantize_median_cut` compression enables, quantizer.cpp:38-157).
+    NOT differentiable: rendering with a quantized pool returns zero
+    (float0) feature cotangents.
+    """
+
+    q: jax.Array       # (M, D) int8
+    scale: jax.Array   # (D,) float32
+    zero: jax.Array    # (D,) float32
+
+
+def quantize_features(features, bits: int = 8) -> QuantizedFeatures:
+    """Per-channel affine quantization of an (M, D) float pool."""
+    assert bits == 8, "int8 is the supported quantized pool width"
+    features = jnp.asarray(features, jnp.float32)
+    lo = jnp.min(features, axis=0)
+    hi = jnp.max(features, axis=0)
+    scale = jnp.maximum(hi - lo, 1e-12) / 254.0
+    zero = (lo + hi) * 0.5
+    q = jnp.clip(jnp.round((features - zero) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return QuantizedFeatures(q, scale, zero)
+
+
 class PackedFeatures(NamedTuple):
     """Feature pool prepared for fast per-sample gathers.
 
-    The TPU gather-cost knee is on the operand's row count (~128k rows;
-    see ops/bake.py). Pools beyond that are packed G rows per table row
+    Pools beyond _MAX_FEATURE_ROWS are packed G rows per table row
     (G a power of two), gathered by `idx >> log2(G)` and group-selected
-    with a one-hot — same trick as the baked tables. G == 1 keeps the
-    plain layout. Packing happens ONCE per call, outside march loops.
+    with a one-hot — same trick as the baked tables (the row cap keeps
+    the layout in the regime XLA VMEM-pins when the pool is small
+    enough; see docs/PERFORMANCE.md). G == 1 keeps the plain layout.
+    Packing happens ONCE per call, outside march loops. `scale`/`zero`
+    non-None marks an int8 table dequantized after each gather.
     """
 
     table: jax.Array
     G: int
     M: int
     D: int
+    scale: Optional[jax.Array] = None
+    zero: Optional[jax.Array] = None
 
 
 # Row-count cap for the packed feature table (see ops/bake.MAX_TABLE_ROWS).
 _MAX_FEATURE_ROWS = 1 << 16
 
 
-def _pack_features(features: jax.Array) -> PackedFeatures:
+def _pack_features(features) -> PackedFeatures:
+    scale = zero = None
+    if isinstance(features, QuantizedFeatures):
+        features, scale, zero = features
     M, D = features.shape
     G = 1
     while -(-M // G) > _MAX_FEATURE_ROWS and G < 64:
         G *= 2
     if G == 1 or M == 0:
-        return PackedFeatures(features, 1, M, D)
+        return PackedFeatures(features, 1, M, D, scale, zero)
     rows = -(-M // G)
     pad = rows * G - M
     padded = jnp.pad(features, ((0, pad), (0, 0)))
-    return PackedFeatures(padded.reshape(rows, G * D), G, M, D)
+    return PackedFeatures(padded.reshape(rows, G * D), G, M, D, scale, zero)
 
 
 def _gather_features(ft: PackedFeatures, idx: jax.Array) -> jax.Array:
-    """(B,) clamped row indices -> (B, D) feature rows."""
+    """(B,) clamped row indices -> (B, D) feature rows (dequantized)."""
     if ft.G == 1:
-        return ft.table[idx]
-    shift = ft.G.bit_length() - 1
-    rows = ft.table[idx >> shift]  # (B, G*D)
-    rows = rows.reshape(rows.shape[0], ft.G, ft.D)
-    lane = (idx & (ft.G - 1))[:, None]
-    oh = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], ft.G), 1) == lane
-    return jnp.sum(jnp.where(oh[:, :, None], rows, 0.0), axis=1)
+        rows = ft.table[idx]
+    else:
+        shift = ft.G.bit_length() - 1
+        rows = ft.table[idx >> shift]  # (B, G*D)
+        rows = rows.reshape(rows.shape[0], ft.G, ft.D)
+        lane = (idx & (ft.G - 1))[:, None]
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], ft.G), 1)
+            == lane
+        )
+        fill = 0 if jnp.issubdtype(ft.table.dtype, jnp.integer) else 0.0
+        rows = jnp.sum(jnp.where(oh[:, :, None], rows, fill), axis=1)
+    if ft.scale is not None:
+        rows = rows.astype(ft.scale.dtype) * ft.scale + ft.zero
+    return rows
 
 
 def _ray_setup(spec: TreeSpec, origins, dirs):
@@ -190,8 +237,8 @@ def _sample(spec: TreeSpec, features, o, d, invdir, t, step_size):
         # Empty feature pool: every leaf is empty space.
         valid = jnp.zeros((B,), bool)
         idx = jnp.zeros((B,), jnp.int32)
-        feat = jnp.zeros((B, D), ft.table.dtype)
-        sigma = jnp.zeros((B,), ft.table.dtype)
+        feat = jnp.zeros((B, D), pos.dtype)
+        sigma = jnp.zeros((B,), pos.dtype)
         return leaf, feat, delta_t, sigma, valid, idx
     valid = leaf.data_idx < M
     idx = jnp.where(valid, leaf.data_idx, 0)
@@ -553,7 +600,11 @@ def _volume_render_fwd_impl(
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward ray march (chunked rounds). Returns ((B, n_color+1)
     color+alpha, optional flat (capacity*N^3,) weight accumulation)."""
-    D = features.shape[1]
+    D = (
+        features.q.shape[1]
+        if isinstance(features, QuantizedFeatures)
+        else features.shape[1]
+    )
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     dtype = origins.dtype
     K = max(1, opt.round_size)
@@ -1270,9 +1321,13 @@ def _vr_fwd(spec, features, origins, dirs, vdirs, opt):
 
 def _vr_bwd(opt, res, g):
     spec, features, origins, dirs, vdirs, out = res
-    grad_features = _volume_render_bwd_impl(
-        spec, features, origins, dirs, vdirs, g, opt, out_res=out
-    )
+    if isinstance(features, QuantizedFeatures):
+        # Quantized pools are inference-path: no feature gradient.
+        grad_features = _zero_cotangent(features)
+    else:
+        grad_features = _volume_render_bwd_impl(
+            spec, features, origins, dirs, vdirs, g, opt, out_res=out
+        )
     return (
         _zero_cotangent(spec),
         grad_features,
@@ -1307,6 +1362,15 @@ def _vrwa_fwd(spec, features, origins, dirs, vdirs, opt):
 def _vrwa_bwd(opt, res, g):
     spec, features, origins, dirs, vdirs, out = res
     g_out, _g_w = g  # weight-accum output carries no gradient
+    if isinstance(features, QuantizedFeatures):
+        grad_features = _zero_cotangent(features)
+        return (
+            _zero_cotangent(spec),
+            grad_features,
+            jnp.zeros_like(origins),
+            jnp.zeros_like(dirs),
+            jnp.zeros_like(vdirs),
+        )
     grad_features = _volume_render_bwd_impl(
         spec, features, origins, dirs, vdirs, g_out, opt, out_res=out
     )

@@ -179,9 +179,13 @@ def _op_fwd(spec, features, origins, dirs, opt):
 
 def _op_bwd(opt, res, g):
     spec, features, origins, dirs, out = res
-    grad_features = _opacity_bwd_impl(
-        spec, features, origins, dirs, g, opt, out_res=out
-    )
+    from .render import QuantizedFeatures
+    if isinstance(features, QuantizedFeatures):
+        grad_features = _zero_cotangent(features)
+    else:
+        grad_features = _opacity_bwd_impl(
+            spec, features, origins, dirs, g, opt, out_res=out
+        )
     return (
         _zero_cotangent(spec),
         grad_features,
@@ -543,7 +547,7 @@ def _mf_bwd(opt, res, g):
     return (
         _zero_cotangent(spec),
         grad_jf,
-        jnp.zeros_like(features),
+        _zero_cotangent(features),
         jnp.zeros_like(origins),
         jnp.zeros_like(dirs),
     )

@@ -710,3 +710,45 @@ def test_box_advance_bwd_consistent(rng):
             assert abs(fd - g[i, c]) < 5e-3 + 0.05 * abs(fd), (i, c, fd, g[i, c])
             checked += 1
     assert checked == 6
+
+
+def test_quantized_pool_render(rng):
+    """int8 affine-quantized pools: outputs within quantization error of
+    the f32 pool, across main/opacity/depth entry points and backends;
+    differentiating the graph does not crash (zero feature cotangent)."""
+    t, feats, r = _setup(rng, "SH4", 13)
+    rays = make_rays(rng, 96)
+    qf = st.quantize_features(feats)
+    assert qf.q.dtype == jnp.int8
+
+    out_f = np.asarray(r(feats, rays))
+    out_q = np.asarray(r(qf, rays))
+    assert np.abs(out_f - out_q).max() < 0.05
+
+    # backend parity with the same quantized pool
+    out_tree = np.asarray(st.VolumeRenderer(t, backend="tree")(qf, rays))
+    np.testing.assert_allclose(out_q, out_tree, atol=2e-5)
+
+    op_f = np.asarray(r.opacity_render(feats, rays))
+    op_q = np.asarray(r.opacity_render(qf, rays))
+    assert np.abs(op_f - op_q).max() < 0.05
+    d_f = np.asarray(r.render_depth(feats, rays))
+    d_q = np.asarray(r.render_depth(qf, rays))
+    # first-hit depth can jump a whole leaf where sigma sits near the
+    # threshold; just require most rays agree
+    assert (np.abs(d_f - d_q) < 1e-4).mean() > 0.9
+
+    # grads through the quantized pool: structure-preserving zeros
+    from svox_t_tpu.ops.render import volume_render
+    spec = t._baked_spec()
+    opt = r._get_options(False)
+
+    def f(q):
+        qq = st.QuantizedFeatures(q, qf.scale, qf.zero)
+        return jnp.sum(volume_render(
+            spec, qq, rays.origins, rays.dirs, rays.viewdirs, opt))
+
+    g = jax.grad(lambda s: jnp.sum(volume_render(
+        spec, st.QuantizedFeatures(qf.q, s, qf.zero),
+        rays.origins, rays.dirs, rays.viewdirs, opt)))(qf.scale)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
