@@ -164,6 +164,28 @@ def main():
     opaque_fast_s = min(times) / N_SUSTAIN
     opaque_fast_mrays = n_rays / opaque_fast_s / 1e6
 
+    # Deep-scene forward (depth-9 shell, ~2.1M leaves / 1.4M features,
+    # bf16 pool): the memory-bound regime — exercises the pinnable-top
+    # bake + brick atlas (round 3).
+    t0 = time.time()
+    dtree, dfeats = build_shell_tree(depth=9, data_format="SH9", data_dim=28)
+    dbaked = dtree._baked_spec()
+    dfeats = dfeats.astype(jnp.bfloat16)
+    deep_build_s = time.time() - t0
+    rd = st.VolumeRenderer(dtree, step_size=1e-3)
+    opt_deep = rd._get_options(False)
+    _ = float(fwd_sustained(dbaked, dfeats, origins, dirs, vdirs, opt_deep))
+    times = []
+    for i in range(3):
+        f_i = dfeats * (1.0 + 1e-2 * (i + 1))
+        _ = float(jnp.sum(f_i))
+        t0 = time.time()
+        res = fwd_sustained(dbaked, f_i, origins, dirs, vdirs, opt_deep)
+        _ = float(res)
+        times.append(time.time() - t0)
+    deep_s = min(times) / N_SUSTAIN
+    deep_mrays = n_rays / deep_s / 1e6
+
     alpha = float(jnp.mean(out[:, -1]))
     print(
         json.dumps(
@@ -183,6 +205,9 @@ def main():
                 "fast_mode_ms": round(fast_s * 1e3, 1),
                 "opaque_fast_mrays_s": round(opaque_fast_mrays, 3),
                 "opaque_fast_ms": round(opaque_fast_s * 1e3, 1),
+                "deep9_mrays_s": round(deep_mrays, 3),
+                "deep9_ms": round(deep_s * 1e3, 1),
+                "deep9_build_s": round(deep_build_s, 1),
                 "n_rays": int(n_rays),
                 "tree_internal_nodes": int(tree.n_internal),
                 "tree_leaves": int(tree.n_leaves),
