@@ -320,3 +320,41 @@ def test_reference_written_legacy_npz_roundtrip(rng, tmp_path):
         ).numpy()
     vals, _, _ = query(ours._spec(), ours.features, jnp.asarray(pts), True)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 5. Pure-torch helpers: NDC conversion and LBS matrix composition
+# ---------------------------------------------------------------------------
+
+
+def test_convert_to_ndc_matches_reference(rng):
+    B = 127
+    origins = rng.randn(B, 3).astype(np.float32)
+    origins[:, 2] = -np.abs(origins[:, 2]) - 1.5  # in front of the near plane
+    dirs = rng.randn(B, 3).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5
+    focal, w, h = 555.0, 800.0, 600.0
+    ro, rd = ref_renderer_mod.convert_to_ndc(
+        torch.from_numpy(origins.copy()), torch.from_numpy(dirs.copy()),
+        focal, w, h,
+    )
+    oo, od = st.convert_to_ndc(
+        jnp.asarray(origins), jnp.asarray(dirs), focal, w, h
+    )
+    np.testing.assert_allclose(np.asarray(oo), ro.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(od), rd.numpy(), atol=1e-5)
+
+
+def test_get_transformation_matrix_matches_reference(rng):
+    J = 9
+    src = rng.randn(J, 4, 4).astype(np.float32)
+    src[:, 3] = [0, 0, 0, 1]
+    src[:, :3, :3] += 2 * np.eye(3)  # well-conditioned
+    tgt = rng.randn(J, 4, 4).astype(np.float32)
+    ref_T = ref.get_transformation_matrix(
+        torch.from_numpy(src), torch.from_numpy(tgt)
+    ).numpy()
+    our_T = np.asarray(st.get_transformation_matrix(
+        jnp.asarray(src), jnp.asarray(tgt)
+    ))
+    np.testing.assert_allclose(our_T, ref_T, atol=2e-4)
