@@ -90,6 +90,14 @@ def quantize_features(features, bits: int = 8) -> QuantizedFeatures:
     """Per-channel affine quantization of an (M, D) float pool."""
     assert bits == 8, "int8 is the supported quantized pool width"
     features = jnp.asarray(features, jnp.float32)
+    D = features.shape[1]
+    if features.shape[0] == 0:
+        # Empty pool (all-empty tree): no rows to reduce over.
+        return QuantizedFeatures(
+            jnp.zeros((0, D), jnp.int8),
+            jnp.ones((D,), jnp.float32),
+            jnp.zeros((D,), jnp.float32),
+        )
     lo = jnp.min(features, axis=0)
     hi = jnp.max(features, axis=0)
     scale = jnp.maximum(hi - lo, 1e-12) / 254.0
@@ -853,6 +861,30 @@ def _round_grad_rows(opt, spec, vdirs, gi_flat, feat, base_basis, window,
     return rows, total_color
 
 
+def _compact_map(sidx, rows, M, cap):
+    """Shared contributing-row compaction: a position map sending the
+    first `cap` rows with sidx < M to the front. Returns (smap (cap,),
+    pad_idx (T+1,), pad_rows (T+1, ...), count). Map slots beyond
+    `count` (and rows overflowing `cap`) resolve to the padded dummy
+    (index M, zero row); gathering `pad_idx[smap]` / `pad_rows[smap]`
+    yields a dense cap-sized block of the contributing rows."""
+    T = sidx.shape[0]
+    live = sidx < M
+    pos = jnp.cumsum(live) - 1
+    count = pos[-1] + 1
+    slot = jnp.where(live, jnp.minimum(pos, cap), cap)
+    smap = (
+        jnp.full((cap + 1,), T, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(T, dtype=jnp.int32), mode="drop")
+    )[:cap]
+    pad_idx = jnp.concatenate([sidx, jnp.full((1,), M, sidx.dtype)])
+    pad_rows = jnp.concatenate(
+        [rows, jnp.zeros((1,) + rows.shape[1:], rows.dtype)]
+    )
+    return smap, pad_idx, pad_rows, pos, count
+
+
 def _scatter_add_compact(grad, sidx, rows, M):
     """Scatter-add `rows` into `grad` at row indices `sidx` (index == M
     means dropped dummy), compacting to the contributing rows first.
@@ -877,19 +909,7 @@ def _scatter_add_compact(grad, sidx, rows, M):
     if not tiers:
         return grad.at[sidx].add(rows, mode="drop")
     cap = tiers[-1]  # largest compact tier (< T)
-    live = sidx < M
-    pos = jnp.cumsum(live) - 1
-    count = pos[-1] + 1
-    slot = jnp.where(live, pos, cap)
-    sample_map = (
-        jnp.full((cap + 1,), T, jnp.int32)
-        .at[slot]
-        .set(jnp.arange(T, dtype=jnp.int32), mode="drop")
-    )
-    pad_rows = jnp.concatenate(
-        [rows, jnp.zeros((1,) + rows.shape[1:], rows.dtype)]
-    )
-    pad_idx = jnp.concatenate([sidx, jnp.full((1,), M, sidx.dtype)])
+    sample_map, pad_idx, pad_rows, _, count = _compact_map(sidx, rows, M, cap)
 
     def skip(g):
         return g
@@ -933,23 +953,11 @@ def _tape_append(tape_idx, tape_rows, fill, sidx, rows, M):
     M), so the final flush needs no fill masking. Overflow blocks are
     routed to a sacrificial block at offset `cap` (the tape is
     allocated cap + _TAPE_BLK rows)."""
-    T = sidx.shape[0]
     blk = _TAPE_BLK
     cap = tape_idx.shape[0] - blk
-    live = sidx < M
-    pos = jnp.cumsum(live) - 1
-    count = pos[-1] + 1
     overflow = fill > cap - blk
-    slot = jnp.where(jnp.logical_and(live, pos < blk), pos, blk)
-    smap = (
-        jnp.full((blk + 1,), T, jnp.int32)
-        .at[slot]
-        .set(jnp.arange(T, dtype=jnp.int32), mode="drop")
-    )[:blk]
-    pad_idx = jnp.concatenate([sidx, jnp.full((1,), M, sidx.dtype)])
-    pad_rows = jnp.concatenate(
-        [rows, jnp.zeros((1,) + rows.shape[1:], rows.dtype)]
-    )
+    smap, pad_idx, pad_rows, pos, count = _compact_map(sidx, rows, M, blk)
+    live = sidx < M
     blk_idx = jnp.where(overflow, M, pad_idx[smap])
     blk_rows = pad_rows[smap]
     off = jnp.where(overflow, cap, fill)

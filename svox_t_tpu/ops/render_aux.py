@@ -248,7 +248,16 @@ def _first_hit(spec, features, origins, dirs, opt):
                 )
             else:
                 _, sigma = _gather_round(features_t, idx, dtype)
-            contrib = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            # A hit must land in a RESIDENT leaf (idx < M): nearest mode
+            # guarantees this implicitly (empty-leaf sigma is masked to
+            # 0), but interp sigma can exceed the threshold in an empty
+            # boundary leaf — without the gate, idx_hit would be the
+            # empty sentinel (>= n_features) and consumers indexing
+            # per-point tables with it would read garbage.
+            contrib = jnp.logical_and(
+                jnp.logical_and(valid, idx < M),
+                sigma > opt.sigma_thresh,
+            )
             # first contributing sample in this round, per ray
             first = jnp.logical_and(
                 contrib, (jnp.cumsum(contrib, axis=0) - contrib) == 0
@@ -377,7 +386,15 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
             else:
                 _, sigma = _gather_round(features_t, idx, dtype)
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
-            contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            # Contribution requires a RESIDENT leaf (idx < M): the LBS
+            # tables are per-point, so an empty-boundary sample under
+            # interp has no data to blend — without the gate it would
+            # composite a phantom sigmoid(0) = 0.5. No-op in nearest
+            # mode (empty-leaf sigma is already masked to 0).
+            contrib0 = jnp.logical_and(
+                jnp.logical_and(valid, idx < M),
+                sigma > opt.sigma_thresh,
+            )
             att = jnp.exp(-dt * delta_scale[None] * sigma)
             att_eff = jnp.where(contrib0, att, 1.0)
             cp = jnp.cumprod(att_eff, axis=0)
@@ -485,7 +502,13 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             else:
                 _, sigma = _gather_round(features_t, idx, dtype)
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
-            contrib = jnp.logical_and(valid, sigma > 0.0)
+            # Mirror the forward's resident-leaf gate (see
+            # _motion_feature_fwd_impl): under interp, empty-boundary
+            # samples have no per-point LBS data, contribute nothing in
+            # the forward, and must receive no gradient here.
+            contrib = jnp.logical_and(
+                jnp.logical_and(valid, idx < M), sigma > 0.0
+            )
             att = jnp.exp(-dt * sigma * delta_scale[None])
             att_eff = jnp.where(contrib, att, 1.0)
             cp = jnp.cumprod(att_eff, axis=0)

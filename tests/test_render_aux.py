@@ -179,3 +179,56 @@ def test_motion_feature_grad_finite_difference(rng):
         jm = j0.copy(); jm[i, k] -= eps
         fd = (float(loss(jnp.asarray(jp))) - float(loss(jnp.asarray(jm)))) / (2 * eps)
         assert abs(fd - g[i, k]) < 5e-3 + 0.05 * abs(fd), (i, k, fd, g[i, k])
+
+
+def test_mf_interp_grad_fd_partially_occupied(rng):
+    """Regression: under interp, boundary samples whose own leaf is
+    EMPTY (trilinear sigma bleeds in from occupied corners) must not
+    contribute — the LBS tables are per-point, so they have no data.
+    Previously the forward composited a phantom sigmoid(0)=0.5 and the
+    backward scattered spurious rows into joint 0. Verified by finite
+    differences on a partially occupied tree."""
+    import dataclasses
+
+    from helpers import build_tree, make_rays
+    from svox_t_tpu.ops.render_aux import motion_feature_render
+    from svox_t_tpu.utils.spec import DATA_SENTINEL
+
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=2)
+    t.data[:] = DATA_SENTINEL
+    t._invalidate_spec()
+    sub = centers[np.all(centers < 0.45, axis=1)]
+    if len(sub) < 4:
+        sub = centers[:8]
+    t.construct_tree(sub)
+    M = len(sub)
+    feats_sub = jnp.asarray(
+        np.abs(np.random.RandomState(5).randn(M, 4)).astype(np.float32) * 6
+    )
+    n_bones, jdim, J = 2, 4, 3
+    sw = jnp.asarray(np.abs(rng.rand(M, n_bones)).astype(np.float32))
+    ji = jnp.asarray(rng.randint(0, J, size=(M, n_bones)).astype(np.int32))
+    jf0 = np.asarray(rng.randn(J, jdim).astype(np.float32))
+    spec = t._spec(skinning_weights=sw, joint_index=ji)
+    opt = dataclasses.replace(
+        st.VolumeRenderer(t)._get_options(False), interp=1
+    )
+    rays = make_rays(rng, 48)
+
+    def loss(jf):
+        return jnp.sum(motion_feature_render(
+            spec, jf, feats_sub, rays.origins, rays.dirs, opt) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(jf0)))
+    assert np.isfinite(g).all()
+    checked = 0
+    flat = np.argsort(-np.abs(g).ravel())
+    for k in flat[:4]:
+        i, c = divmod(int(k), jdim)
+        eps = 1e-2
+        fp = jf0.copy(); fp[i, c] += eps
+        fm = jf0.copy(); fm[i, c] -= eps
+        fd = (float(loss(jnp.asarray(fp))) - float(loss(jnp.asarray(fm)))) / (2 * eps)
+        assert abs(fd - g[i, c]) < 5e-3 + 0.05 * abs(fd), (i, c, fd, g[i, c])
+        checked += 1
+    assert checked == 4
