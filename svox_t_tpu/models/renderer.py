@@ -407,7 +407,9 @@ class VolumeRenderer:
         try:
             if self.backend == "baked":
                 baked = self.tree._baked_spec()
-                cells = baked.top.size + baked.brick.size
+                cells = baked.top.size + baked.brick.size + (
+                    0 if baked.mid is None else baked.mid.size
+                )
             else:
                 cells = self.tree._spec().child_flat.shape[0]
             # feature-pool size estimated from the tree (the pool itself

@@ -9,11 +9,16 @@ into a structure where locating a leaf costs **two gathers + arithmetic**:
     entry means the cell contains deeper subdivision and encodes a brick
     id (``-(brick_id + 1)``); otherwise the entry packs the covering
     leaf's (depth, feature row) in one int32: ``(depth << 27) | row``.
-  * ``brick``: an atlas of (B^3,)-cell bricks (B = N^(D-T)) of the same
-    packed entries at the finest level — bricks exist only under
-    subdivided top cells, so memory stays O(occupied).
+  * ``brick``: an atlas of (B^3,)-cell bricks of the same packed entries
+    at the finest level — bricks exist only under subdivided top cells,
+    so memory stays O(occupied).
+  * ``mid`` (very deep trees): an optional MIDDLE brick stage between
+    top and fine bricks (top entry < 0 -> mid brick; mid entry < 0 ->
+    fine brick). Fine bricks are capped at 3 levels by default — beyond
+    that a single-stage atlas cubes in size (4+ levels = 4096+ cells
+    per brick).
 
-Per sample: gather top cell -> maybe gather brick cell -> unpack
+Per sample: gather top cell -> maybe gather mid/brick cells -> unpack
 ``depth``, compute ``cube_sz = N^(depth+1)`` and the in-leaf fractional
 coordinates arithmetically (`frac = pos * cube_sz mod 1`). This
 reproduces the reference's leaf-adaptive stepping exactly (up to float
@@ -78,6 +83,11 @@ class BakedTree:
     depth_parts: jax.Array
     offset: jax.Array
     scaling: jax.Array
+    # Optional MIDDLE brick stage for very deep trees (depth >= 10):
+    # top entry < 0 -> mid brick; mid entry < 0 -> fine brick. Keeps
+    # each atlas O(occupied) where a two-stage bake's fine bricks would
+    # cube in size. None/mid_levels == 0 = two-stage (top -> brick).
+    mid: Optional[jax.Array] = None
     extra_data: Optional[jax.Array] = None
     transformation_matrices: Optional[jax.Array] = None
     # Per-point LBS attributes (indexed by data_idx like the feature
@@ -95,6 +105,8 @@ class BakedTree:
     N: int = dataclasses.field(default=2, metadata=dict(static=True))
     top_levels: int = dataclasses.field(default=5, metadata=dict(static=True))
     brick_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
+    mid_levels: int = dataclasses.field(default=0, metadata=dict(static=True))
+    mid_width: int = dataclasses.field(default=8, metadata=dict(static=True))
     n_tree_cells: int = dataclasses.field(default=0, metadata=dict(static=True))
     # Row widths of the packed tables (power of two), kept <= ~128k rows
     # per table. Round-3 revision of WHY this matters: (65536, 32) is
@@ -112,6 +124,10 @@ class BakedTree:
     @property
     def B(self) -> int:
         return self.N ** self.brick_levels
+
+    @property
+    def M1(self) -> int:
+        return self.N ** self.mid_levels
 
 
 def _leaf_cells(child: np.ndarray, parent_depth: np.ndarray, n_internal: int):
@@ -197,6 +213,7 @@ def bake_arrays(
     extra_data=None,
     transformation_matrices=None,
     top_levels: Optional[int] = None,
+    mid_levels: Optional[int] = None,
 ) -> BakedTree:
     """Bake from host-side (capacity, N, N, N[, 1]) arrays."""
     child = np.asarray(child)
@@ -218,8 +235,19 @@ def bake_arrays(
         while (N ** top_levels) ** 3 > cap_cells:
             top_levels -= 1
     top_levels = min(top_levels, D)
-    brick_levels = D - top_levels
+    brick_total = D - top_levels
+    if mid_levels is None:
+        # Fine bricks cube in size with their level count (a 4-level
+        # brick is 4096 cells at N=2); very deep trees get a MIDDLE
+        # brick stage so each atlas stays O(occupied).
+        fine_levels = min(brick_total, 3)
+        mid_levels = brick_total - fine_levels
+    else:
+        mid_levels = max(0, min(int(mid_levels), brick_total))
+        fine_levels = brick_total - mid_levels
+    brick_levels = fine_levels
     R = N ** top_levels
+    M1 = N ** mid_levels
     B = N ** brick_levels
     F = N ** D
 
@@ -258,36 +286,23 @@ def bake_arrays(
         srcs[shallow],
     )
 
-    if brick_levels > 0 and deep.any():
-        dp_c_top = corner_top[deep]
-        uniq_cells, brick_of = np.unique(
-            (dp_c_top[:, 0] * R + dp_c_top[:, 1]) * R + dp_c_top[:, 2],
-            return_inverse=True,
-        )
-        n_bricks = len(uniq_cells)
-        ux = uniq_cells // (R * R)
-        uy = (uniq_cells // R) % R
-        uz = uniq_cells % R
-        top.reshape(-1)[uniq_cells] = -(np.arange(n_bricks, dtype=np.int64) + 1)
-
-        brick = np.full((n_bricks, B, B, B), EMPTY_ROW, np.int64)
-        brick_depth = np.zeros((n_bricks, B, B, B), np.int64)
-        brick_src = np.zeros((n_bricks, B, B, B), np.int64)
-
-        dp_corner_in = corners[deep] % top_cell_f  # brick units (finest)
-        size_f = (F // (N ** (depths[deep] + 1))).astype(np.int64)
-        # paint per span group inside bricks
-        for s in np.unique(size_f):
-            m = size_f == s
+    def _paint_bricks(atlas, aux, brick_of, cell_corner, span, pk_v, dp_v,
+                      sr_v):
+        """Paint (possibly multi-cell) leaf spans into an (n, S, S, S)
+        brick atlas; `cell_corner` in atlas-cell units relative to each
+        brick's origin."""
+        a_depth, a_src = aux
+        for s in np.unique(span):
+            m = span == s
             bi = brick_of[m]
-            cs = dp_corner_in[m]
-            pk = packed[deep][m]
-            dpv = depths[deep][m]
-            srv = srcs[deep][m]
+            cs = cell_corner[m]
+            pk = pk_v[m]
+            dpv = dp_v[m]
+            srv = sr_v[m]
             if s == 1:
-                brick[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = pk
-                brick_depth[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = dpv
-                brick_src[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = srv
+                atlas[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = pk
+                a_depth[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = dpv
+                a_src[bi, cs[:, 0], cs[:, 1], cs[:, 2]] = srv
             else:
                 off = np.arange(s)
                 ox, oy, oz = np.meshgrid(off, off, off, indexing="ij")
@@ -297,13 +312,86 @@ def bake_arrays(
                 X = (cs[:, 0, None] + ox).ravel()
                 Y = (cs[:, 1, None] + oy).ravel()
                 Z = (cs[:, 2, None] + oz).ravel()
-                brick[BI, X, Y, Z] = np.repeat(pk, rep)
-                brick_depth[BI, X, Y, Z] = np.repeat(dpv, rep)
-                brick_src[BI, X, Y, Z] = np.repeat(srv, rep)
-    else:
+                atlas[BI, X, Y, Z] = np.repeat(pk, rep)
+                a_depth[BI, X, Y, Z] = np.repeat(dpv, rep)
+                a_src[BI, X, Y, Z] = np.repeat(srv, rep)
+
+    mid = mid_depth = mid_src = None
+    brick = brick_depth = brick_src = None
+    if mid_levels > 0 and deep.any():
+        # Three-stage: top cell -> mid brick; mid cell -> fine brick.
+        c_top = corner_top[deep]
+        uniq_cells, mid_of = np.unique(
+            (c_top[:, 0] * R + c_top[:, 1]) * R + c_top[:, 2],
+            return_inverse=True,
+        )
+        n_mid = len(uniq_cells)
+        top.reshape(-1)[uniq_cells] = -(np.arange(n_mid, dtype=np.int64) + 1)
+        mid = np.full((n_mid, M1, M1, M1), EMPTY_ROW, np.int64)
+        mid_depth = np.zeros((n_mid, M1, M1, M1), np.int64)
+        mid_src = np.zeros((n_mid, M1, M1, M1), np.int64)
+
+        mcf = F // (R * M1)  # finest units per mid cell (== B)
+        corner_in_top = corners[deep] % top_cell_f
+        midc = corner_in_top // mcf
+        size_f = (F // (N ** (depths[deep] + 1))).astype(np.int64)
+
+        middle = depths[deep] < top_levels + mid_levels
+        if middle.any():
+            _paint_bricks(
+                mid, (mid_depth, mid_src), mid_of[middle], midc[middle],
+                (size_f[middle] // mcf).astype(np.int64),
+                packed[deep][middle], depths[deep][middle],
+                srcs[deep][middle],
+            )
+        deep2 = ~middle
+        if deep2.any():
+            fine_key = (
+                mid_of[deep2] * (M1 ** 3)
+                + (midc[deep2][:, 0] * M1 + midc[deep2][:, 1]) * M1
+                + midc[deep2][:, 2]
+            )
+            uniq_fine, fine_of = np.unique(fine_key, return_inverse=True)
+            n_fine = len(uniq_fine)
+            # fine_key doubles as the flat mid-atlas index
+            mid.reshape(-1)[uniq_fine] = -(
+                np.arange(n_fine, dtype=np.int64) + 1
+            )
+            brick = np.full((n_fine, B, B, B), EMPTY_ROW, np.int64)
+            brick_depth = np.zeros((n_fine, B, B, B), np.int64)
+            brick_src = np.zeros((n_fine, B, B, B), np.int64)
+            corner_in_mid = corner_in_top[deep2] % mcf
+            _paint_bricks(
+                brick, (brick_depth, brick_src), fine_of,
+                corner_in_mid, size_f[deep2],
+                packed[deep][deep2], depths[deep][deep2],
+                srcs[deep][deep2],
+            )
+    elif brick_levels > 0 and deep.any():
+        dp_c_top = corner_top[deep]
+        uniq_cells, brick_of = np.unique(
+            (dp_c_top[:, 0] * R + dp_c_top[:, 1]) * R + dp_c_top[:, 2],
+            return_inverse=True,
+        )
+        n_bricks = len(uniq_cells)
+        top.reshape(-1)[uniq_cells] = -(np.arange(n_bricks, dtype=np.int64) + 1)
+        brick = np.full((n_bricks, B, B, B), EMPTY_ROW, np.int64)
+        brick_depth = np.zeros((n_bricks, B, B, B), np.int64)
+        brick_src = np.zeros((n_bricks, B, B, B), np.int64)
+        _paint_bricks(
+            brick, (brick_depth, brick_src), brick_of,
+            corners[deep] % top_cell_f,
+            (F // (N ** (depths[deep] + 1))).astype(np.int64),
+            packed[deep], depths[deep], srcs[deep],
+        )
+    if brick is None:
         brick = np.full((1, B, B, B), EMPTY_ROW, np.int64)
         brick_depth = np.zeros((1, B, B, B), np.int64)
         brick_src = np.zeros((1, B, B, B), np.int64)
+    if mid_levels > 0 and mid is None:
+        mid = np.full((1, M1, M1, M1), EMPTY_ROW, np.int64)
+        mid_depth = np.zeros((1, M1, M1, M1), np.int64)
+        mid_src = np.zeros((1, M1, M1, M1), np.int64)
 
     def _width_for(n_cells: int) -> int:
         # keep rows <= MAX_TABLE_ROWS (under the measured row-count knee)
@@ -314,6 +402,7 @@ def bake_arrays(
 
     top_width = _width_for(top.size)
     brick_width = _width_for(brick.size)
+    mid_width = _width_for(mid.size) if mid is not None else 8
 
     def _padw(a, fill, w):
         pad = (-len(a)) % w
@@ -322,28 +411,27 @@ def bake_arrays(
         return a
 
     # Pad each segment to its row-gather width (lane selection never
-    # picks a padding entry; see _row_gather).
+    # picks a padding entry; see _row_gather). Segment order in the
+    # src/depth maps (and the cell-id space): [top, mid?, brick].
     top_flat = _padw(top.reshape(-1), EMPTY_ROW, top_width)
     brick_flat = _padw(brick.reshape(-1), EMPTY_ROW, brick_width)
-    src_map = np.concatenate(
-        [
-            _padw(top_src.reshape(-1), 0, top_width),
-            _padw(brick_src.reshape(-1), 0, brick_width),
-        ]
-    )
-    depth_parts = (
-        np.concatenate(
-            [
-                _padw(top_depth.reshape(-1), 0, top_width),
-                _padw(brick_depth.reshape(-1), 0, brick_width),
-            ]
-        )
-        << ROW_BITS
-    )
+    src_segs = [_padw(top_src.reshape(-1), 0, top_width)]
+    depth_segs = [_padw(top_depth.reshape(-1), 0, top_width)]
+    if mid is not None:
+        mid_flat = _padw(mid.reshape(-1), EMPTY_ROW, mid_width)
+        src_segs.append(_padw(mid_src.reshape(-1), 0, mid_width))
+        depth_segs.append(_padw(mid_depth.reshape(-1), 0, mid_width))
+    src_segs.append(_padw(brick_src.reshape(-1), 0, brick_width))
+    depth_segs.append(_padw(brick_depth.reshape(-1), 0, brick_width))
+    src_map = np.concatenate(src_segs)
+    depth_parts = np.concatenate(depth_segs) << ROW_BITS
 
     return BakedTree(
         top=jnp.asarray(top_flat.astype(np.int32).reshape(-1, top_width)),
         brick=jnp.asarray(brick_flat.astype(np.int32).reshape(-1, brick_width)),
+        mid=None if mid is None else jnp.asarray(
+            mid_flat.astype(np.int32).reshape(-1, mid_width)
+        ),
         src_map=jnp.asarray(src_map.astype(np.int32)),
         depth_parts=jnp.asarray(depth_parts.astype(np.int32)),
         offset=jnp.asarray(np.asarray(offset), jnp.float32),
@@ -355,6 +443,8 @@ def bake_arrays(
         N=N,
         top_levels=int(top_levels),
         brick_levels=int(brick_levels),
+        mid_levels=int(mid_levels),
+        mid_width=int(mid_width),
         n_tree_cells=int(child.size),
         top_width=int(top_width),
         brick_width=int(brick_width),
@@ -363,7 +453,8 @@ def bake_arrays(
     )
 
 
-def bake(spec: TreeSpec, top_levels: Optional[int] = None) -> BakedTree:
+def bake(spec: TreeSpec, top_levels: Optional[int] = None,
+         mid_levels: Optional[int] = None) -> BakedTree:
     """Bake a device TreeSpec (pulls tables to host first)."""
     N = spec.N
     child = np.asarray(jax.device_get(spec.child_flat)).reshape(-1, N, N, N)
@@ -381,6 +472,7 @@ def bake(spec: TreeSpec, top_levels: Optional[int] = None) -> BakedTree:
         if spec.transformation_matrices is None
         else np.asarray(jax.device_get(spec.transformation_matrices)),
         top_levels=top_levels,
+        mid_levels=mid_levels,
     )
 
 
@@ -404,12 +496,23 @@ def refresh(baked: BakedTree, data_flat: jax.Array,
     if aabb_lo is None:
         aabb_lo = jnp.zeros(3, jnp.float32)
         aabb_hi = jnp.ones(3, jnp.float32)
+    updates = {}
+    if baked.mid is not None:
+        n_mid = baked.mid.size
+        updates["mid"] = jnp.where(
+            baked.mid < 0,
+            baked.mid,
+            packed[n_top:n_top + n_mid].reshape(baked.mid.shape),
+        )
+        updates["brick"] = packed[n_top + n_mid:].reshape(baked.brick.shape)
+    else:
+        updates["brick"] = packed[n_top:].reshape(baked.brick.shape)
     return dataclasses.replace(
         baked,
         top=new_top,
-        brick=packed[n_top:].reshape(baked.brick.shape),
         aabb_lo=jnp.asarray(aabb_lo),
         aabb_hi=jnp.asarray(aabb_hi),
+        **updates,
     )
 
 
@@ -459,7 +562,31 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
     top_idx = (cx * R + cy) * R + cz
     e = _row_gather(baked.top, top_idx)
 
-    if baked.brick_levels > 0:
+    if baked.mid_levels > 0:
+        # Three-stage: top < 0 -> mid brick; mid < 0 -> fine brick.
+        M1 = baked.M1
+        n_mid = baked.mid.size
+        in_mid = e < 0
+        mbid = -e - 1
+        RM = R * M1
+        mx = jnp.minimum((px * RM).astype(jnp.int32), RM - 1) % M1
+        my = jnp.minimum((py * RM).astype(jnp.int32), RM - 1) % M1
+        mz = jnp.minimum((pz * RM).astype(jnp.int32), RM - 1) % M1
+        m_idx = ((jnp.maximum(mbid, 0) * M1 + mx) * M1 + my) * M1 + mz
+        me = _row_gather(baked.mid, m_idx)
+        e = jnp.where(in_mid, me, e)
+        cell_id = jnp.where(in_mid, n_top + m_idx, top_idx)
+        in_fine = e < 0  # only reachable through a mid pointer
+        fbid = -e - 1
+        RMB = RM * Bk
+        fx = jnp.minimum((px * RMB).astype(jnp.int32), RMB - 1) % Bk
+        fy = jnp.minimum((py * RMB).astype(jnp.int32), RMB - 1) % Bk
+        fz = jnp.minimum((pz * RMB).astype(jnp.int32), RMB - 1) % Bk
+        f_idx = ((jnp.maximum(fbid, 0) * Bk + fx) * Bk + fy) * Bk + fz
+        fe = _row_gather(baked.brick, f_idx)
+        e = jnp.where(in_fine, fe, e)
+        cell_id = jnp.where(in_fine, n_top + n_mid + f_idx, cell_id)
+    elif baked.brick_levels > 0:
         in_brick = e < 0
         bid = -e - 1
         RB = R * Bk
@@ -511,7 +638,30 @@ def lookup(baked: BakedTree, pos: jax.Array):
     top_idx = (cell[:, 0] * R + cell[:, 1]) * R + cell[:, 2]
     e = _row_gather(baked.top, top_idx)
 
-    if baked.brick_levels > 0:
+    if baked.mid_levels > 0:
+        M1 = baked.M1
+        n_mid = baked.mid.size
+        in_mid = e < 0
+        mbid = -e - 1
+        pm = pos * (R * M1)
+        msub = jnp.minimum(pm.astype(jnp.int32), R * M1 - 1) % M1
+        m_idx = (
+            (jnp.maximum(mbid, 0) * M1 + msub[:, 0]) * M1 + msub[:, 1]
+        ) * M1 + msub[:, 2]
+        me = _row_gather(baked.mid, m_idx)
+        e = jnp.where(in_mid, me, e)
+        cell_id = jnp.where(in_mid, n_top + m_idx, top_idx)
+        in_fine = e < 0
+        fbid = -e - 1
+        pb = pos * (R * M1 * Bk)
+        fsub = jnp.minimum(pb.astype(jnp.int32), R * M1 * Bk - 1) % Bk
+        f_idx = (
+            (jnp.maximum(fbid, 0) * Bk + fsub[:, 0]) * Bk + fsub[:, 1]
+        ) * Bk + fsub[:, 2]
+        fe = _row_gather(baked.brick, f_idx)
+        e = jnp.where(in_fine, fe, e)
+        cell_id = jnp.where(in_fine, n_top + n_mid + f_idx, cell_id)
+    elif baked.brick_levels > 0:
         in_brick = e < 0
         bid = -e - 1
         pb = pos * (R * Bk)

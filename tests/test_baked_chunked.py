@@ -512,3 +512,80 @@ def test_aabb_union_after_repoint(rng):
         np.asarray(out_baked), np.asarray(out_tree), atol=1e-6
     )
     assert float(jnp.abs(out_tree[:, -1]).max()) > 0  # something rendered
+
+
+def test_three_stage_bake_parity(rng):
+    """Three-stage bake (top -> mid bricks -> fine bricks) must be
+    bit-equal to the tree walk: lookups, render, grads, and on-device
+    refresh after re-pointing."""
+    t, feats, centers = build_tree(rng, depth_limit=8, n_random_refines=5)
+    spec = t._spec()
+    baked = bake_ops.bake(spec, top_levels=3, mid_levels=2)
+    assert baked.mid is not None and baked.mid_levels == 2
+    from svox_t_tpu.ops.traversal import descend
+
+    pts = jnp.asarray(rng.rand(1500, 3).astype(np.float32))
+    leaf = descend(spec, pts)
+    di, cube, frac, cell = bake_ops.lookup(baked, pts)
+    M = feats.shape[0]
+    vt = np.asarray(leaf.data_idx) < M
+    np.testing.assert_array_equal(vt, np.asarray(di) < M)
+    np.testing.assert_array_equal(
+        np.asarray(leaf.data_idx)[vt], np.asarray(di)[vt]
+    )
+    np.testing.assert_allclose(np.asarray(leaf.cube_sz), np.asarray(cube))
+
+    rays = make_rays(rng, 64)
+    opt = _opts(t)
+    a = volume_render(spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    b = volume_render(baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    g_t = jax.grad(lambda f: jnp.sum(volume_render(
+        spec, f, rays.origins, rays.dirs, rays.viewdirs, opt) ** 2))(feats)
+    g_b = jax.grad(lambda f: jnp.sum(volume_render(
+        baked, f, rays.origins, rays.dirs, rays.viewdirs, opt) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_b), atol=3e-5)
+
+    perm = rng.permutation(centers.shape[0])
+    nd = construct_tree(spec, jnp.asarray(centers[perm]))
+    refreshed = bake_ops.refresh(baked, nd)
+    fresh = bake_ops.bake(spec.with_(data_flat=nd), top_levels=3, mid_levels=2)
+    for name in ("top", "mid", "brick"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(refreshed, name)),
+            np.asarray(getattr(fresh, name)),
+        )
+
+
+def test_auto_mid_levels_for_very_deep_tree(rng):
+    """Depth >= 10 trees automatically get a mid stage (fine bricks are
+    capped at 3 levels) and stay parity-exact with the tree walk."""
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=10)
+    t.refine(repeats=1)
+    # drill one branch down to depth 10
+    for _ in range(9):
+        leaves = t._all_leaves()
+        depths = t.parent_depth[leaves[:, 0], 1]
+        pick = leaves[np.argmax(depths)][None]
+        t.refine(sel=tuple(pick.T), leaf_node=pick)
+    assert int(t.max_depth) >= 9
+    centers = np.asarray(jax.device_get(t.tree2world(jnp.asarray(
+        t[:].corners_local + 0.5 * t[:].lengths_local[:, None]))))
+    t.construct_tree(centers)
+    feats = jnp.asarray(
+        np.abs(np.random.RandomState(8).randn(len(centers), 4)).astype(
+            np.float32) * 8
+    )
+    baked = t._baked_spec()
+    assert baked.brick_levels <= 3
+    assert baked.mid_levels >= 1
+    rays = make_rays(rng, 48)
+    opt = _opts(t)
+    a = volume_render(
+        t._spec(), feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    b = volume_render(
+        baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
