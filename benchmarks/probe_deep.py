@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Deep-scene (depth-9) bake-layout sweep under the round-3 VMEM cost
 model: a dense 64 MB top cannot be VMEM-pinned (HBM gathers ~11.5
-ns/idx); a smaller top (top_levels=7 -> 8 MB) plus a sparse brick atlas
+ns/idx); a smaller top (the D>=9 default cap is 2**18 cells -> top=6;
+top_levels=7 -> 8 MB also probed here) plus a sparse brick atlas
 (surface cells only) can pin BOTH structure stages and leave only the
 feature pool in HBM.
 
@@ -76,7 +77,11 @@ def main():
             flush=True,
         )
 
-    run("default top=8 K=2 bf16 (round-2)", None, 2, True)
+    # NOTE: pass top_levels explicitly — with the D>=9 cap (2**18 cells)
+    # the default now bakes top=6, so `None` is no longer the round-2
+    # top=8 baseline this sweep originally compared against.
+    run("default (now top=6 cap) K=2 bf16", None, 2, True)
+    run("top=8 K=2 bf16 (round-2 baseline)", 8, 2, True)
     run("top=7 K=2 bf16", 7, 2, True)
     run("top=7 K=4 bf16", 7, 4, True)
     run("top=6 K=4 bf16", 6, 4, True)

@@ -428,13 +428,22 @@ class N3Tree:
                 self.features if features is None else features, nid
             )
             ok = parent_row < feats_np.shape[0]
-            # Reduce over occupied children only (host loop: merges are
-            # rare structure ops; frontiers are small).
-            for i in np.flatnonzero(ok):
-                reduced = op(vals[i][valid[i]], axis=0)
-                if isinstance(reduced, tuple):
-                    reduced = reduced[0]
-                feats_np[parent_row[i]] = reduced
+            if op is np.mean:
+                # Vectorized occupied-only mean (the default; a frontier
+                # can span tens of thousands of nodes on this 1-core
+                # host, so avoid a per-node Python loop).
+                cnt = valid.sum(axis=1)
+                summed = np.where(valid[..., None], vals, 0.0).sum(axis=1)
+                mean = summed / np.maximum(cnt, 1)[:, None]
+                rows = parent_row[ok]
+                feats_np[rows] = mean[ok]
+            else:
+                # Exotic reductions fall back to a per-node loop.
+                for i in np.flatnonzero(ok):
+                    reduced = op(vals[i][valid[i]], axis=0)
+                    if isinstance(reduced, tuple):
+                        reduced = reduced[0]
+                    feats_np[parent_row[i]] = reduced
             self.features = jnp.asarray(feats_np)
 
         parent_sel = tuple(self._unpack_index_np(self._parent_depth[nid, 0]).T)

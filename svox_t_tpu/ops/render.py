@@ -864,7 +864,7 @@ def _round_grad_rows(opt, spec, vdirs, gi_flat, feat, base_basis, window,
 def _compact_map(sidx, rows, M, cap):
     """Shared contributing-row compaction: a position map sending the
     first `cap` rows with sidx < M to the front. Returns (smap (cap,),
-    pad_idx (T+1,), pad_rows (T+1, ...), count). Map slots beyond
+    pad_idx (T+1,), pad_rows (T+1, ...), pos (T,), count). Map slots beyond
     `count` (and rows overflowing `cap`) resolve to the padded dummy
     (index M, zero row); gathering `pad_idx[smap]` / `pad_rows[smap]`
     yields a dense cap-sized block of the contributing rows."""

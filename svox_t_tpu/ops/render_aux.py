@@ -206,6 +206,12 @@ def _first_hit(spec, features, origins, dirs, opt):
     """March until sigma > sigma_thresh; returns (found (B,), t_hit (B,),
     pos_tree (B,3), data_idx (B,), delta_scale (B,)).
 
+    Under interp, t_hit is recorded at the FIRST over-threshold sample
+    (which may be boundary skin in an empty leaf — where the main
+    renderer's alpha registers the surface) while data_idx comes from
+    the first over-threshold RESIDENT sample; `found` requires the
+    latter. The two notions coincide in nearest mode.
+
     Round-based: per round, the first contributing sample per ray is
     selected with a prefix mask (hit position recomputed from t_hit
     after the loop — pos = o + t*d exactly)."""
@@ -232,7 +238,7 @@ def _first_hit(spec, features, origins, dirs, opt):
             return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
 
         def body(carry):
-            step0, t, active, found, t_hit, idx_hit = carry
+            step0, t, active, found_t, found_i, t_hit, idx_hit = carry
             idx, dt, valid, _, t_at, cube, t_end, act_end = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
                 want_pos=True,
@@ -248,39 +254,54 @@ def _first_hit(spec, features, origins, dirs, opt):
                 )
             else:
                 _, sigma = _gather_round(features_t, idx, dtype)
-            # A hit must land in a RESIDENT leaf (idx < M): nearest mode
-            # guarantees this implicitly (empty-leaf sigma is masked to
-            # 0), but interp sigma can exceed the threshold in an empty
-            # boundary leaf — without the gate, idx_hit would be the
-            # empty sentinel (>= n_features) and consumers indexing
-            # per-point tables with it would read garbage.
-            contrib = jnp.logical_and(
-                jnp.logical_and(valid, idx < M),
-                sigma > opt.sigma_thresh,
+            # Two hit notions that coincide in nearest mode (empty-leaf
+            # sigma is masked to 0) but split under interp:
+            #   * `over` — first sample whose trilinear sigma exceeds the
+            #     threshold. Under interp that can sit in an EMPTY
+            #     boundary leaf (density bleeding from occupied corners):
+            #     this is where the main renderer's alpha registers the
+            #     visible surface, so t_hit records it.
+            #   * `resident` — first such sample in a RESIDENT leaf
+            #     (idx < M): supplies data_idx, since consumers index
+            #     per-point tables with it and the empty sentinel
+            #     (>= n_features) would read garbage.
+            over = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            resident = jnp.logical_and(over, idx < M)
+            first_t = jnp.logical_and(
+                over, (jnp.cumsum(over, axis=0) - over) == 0
             )
-            # first contributing sample in this round, per ray
-            first = jnp.logical_and(
-                contrib, (jnp.cumsum(contrib, axis=0) - contrib) == 0
+            any_t = jnp.any(first_t, axis=0)
+            t_sel = jnp.sum(jnp.where(first_t, t_at, 0.0), axis=0)
+            newly_t = jnp.logical_and(any_t, jnp.logical_not(found_t))
+            t_hit = jnp.where(newly_t, t_sel, t_hit)
+            found_t = jnp.logical_or(found_t, any_t)
+            first_i = jnp.logical_and(
+                resident, (jnp.cumsum(resident, axis=0) - resident) == 0
             )
-            any_first = jnp.any(first, axis=0)
-            t_sel = jnp.sum(jnp.where(first, t_at, 0.0), axis=0)
-            i_sel = jnp.sum(jnp.where(first, idx, 0), axis=0)
-            newly = jnp.logical_and(any_first, jnp.logical_not(found))
-            t_hit = jnp.where(newly, t_sel, t_hit)
-            idx_hit = jnp.where(newly, i_sel, idx_hit)
-            found = jnp.logical_or(found, any_first)
-            active = jnp.logical_and(act_end, jnp.logical_not(found))
-            return step0 + K, t_end, active, found, t_hit, idx_hit
+            any_i = jnp.any(first_i, axis=0)
+            i_sel = jnp.sum(jnp.where(first_i, idx, 0), axis=0)
+            newly_i = jnp.logical_and(any_i, jnp.logical_not(found_i))
+            idx_hit = jnp.where(newly_i, i_sel, idx_hit)
+            found_i = jnp.logical_or(found_i, any_i)
+            # March until the resident sample is found: a ray that only
+            # ever grazes boundary skin (found_t without found_i by
+            # march end) counts as a miss — no per-point row exists to
+            # report for it.
+            active = jnp.logical_and(act_end, jnp.logical_not(found_i))
+            return step0 + K, t_end, active, found_t, found_i, t_hit, idx_hit
 
         init = (
             jnp.zeros((), jnp.int32),
             tmin,
             hit,
             jnp.zeros((B,), bool),
+            jnp.zeros((B,), bool),
             jnp.zeros((B,), dtype),
             jnp.zeros((B,), jnp.int32),
         )
-        _, _, _, found, t_hit, idx_hit = jax.lax.while_loop(cond, body, init)
+        _, _, _, _, found, t_hit, idx_hit = jax.lax.while_loop(
+            cond, body, init
+        )
         # NOTE: the hit position recorded by the reference is the clamped
         # in-tree sample point transformed back to world space
         # (rt_kernel.cu:756-761); we record the unclamped sample position,
@@ -386,21 +407,23 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
             else:
                 _, sigma = _gather_round(features_t, idx, dtype)
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
-            # Contribution requires a RESIDENT leaf (idx < M): the LBS
-            # tables are per-point, so an empty-boundary sample under
-            # interp has no data to blend — without the gate it would
-            # composite a phantom sigmoid(0) = 0.5. No-op in nearest
-            # mode (empty-leaf sigma is already masked to 0).
-            contrib0 = jnp.logical_and(
-                jnp.logical_and(valid, idx < M),
-                sigma > opt.sigma_thresh,
-            )
+            # Attenuation follows the MAIN renderer's chain (valid &
+            # sigma > thresh — under interp the boundary skin extincts
+            # light exactly as volume_render's alpha does). The feature
+            # CONTRIBUTION additionally requires a RESIDENT leaf
+            # (idx < M): the LBS tables are per-point, so an
+            # empty-boundary sample has no data to blend — without the
+            # gate it would composite a phantom sigmoid(0) = 0.5. Both
+            # gates coincide in nearest mode (empty-leaf sigma is
+            # already masked to 0).
+            att_gate = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+            contrib0 = jnp.logical_and(att_gate, idx < M)
             att = jnp.exp(-dt * delta_scale[None] * sigma)
-            att_eff = jnp.where(contrib0, att, 1.0)
+            att_eff = jnp.where(att_gate, att, 1.0)
             cp = jnp.cumprod(att_eff, axis=0)
             L_after = L[None] * cp
             if can_stop:
-                stop0 = jnp.logical_and(contrib0, L_after <= opt.stop_thresh)
+                stop0 = jnp.logical_and(att_gate, L_after <= opt.stop_thresh)
                 before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
                 contrib = jnp.logical_and(contrib0, before)
                 stop_first = jnp.logical_and(stop0, before)
@@ -502,15 +525,16 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             else:
                 _, sigma = _gather_round(features_t, idx, dtype)
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
-            # Mirror the forward's resident-leaf gate (see
-            # _motion_feature_fwd_impl): under interp, empty-boundary
-            # samples have no per-point LBS data, contribute nothing in
-            # the forward, and must receive no gradient here.
-            contrib = jnp.logical_and(
-                jnp.logical_and(valid, idx < M), sigma > 0.0
-            )
+            # Mirror the forward's split gates (see
+            # _motion_feature_fwd_impl): the attenuation chain includes
+            # empty-boundary interp samples, but they have no per-point
+            # LBS data, contribute nothing in the forward, and must
+            # receive no gradient rows here. (sigma > 0 rather than
+            # sigma_thresh: the reference's backward convention.)
+            att_gate = jnp.logical_and(valid, sigma > 0.0)
+            contrib = jnp.logical_and(att_gate, idx < M)
             att = jnp.exp(-dt * sigma * delta_scale[None])
-            att_eff = jnp.where(contrib, att, 1.0)
+            att_eff = jnp.where(att_gate, att, 1.0)
             cp = jnp.cumprod(att_eff, axis=0)
             L_before = L[None] * jnp.concatenate(
                 [jnp.ones((1, B), dtype), cp[:-1]], axis=0

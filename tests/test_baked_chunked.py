@@ -350,7 +350,9 @@ def test_baked_deep_tree_bricks(rng):
 
     spec = t._spec()
     baked = t._baked_spec()
-    assert baked.brick_levels >= 1  # depth 10 > dense-top limit (8)
+    # depth 10 exceeds the dense-top cap (2**18 cells for D >= 9 ->
+    # top_levels = 6 for N = 2), so fine levels land in bricks
+    assert baked.brick_levels >= 1
 
     pts = jnp.asarray(
         np.clip(centers_local + rng.randn(*centers_local.shape) * 1e-4,

@@ -358,3 +358,86 @@ def test_get_transformation_matrix_matches_reference(rng):
         jnp.asarray(src), jnp.asarray(tgt)
     ))
     np.testing.assert_allclose(our_T, ref_T, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# 6. Host structure ops: leaf views, frontiers, index packing, DataFormat
+#    (all pure-torch in the reference — imported and run directly)
+# ---------------------------------------------------------------------------
+
+
+def test_view_attributes_match_reference(rng, tmp_path):
+    """depths / lengths_local / corners_local of the full leaf view,
+    computed by the reference's own N3TreeView (helpers.py:143-199 via
+    _calc_corners) on the SAME structure, must equal ours — ordering
+    included."""
+    t, feats, centers = build_tree(rng, depth_limit=5, n_random_refines=3)
+    rt = _float_data_ref_tree(t, feats, tmp_path)
+    rv = rt[:]
+    ours = t[:]
+    np.testing.assert_array_equal(
+        np.asarray(ours.depths), rv.depths.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.lengths_local), rv.lengths_local.numpy(), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.corners_local), rv.corners_local.numpy(), atol=1e-6
+    )
+
+
+def test_frontier_and_reduce_match_reference(rng, tmp_path):
+    """_frontier node set and reduce_frontier(mean over ALL child cells,
+    empty cells = zero rows — the reference's float-form semantics,
+    svox.py:391-418/471-483) vs ours on the same structure."""
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=3)
+    rt = _float_data_ref_tree(t, feats, tmp_path)
+    ref_frontier = rt._frontier.numpy()
+    np.testing.assert_array_equal(np.sort(np.asarray(t._frontier)),
+                                  np.sort(ref_frontier))
+    ref_red = rt.reduce_frontier(op=torch.mean).numpy()
+    our_red = np.asarray(t.reduce_frontier(op=np.mean, features=feats))
+    # Same frontier ordering is asserted above only as a set; align by
+    # sorting rows through the frontier node ids.
+    ref_order = np.argsort(ref_frontier)
+    our_order = np.argsort(np.asarray(t._frontier))
+    np.testing.assert_allclose(
+        our_red[our_order], ref_red[ref_order], atol=1e-6
+    )
+
+
+def test_pack_unpack_index_match_reference(rng, tmp_path):
+    t, feats, centers = build_tree(rng, depth_limit=3, n_random_refines=1)
+    rt = _float_data_ref_tree(t, feats, tmp_path)
+    N = t.N
+    txyz = np.stack([
+        rng.randint(0, 50, 64),
+        rng.randint(0, N, 64),
+        rng.randint(0, N, 64),
+        rng.randint(0, N, 64),
+    ], axis=1).astype(np.int64)
+    ref_packed = rt._pack_index(torch.from_numpy(txyz)).numpy()
+    our_packed = np.asarray(t._pack_index(jnp.asarray(txyz)))
+    np.testing.assert_array_equal(our_packed, ref_packed)
+    ref_un = rt._unpack_index(torch.from_numpy(ref_packed.copy())).numpy()
+    our_un = np.asarray(t._unpack_index(jnp.asarray(our_packed)))
+    np.testing.assert_array_equal(our_un, ref_un)
+    np.testing.assert_array_equal(our_un, txyz)
+
+
+@pytest.mark.parametrize(
+    "fmt", ["RGBA", "SH1", "SH4", "SH9", "SH16", "SH25", "SG3", "ASG7"]
+)
+def test_dataformat_matches_reference(fmt):
+    """Our regex-based DataFormat parser vs the reference's
+    (helpers.py:386-420): format enum, basis_dim, and repr round-trip."""
+    from svox_t.helpers import DataFormat as RefDataFormat
+
+    ref_df = RefDataFormat(fmt)
+    our_df = st.DataFormat(fmt)
+    assert repr(our_df) == repr(ref_df)
+    assert our_df.basis_dim == ref_df.basis_dim
+    # enum values are part of the npz schema (data_format saved as repr)
+    for name in ("RGBA", "SH", "SG", "ASG"):
+        assert getattr(type(our_df), name) == getattr(type(ref_df), name)
+    assert our_df.format == ref_df.format

@@ -181,6 +181,113 @@ def test_motion_feature_grad_finite_difference(rng):
         assert abs(fd - g[i, k]) < 5e-3 + 0.05 * abs(fd), (i, k, fd, g[i, k])
 
 
+def _partial_tree(rng, M_feats=4):
+    """Partially occupied tree: only leaves near the low corner hold
+    points, so trilinear sigma bleeds into EMPTY boundary leaves."""
+    import dataclasses
+
+    from svox_t_tpu.utils.spec import DATA_SENTINEL
+
+    t, feats, centers = build_tree(rng, depth_limit=4, n_random_refines=2)
+    t.data[:] = DATA_SENTINEL
+    t._invalidate_spec()
+    sub = centers[np.all(centers < 0.45, axis=1)]
+    if len(sub) < 4:
+        sub = centers[:8]
+    t.construct_tree(sub)
+    M = len(sub)
+    feats_sub = jnp.asarray(
+        np.abs(np.random.RandomState(5).randn(M, M_feats)).astype(np.float32) * 6
+    )
+    opt = dataclasses.replace(
+        st.VolumeRenderer(t)._get_options(False), interp=1
+    )
+    return t, feats_sub, M, opt
+
+
+def _corner_rays(rng, B):
+    """Rays from outside aimed at the occupied low-corner region."""
+    origins = (rng.rand(B, 3).astype(np.float32) - 0.5) * 0.6 + np.array(
+        [1.8, 1.8, 1.8], np.float32
+    )
+    target = np.array([0.25, 0.25, 0.25], np.float32)
+    dirs = target[None] - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return st.Rays(jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(dirs))
+
+
+def test_mf_interp_attenuation_matches_main_renderer(rng):
+    """Under interp, the LBS pass's transmittance chain must equal the
+    main renderer's: boundary-skin samples (trilinear sigma in an EMPTY
+    leaf) attenuate light even though they contribute no LBS features.
+    With joint features driven to sigmoid ~ 0, the LBS output reduces to
+    L_end * bg, which must match (1 - alpha) * bg from volume_render.
+    (Before the fix the skin was excluded from the chain and L_end came
+    out too large.)"""
+    from svox_t_tpu.ops.render_aux import motion_feature_render
+
+    t, feats_sub, M, opt = _partial_tree(rng)
+    rays = _corner_rays(rng, 48)
+    n_bones, jdim, J = 2, 4, 3
+    sw = jnp.asarray(np.abs(rng.rand(M, n_bones)).astype(np.float32))
+    ji = jnp.asarray(rng.randint(0, J, size=(M, n_bones)).astype(np.int32))
+    jf = jnp.full((J, jdim), -40.0, jnp.float32)  # sigmoid ~ 0
+    spec = t._spec(skinning_weights=sw, joint_index=ji)
+    out = np.asarray(motion_feature_render(
+        spec, jf, feats_sub, rays.origins, rays.dirs, opt
+    ))
+    alpha = np.asarray(volume_render(
+        spec, feats_sub, rays.origins, rays.dirs, rays.viewdirs, opt
+    ))[:, -1]
+    hits = alpha > 1e-4
+    assert hits.any()
+    want = np.broadcast_to(
+        (1.0 - alpha[hits])[:, None] * opt.background_brightness,
+        out[hits].shape,
+    )
+    np.testing.assert_allclose(out[hits], want, atol=1e-5)
+
+
+def test_depth_interp_hits_boundary_skin(rng):
+    """Under interp the visible surface starts where trilinear sigma
+    first exceeds the threshold — possibly inside an EMPTY boundary
+    leaf. render_depth must report that skin time (consistent with the
+    color render's alpha) while motion_render's data_idx stays a
+    RESIDENT row (< n_features)."""
+    import dataclasses
+
+    t, feats_sub, M, opt = _partial_tree(rng)
+    rays = _corner_rays(rng, 64)
+    spec = t._spec()
+    opt_nearest = dataclasses.replace(opt, interp=0)
+    d_i = np.asarray(render_depth(
+        spec, feats_sub, rays.origins, rays.dirs, opt
+    ))[:, 0]
+    d_n = np.asarray(render_depth(
+        spec, feats_sub, rays.origins, rays.dirs, opt_nearest
+    ))[:, 0]
+    both = (d_i > 0) & (d_n > 0)
+    assert both.any()
+    # The interp surface can only be at-or-before the nearest-mode one
+    # (trilinear sigma bleeds outward; sample chains are identical).
+    assert (d_i[both] <= d_n[both] + 1e-5).all()
+    # ... and for rays whose first over-threshold sample is boundary
+    # skin, strictly before.
+    assert (d_i[both] < d_n[both] - 1e-4).any()
+    # data_idx from the motion pass is always a resident row.
+    joints = np.array([[0.25, 0.25, 0.25]], np.float32)
+    t.extra_data = jnp.asarray(joints)
+    spec_j = t._spec()
+    from svox_t_tpu.ops.render_aux import motion_render
+
+    mf, depth, hp, didx = map(np.asarray, motion_render(
+        spec_j, feats_sub, rays.origins, rays.dirs, opt
+    ))
+    found = depth[:, 0] > 0
+    assert found.any()
+    assert (didx[found, 0] < M).all()
+
+
 def test_mf_interp_grad_fd_partially_occupied(rng):
     """Regression: under interp, boundary samples whose own leaf is
     EMPTY (trilinear sigma bleeds in from occupied corners) must not
