@@ -81,6 +81,30 @@ def main():
         if i % 5 == 0 or i == n_steps - 1:
             print(f"step {i:3d}: loss {float(loss):.6f}", flush=True)
 
+    # --- 2-D DP x MP: rays sharded x feature pool ROW-sharded ----------
+    # For scenes whose pool + optimizer state outgrow one chip's HBM:
+    # each chip stores 1/n_pool of the rows; one psum per march round
+    # assembles gathered rows (see parallel/render.py).
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from svox_t_tpu.parallel import make_pool_train_step
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("rays", "pool"))
+    rays2 = shard_rays(mesh2, st.Rays(rays.origins, rays.dirs, rays.viewdirs))
+    target2 = jax.device_put(target, NamedSharding(mesh2, P("rays")))
+    step2 = make_pool_train_step(
+        mesh2, opt, n_features=M, optimizer=optax.adam(5e-2)
+    )
+    state2 = step2.init(jnp.asarray(init_feats))
+    print("pool shard sharding:", state2[0].sharding.spec)
+    for i in range(n_steps):
+        state2, loss = step2(
+            state2, tree._spec(),
+            (rays2.origins, rays2.dirs, rays2.viewdirs), target2,
+        )
+        if i % 5 == 0 or i == n_steps - 1:
+            print(f"2-D step {i:3d}: loss {float(loss):.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -126,6 +126,13 @@ class PackedFeatures(NamedTuple):
     D: int
     scale: Optional[jax.Array] = None
     zero: Optional[jax.Array] = None
+    # Model-parallel pool shard (see RenderOptions.pool_axis): `table`
+    # holds only rows [row0, row0 + n_local) of the global pool; M stays
+    # the GLOBAL valid-row bound. Gathers mask non-owned rows to zero and
+    # the round-level helpers psum over `axis`.
+    axis: Optional[str] = None
+    row0: Optional[jax.Array] = None
+    n_local: int = 0
 
 
 # Row-count cap for the packed feature table (see ops/bake.MAX_TABLE_ROWS).
@@ -148,8 +155,59 @@ def _pack_features(features) -> PackedFeatures:
     return PackedFeatures(padded.reshape(rows, G * D), G, M, D, scale, zero)
 
 
+def _pvary_like(x, *refs):
+    """Promote `x`'s shard_map varying-axes set (vma) to the union of the
+    refs' — a no-op outside shard_map.
+
+    Inside shard_map (pool-sharded rendering, parallel/render.py) loop
+    carries initialized from constants are 'unvarying' while the loop
+    body makes them device-varying; the vma checker requires initial
+    carries to match, and correct AD transposes (psum placement for the
+    sharded-pool cotangent) depend on the tracking being precise."""
+    try:
+        have = jax.typeof(x).vma
+        want = set()
+        for r in refs:
+            try:
+                want |= jax.typeof(r).vma
+            except Exception:
+                pass
+        want -= have
+    except Exception:
+        return x
+    for a in want:
+        x = jax.lax.pcast(x, a, to="varying")
+    return x
+
+
+def _pool_view(features, opt) -> PackedFeatures:
+    """Pack the pool for gathering, honoring `opt.pool_axis`.
+
+    Unsharded: identical to `_pack_features`. Sharded (inside shard_map
+    over `opt.pool_axis`): `features` is this device's row shard; the
+    returned view gathers locally with `M` set to the GLOBAL bound
+    (`opt.pool_rows`) so empty-leaf tests stay global. Callers must psum
+    gathered rows over the axis (`_gather_round`/`_gather_interp` do)."""
+    ft = _pack_features(features)
+    if opt.pool_axis is None:
+        return ft
+    n_local = ft.M  # rows actually present on this device
+    row0 = jax.lax.axis_index(opt.pool_axis).astype(jnp.int32) * n_local
+    return ft._replace(
+        M=opt.pool_rows, axis=opt.pool_axis, row0=row0, n_local=n_local
+    )
+
+
 def _gather_features(ft: PackedFeatures, idx: jax.Array) -> jax.Array:
-    """(B,) clamped row indices -> (B, D) feature rows (dequantized)."""
+    """(B,) clamped row indices -> (B, D) feature rows (dequantized).
+
+    Sharded pools (ft.axis set): `idx` is global; non-owned rows come
+    back as exact zeros — the caller psums shards into true rows."""
+    own = None
+    if ft.axis is not None:
+        local = idx - ft.row0
+        own = jnp.logical_and(local >= 0, local < ft.n_local)
+        idx = jnp.where(own, local, 0)
     if ft.G == 1:
         rows = ft.table[idx]
     else:
@@ -165,6 +223,10 @@ def _gather_features(ft: PackedFeatures, idx: jax.Array) -> jax.Array:
         rows = jnp.sum(jnp.where(oh[:, :, None], rows, fill), axis=1)
     if ft.scale is not None:
         rows = rows.astype(ft.scale.dtype) * ft.scale + ft.zero
+    if own is not None:
+        # After dequant: non-owned rows must contribute EXACTLY zero to
+        # the cross-shard psum (the dequant adds a `zero` offset).
+        rows = jnp.where(own[:, None], rows, 0)
     return rows
 
 
@@ -547,6 +609,8 @@ def _gather_interp(spec, features_t: PackedFeatures, px, py, pz, cube_sz,
             features_t, jnp.where(vf, idxf, 0)
         ).astype(dtype)
         feat = feat + (w.reshape(-1) * vf)[:, None] * fc
+    if features_t.axis is not None:
+        feat = jax.lax.psum(feat, features_t.axis)
     sigma = feat[:, -1].reshape(K, B)
     return feat, sigma, corners
 
@@ -566,6 +630,8 @@ def _gather_round(features_t: PackedFeatures, idx, dtype):
     feat = _gather_features(
         features_t, jnp.where(vf, idx, 0).reshape(-1)
     ).astype(dtype)
+    if features_t.axis is not None:
+        feat = jax.lax.psum(feat, features_t.axis)
     sigma = jnp.where(vf, feat[:, -1].reshape(K, B), 0.0)
     return feat, sigma
 
@@ -624,13 +690,14 @@ def _volume_render_fwd_impl(
         if want_weight_accum
         else jnp.zeros((1,), dtype)
     )
+    waccum0 = _pvary_like(waccum0, origins)
 
     # Early stop (light <= stop_thresh) can never fire when the threshold
     # is <= 0 (attenuation keeps light strictly positive, matching the
     # reference); compile out its carries and per-step work then.
     can_stop = opt.stop_thresh > 0.0
 
-    features_t = _pack_features(features)
+    features_t = _pool_view(features, opt)
     M = features_t.M
 
     def single(origins_, dirs_, vdirs_, waccum0_):
@@ -754,12 +821,12 @@ def _volume_render_fwd_impl(
         init = (
             jnp.zeros((), jnp.int32),
             tmin,
-            jnp.ones((B,), dtype),
-            jnp.zeros((B, n_color), dtype),
-            alpha0,
+            _pvary_like(jnp.ones((B,), dtype), origins_),
+            _pvary_like(jnp.zeros((B, n_color), dtype), origins_),
+            _pvary_like(alpha0, origins_),
             hit,
-            stopped0,
-            waccum0_,
+            _pvary_like(stopped0, origins_),
+            _pvary_like(waccum0_, origins_),
         )
         _, t, L, out_c, alpha, active, stopped, waccum = jax.lax.while_loop(
             cond, body, init
@@ -1001,18 +1068,31 @@ def _volume_render_bwd_impl(
     merge into a single (K*B, D) row scatter — the feature layout puts
     sigma in the last column, so the scatter target IS the final (M, D)
     gradient; no assembly pass."""
-    M, D = features.shape
+    Mloc, D = features.shape  # this device's rows (== global when unsharded)
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     n_cc = n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
     dtype = origins.dtype
     K = max(1, opt.round_size)
-    features_t = _pack_features(features)
+    features_t = _pool_view(features, opt)
+    M = features_t.M  # GLOBAL valid-row bound (empty-leaf test)
     single_pass = (
         opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0 and out_res is not None
     )
     use_tape = bool(
         single_pass and opt.grad_tape_rows > 0 and not opt.interp and M > 0
+        and opt.pool_axis is None
     )
+
+    def _to_local(sidx):
+        """Global scatter indices -> this shard's rows; non-owned (and
+        dummy index-M) rows redirect to the drop slot `Mloc`."""
+        if opt.pool_axis is None:
+            return sidx
+        loc = sidx - features_t.row0
+        own = jnp.logical_and(
+            jnp.logical_and(loc >= 0, loc < Mloc), sidx < M
+        )
+        return jnp.where(own, loc, Mloc)
 
     def single(origins_, dirs_, vdirs_, grad_out_, out_res_, grad_f0):
       B = origins_.shape[0]
@@ -1079,7 +1159,9 @@ def _volume_render_bwd_impl(
           cf = contrib.reshape(-1)
           if corners is None:
               sidx = jnp.where(cf, gi_flat, M)
-              return _scatter_add_compact(grad, sidx, rows_all, M)
+              return _scatter_add_compact(
+                  grad, _to_local(sidx), rows_all, Mloc
+              )
           sidxs, rws = [], []
           for idx_c, w in corners:
               icf = idx_c.reshape(-1)
@@ -1091,7 +1173,8 @@ def _volume_render_bwd_impl(
                   else wf * rows_all
               )
           return _scatter_add_compact(
-              grad, jnp.concatenate(sidxs), jnp.concatenate(rws), M
+              grad, _to_local(jnp.concatenate(sidxs)),
+              jnp.concatenate(rws), Mloc
           )
 
       def cond(carry):
@@ -1157,7 +1240,7 @@ def _volume_render_bwd_impl(
           init = (
               jnp.zeros((), jnp.int32),
               tmin,
-              jnp.ones((B,), dtype),
+              _pvary_like(jnp.ones((B,), dtype), origins_),
               accum_total,
               grad_f0,
           )
@@ -1194,8 +1277,8 @@ def _volume_render_bwd_impl(
       init1 = (
           jnp.zeros((), jnp.int32),
           tmin,
-          jnp.ones((B,), dtype),
-          jnp.zeros((B,), dtype),
+          _pvary_like(jnp.ones((B,), dtype), origins_),
+          _pvary_like(jnp.zeros((B,), dtype), origins_),
           grad_c0,
       )
       _, _, L_ray, accum, grad_c = jax.lax.while_loop(cond, body1, init1)
@@ -1234,7 +1317,10 @@ def _volume_render_bwd_impl(
           L, acc, grad_s = do((L, acc, grad_s))
           return step0 + K, t_end, L, acc, grad_s
 
-      init2 = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), accum, grad_s0)
+      init2 = (
+          jnp.zeros((), jnp.int32), tmin,
+          _pvary_like(jnp.ones((B,), dtype), origins_), accum, grad_s0,
+      )
       *_, grad_s = jax.lax.while_loop(cond, body2, init2)
       return grad_c, grad_s
 
@@ -1243,13 +1329,20 @@ def _volume_render_bwd_impl(
     out_dtype = features.dtype
 
     def _cast(g):
+        if opt.ray_axis is not None:
+            # DP cotangent reduction: every ray shard contributes rows to
+            # this pool shard; shard_map cannot insert this psum into a
+            # custom_vjp bwd, so it lives here (one collective per call).
+            g = jax.lax.psum(g, opt.ray_axis)
         return g if g.dtype == out_dtype else g.astype(out_dtype)
 
     if single_pass:
         # Merged buffer: coeff columns then the sigma column. For the
         # standard layout (data_dim == n_cc + 1) its column layout equals
         # the feature layout — it IS the final gradient, no assembly.
-        carry0 = jnp.zeros((M, n_cc + 1), dtype)
+        carry0 = _pvary_like(
+            jnp.zeros((Mloc, n_cc + 1), dtype), origins, features_t.table
+        )
         if use_tape:
             cap = int(opt.grad_tape_rows) + _TAPE_BLK
             carry0 = (
@@ -1272,7 +1365,7 @@ def _volume_render_bwd_impl(
             buf = buf.at[tape_idx].add(tape_rows, mode="drop")
         if n_cc + 1 == D:
             return _cast(buf)
-        grad_f = jnp.zeros((M, D), dtype)
+        grad_f = jnp.zeros((Mloc, D), dtype)
         grad_f = grad_f.at[:, :n_cc].set(buf[:, :n_cc])
         grad_f = grad_f.at[:, D - 1].add(buf[:, n_cc])
         return _cast(grad_f)
@@ -1281,13 +1374,15 @@ def _volume_render_bwd_impl(
         opt,
         (origins, dirs, vdirs, grad_out, out_res),
         (
-            jnp.zeros((M, n_cc), dtype),
-            jnp.zeros((M,), dtype),
+            _pvary_like(jnp.zeros((Mloc, n_cc), dtype), origins,
+                        features_t.table),
+            _pvary_like(jnp.zeros((Mloc,), dtype), origins,
+                        features_t.table),
         ),
         fills=(1e9, 1.0, 1.0, 0.0, 0.0),
     )
-    # Assemble the dense (M, D) feature gradient once, outside the loops.
-    grad_f = jnp.zeros((M, D), dtype)
+    # Assemble the dense (rows, D) feature gradient once, outside the loops.
+    grad_f = jnp.zeros((Mloc, D), dtype)
     grad_f = grad_f.at[:, :n_cc].set(grad_c)
     grad_f = grad_f.at[:, D - 1].add(grad_s)
     return _cast(grad_f)

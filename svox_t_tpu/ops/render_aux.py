@@ -27,8 +27,9 @@ import jax.numpy as jnp
 from ..utils.spec import RenderOptions, TreeSpec
 from .render import (_chunked_carry, _chunked_outputs, _clip_to_occupied,
                      _gather_interp, _gather_round, _march_round,
-                     _pack_features, _ray_setup, _scatter_add_compact,
-                     _volume_render_fwd_impl, _zero_cotangent)
+                     _pool_view, _pvary_like, _ray_setup,
+                     _scatter_add_compact, _volume_render_fwd_impl,
+                     _zero_cotangent)
 from .sh import _PREC
 from .traversal import tree2world
 
@@ -57,9 +58,19 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
     docstring). Round-based march; in exact mode L_ray comes from the
     saved forward output (1 - alpha) and the re-march count drops to one.
     Gradient rows scatter through the tiered compact scatter."""
-    M, D = features.shape
-    features_t = _pack_features(features)
+    Mloc, D = features.shape  # this device's rows (== global unsharded)
+    features_t = _pool_view(features, opt)
+    M = features_t.M  # GLOBAL valid-row bound
     K = max(1, opt.round_size)
+
+    def _to_local(sidx):
+        if opt.pool_axis is None:
+            return sidx
+        loc = sidx - features_t.row0
+        own = jnp.logical_and(
+            jnp.logical_and(loc >= 0, loc < Mloc), sidx < M
+        )
+        return jnp.where(own, loc, Mloc)
     single_pass = (
         opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
         and out_res is not None
@@ -122,7 +133,8 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
 
             _, _, L_ray = jax.lax.while_loop(
                 cond, bodyA,
-                (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype)),
+                (jnp.zeros((), jnp.int32), tmin,
+                 _pvary_like(jnp.ones((B,), dtype), origins_)),
             )
 
         # Pass B: scatter sigma grads (g_sigma has no per-sample feature
@@ -134,7 +146,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
             vals = jnp.where(contrib, g_sigma, 0.0).reshape(-1)
             if corners is None:
                 sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-                gs = _scatter_add_compact(gs, sidx, vals, M)
+                gs = _scatter_add_compact(gs, _to_local(sidx), vals, Mloc)
             else:
                 cf = contrib.reshape(-1)
                 sidxs, vs = [], []
@@ -144,7 +156,8 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
                     sidxs.append(jnp.where(ok, icf, M))
                     vs.append(w.reshape(-1) * vals)
                 gs = _scatter_add_compact(
-                    gs, jnp.concatenate(sidxs), jnp.concatenate(vs), M
+                    gs, _to_local(jnp.concatenate(sidxs)),
+                    jnp.concatenate(vs), Mloc
                 )
             return step0 + K, t_end, gs
 
@@ -159,10 +172,13 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
         single,
         opt,
         (origins, dirs, grad_out, out_res),
-        jnp.zeros((M,), origins.dtype),
+        _pvary_like(jnp.zeros((Mloc,), origins.dtype), origins,
+                    features_t.table),
         fills=(1e9, 1.0, 0.0, 0.0),
     )
-    grad_f = jnp.zeros((M, D), origins.dtype)
+    if opt.ray_axis is not None:
+        grad_s = jax.lax.psum(grad_s, opt.ray_axis)  # see render._cast
+    grad_f = jnp.zeros((Mloc, D), origins.dtype)
     return grad_f.at[:, D - 1].set(grad_s)
 
 
@@ -215,7 +231,7 @@ def _first_hit(spec, features, origins, dirs, opt):
     Round-based: per round, the first contributing sample per ray is
     selected with a prefix mask (hit position recomputed from t_hit
     after the loop — pos = o + t*d exactly)."""
-    features_t = _pack_features(features)
+    features_t = _pool_view(features, opt)
     M = features_t.M
     K = max(1, opt.round_size)
 
@@ -294,10 +310,10 @@ def _first_hit(spec, features, origins, dirs, opt):
             jnp.zeros((), jnp.int32),
             tmin,
             hit,
-            jnp.zeros((B,), bool),
-            jnp.zeros((B,), bool),
-            jnp.zeros((B,), dtype),
-            jnp.zeros((B,), jnp.int32),
+            _pvary_like(jnp.zeros((B,), bool), origins_),
+            _pvary_like(jnp.zeros((B,), bool), origins_),
+            _pvary_like(jnp.zeros((B,), dtype), origins_),
+            _pvary_like(jnp.zeros((B,), jnp.int32), origins_),
         )
         _, _, _, _, found, t_hit, idx_hit = jax.lax.while_loop(
             cond, body, init
@@ -366,7 +382,7 @@ def _mf_blend(spec, joint_features, idx, valid, out_dim):
 
 def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt):
     out_dim = joint_features.shape[1]
-    features_t = _pack_features(features)
+    features_t = _pool_view(features, opt)
     M = features_t.M
     K = max(1, opt.round_size)
     can_stop = opt.stop_thresh > 0.0
@@ -456,10 +472,13 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         init = (
             jnp.zeros((), jnp.int32),
             tmin,
-            jnp.ones((B,), dtype),
-            jnp.zeros((B, out_dim), dtype),
+            _pvary_like(jnp.ones((B,), dtype), origins_),
+            _pvary_like(jnp.zeros((B, out_dim), dtype), origins_),
             hit,
-            jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool),
+            _pvary_like(
+                jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool),
+                origins_,
+            ),
         )
         _, _, L, out, _, stopped = jax.lax.while_loop(cond, body, init)
         bg = opt.background_brightness
@@ -485,7 +504,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     scatters with a wrong index; SURVEY.md K14). Round-based: one tiered
     compact scatter of (sample x bone) rows per round."""
     J, Kd = joint_features.shape
-    features_t = _pack_features(features)
+    features_t = _pool_view(features, opt)
     M = features_t.M
     K = max(1, opt.round_size)
 
@@ -558,17 +577,23 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             gjf = _scatter_add_compact(gjf, scat, rows, J)
             return step0 + K, t_end, L * cp[-1], gjf
 
-        init = (jnp.zeros((), jnp.int32), tmin, jnp.ones((B,), dtype), grad_jf)
+        init = (
+            jnp.zeros((), jnp.int32), tmin,
+            _pvary_like(jnp.ones((B,), dtype), origins_), grad_jf,
+        )
         _, _, _, grad_jf = jax.lax.while_loop(cond, body, init)
         return grad_jf
 
-    return _chunked_carry(
+    gjf = _chunked_carry(
         single,
         opt,
         (origins, dirs, grad_out),
-        jnp.zeros((J, Kd), origins.dtype),
+        _pvary_like(jnp.zeros((J, Kd), origins.dtype), origins),
         fills=(1e9, 1.0, 0.0),
     )
+    if opt.ray_axis is not None:
+        gjf = jax.lax.psum(gjf, opt.ray_axis)  # see render._cast
+    return gjf
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -81,12 +81,14 @@ def descend(spec: TreeSpec, pos: jax.Array) -> LeafInfo:
         done = jnp.logical_or(done, term)
         return xyz, node, cube, done, leaf_flat
 
+    from .render import _pvary_like
+
     state = (
         xyz0,
-        jnp.zeros((B,), jnp.int32),
-        jnp.full((B,), float(N), dtype),
-        jnp.zeros((B,), bool),
-        jnp.zeros((B,), jnp.int32),
+        _pvary_like(jnp.zeros((B,), jnp.int32), xyz0),
+        _pvary_like(jnp.full((B,), float(N), dtype), xyz0),
+        _pvary_like(jnp.zeros((B,), bool), xyz0),
+        _pvary_like(jnp.zeros((B,), jnp.int32), xyz0),
     )
     xyz, node, cube, done, leaf_flat = jax.lax.fori_loop(
         0, n_levels, body, state, unroll=True

@@ -1,17 +1,29 @@
-"""Multi-chip scaling: ray-sharded data parallelism over a device mesh.
+"""Multi-chip scaling over a device mesh: ray DP and feature-pool MP.
 
 The reference has no distributed machinery at all (SURVEY.md §2.3) — its
-only parallelism is single-GPU SIMT. The workload's natural multi-chip
-axis is the **ray batch**: tree structure and the feature pool are small
-(tens–hundreds of MB) and are replicated; rays/pixels are sharded 1-D
-across chips; the only cross-chip communication is the feature-gradient
-all-reduce, which GSPMD inserts automatically as a single `psum` over ICI
-when the sharded backward scatter-adds into the replicated feature pool.
+only parallelism is single-GPU SIMT. Two mesh axes cover the workload:
+
+* **Ray data parallelism** (`make_ray_mesh` / `render_sharded` /
+  `make_train_step`): tree structure and the feature pool are replicated;
+  rays/pixels are sharded across chips; the only communication is the
+  feature-gradient all-reduce, which GSPMD inserts automatically as a
+  single `psum` over ICI when the sharded backward scatter-adds into the
+  replicated pool.
+* **Feature-pool model parallelism** (`shard_pool` /
+  `render_pool_sharded` / `make_pool_train_step`): for scenes whose pool
+  + optimizer state outgrow one chip's HBM, the pool is ROW-sharded over
+  a mesh axis; each round's gather resolves locally and one `psum` over
+  the pool axis assembles true rows before radiometry (every row has
+  exactly one owner, so the reduction is exact). Gradients stay local to
+  each shard. Compose both on a 2-D mesh for DP x MP.
 
 Usage:
     mesh = make_ray_mesh()                       # all devices, axis "rays"
     out = render_sharded(mesh, spec, features, rays, opt)
     step = make_train_step(mesh, opt, optimizer) # jitted fwd+bwd+update
+
+    mesh2 = Mesh(devices.reshape(4, 2), ("rays", "pool"))   # DP x MP
+    step = make_pool_train_step(mesh2, opt, n_features=M)
 """
 
 from __future__ import annotations
@@ -124,6 +136,151 @@ def make_train_step(
             pred = render_ops.volume_render(
                 spec, f, rays[0], rays[1], rays[2], opt_static
             )
+            return loss_fn(pred, target)
+
+        loss, grads = jax.value_and_grad(loss_of)(features)
+        updates, opt_state = optimizer.update(grads, opt_state, features)
+        features = optax.apply_updates(features, updates)
+        return (features, opt_state), loss
+
+    step.init = init
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Model-parallel feature pool (pool sharding)
+# ---------------------------------------------------------------------------
+#
+# Ray DP replicates the feature pool on every chip; scenes whose pool
+# (or bf16/int8 pool + optimizer state) outgrows one chip's HBM need the
+# POOL itself sharded. The march's structure tables stay replicated
+# (they are the small part) and the pool is row-sharded over a mesh
+# axis: every round's feature gather resolves locally (non-owned rows
+# read exact zeros) and ONE `lax.psum` over the pool axis assembles the
+# true rows before any radiometry — each row is owned by exactly one
+# shard, so the reduction moves values, never mixes partial sums. The
+# backward needs NO extra communication: every device scatters and keeps
+# the gradient rows of its own shard (see RenderOptions.pool_axis and
+# ops/render._pool_view). Per-round cost is one (K*B, D) all-reduce over
+# ICI; combine with a ray axis on a 2-D mesh for DP x MP.
+
+
+def shard_pool(mesh: Mesh, features, pool_axis: str = "pool"):
+    """Row-shard a (M, D) feature pool over `pool_axis` (padding M up to
+    a multiple of the axis size). Returns (sharded_padded_pool, M)."""
+    n = mesh.shape[pool_axis]
+    features = jnp.asarray(features)
+    M = features.shape[0]
+    pad = (-M) % n
+    if pad:
+        features = jnp.pad(features, ((0, pad), (0, 0)))
+    sh = NamedSharding(mesh, P(pool_axis))
+    return jax.device_put(features, sh), M
+
+
+def unshard_pool(features_padded, M: int):
+    """Gather a sharded padded pool back to a host (M, D) array."""
+    return np.asarray(jax.device_get(features_padded))[:M]
+
+
+def render_pool_sharded(
+    mesh: Mesh,
+    spec: TreeSpec,
+    features: jax.Array,
+    rays: Rays,
+    opt: RenderOptions,
+    pool_axis: str = "pool",
+    ray_axis: Optional[str] = None,
+):
+    """Volume render with the feature pool row-sharded over `pool_axis`
+    and rays optionally sharded over `ray_axis` (2-D DP x MP mesh).
+
+    `features` may be the global (M, D) pool (sharded here) or an
+    already `shard_pool`-ed padded pool plus the original M via a
+    (pool, M) tuple."""
+    import dataclasses
+
+    from jax import shard_map
+
+    if isinstance(features, tuple):
+        fshard, M = features
+    else:
+        fshard, M = shard_pool(mesh, features, pool_axis)
+    opt2 = dataclasses.replace(
+        opt, pool_axis=pool_axis, pool_rows=M, ray_axis=ray_axis
+    )
+    rspec = P(ray_axis) if ray_axis is not None else P()
+
+    def local(spec_, f_, o_, d_, v_):
+        return render_ops.volume_render(spec_, f_, o_, d_, v_, opt2)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(pool_axis), rspec, rspec, rspec),
+        out_specs=rspec,
+    )
+    return jax.jit(f)(spec, fshard, rays.origins, rays.dirs, rays.viewdirs)
+
+
+def make_pool_train_step(
+    mesh: Mesh,
+    opt: RenderOptions,
+    n_features: int,
+    optimizer=None,
+    loss_fn: Optional[Callable] = None,
+    ray_axis: str = "rays",
+    pool_axis: str = "pool",
+):
+    """Distributed training step on a 2-D (ray DP x pool MP) mesh.
+
+    The pool AND its optimizer state live sharded over `pool_axis`
+    (1/n-th of the memory per chip); rays/targets shard over `ray_axis`.
+    Communication per step: the per-round feature-row psum over the pool
+    axis (forward + backward re-march) and the ray-axis gradient psum
+    shard_map's AD inserts for the pool cotangent.
+
+    :param n_features: TRUE global pool row count M (static; the stored
+        pool is padded to a multiple of the pool-axis size)
+    :return: step(params_state, spec, rays, target) -> (state, loss);
+        step.init(features) shards the pool + optimizer state.
+    """
+    import dataclasses
+
+    import optax
+    from jax import shard_map
+
+    if optimizer is None:
+        optimizer = optax.sgd(1e-2)
+    if loss_fn is None:
+        loss_fn = lambda pred, tgt: 0.5 * jnp.mean((pred - tgt) ** 2)
+
+    opt2 = dataclasses.replace(
+        opt, pool_axis=pool_axis, pool_rows=n_features, ray_axis=ray_axis
+    )
+    rspec = P(ray_axis)
+
+    def _render_local(spec_, f_, o_, d_, v_):
+        return render_ops.volume_render(spec_, f_, o_, d_, v_, opt2)
+
+    render_sm = shard_map(
+        _render_local,
+        mesh=mesh,
+        in_specs=(P(), P(pool_axis), rspec, rspec, rspec),
+        out_specs=rspec,
+    )
+
+    def init(features):
+        fshard, M = shard_pool(mesh, features, pool_axis)
+        assert M == n_features, (M, n_features)
+        return fshard, optimizer.init(fshard)
+
+    @jax.jit
+    def step(params_state, spec, rays, target):
+        features, opt_state = params_state
+
+        def loss_of(f):
+            pred = render_sm(spec, f, rays[0], rays[1], rays[2])
             return loss_fn(pred, target)
 
         loss, grads = jax.value_and_grad(loss_of)(features)

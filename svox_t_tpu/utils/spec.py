@@ -107,6 +107,25 @@ class RenderOptions:
     # Exact single-pass nearest-mode backward only (interp/thresholded
     # paths ignore it).
     grad_tape_rows: int = 0
+    # Model-parallel feature pool (multi-chip): when `pool_axis` names a
+    # mesh axis (render called inside shard_map over that axis), the
+    # features argument is this device's ROW SHARD of the pool; each
+    # round's feature gather resolves locally (non-owned rows read 0)
+    # and one `lax.psum` over the axis assembles the true rows before
+    # any radiometry — every row is owned by exactly one shard, so the
+    # reduction is exact. Backward scatters stay local: each device
+    # returns the gradient for its own rows. `pool_rows` is the TRUE
+    # global row count (pools are padded to a multiple of the axis size;
+    # pad rows are never valid). See parallel/render.py.
+    pool_axis: Optional[str] = None
+    pool_rows: int = 0
+    # Mesh axis the RAY batch is sharded over when rendering inside
+    # shard_map (2-D DP x MP with pool_axis). The hand-written VJPs must
+    # reduce ray-replicated cotangents (feature rows owned by this
+    # shard but touched by every ray shard; joint-feature grads) over
+    # this axis themselves — shard_map cannot insert psums into a
+    # custom_vjp. Leave None under plain jit/GSPMD data parallelism.
+    ray_axis: Optional[str] = None
 
 
 @jax.tree_util.register_dataclass

@@ -132,3 +132,207 @@ def test_sharded_trilinear_matches_single(mesh):
     np.testing.assert_allclose(out_sharded, out_single, atol=1e-6)
     g_sharded = np.asarray(jax.jit(jax.grad(loss))(f_r, o_s, d_s, v_s))
     np.testing.assert_allclose(g_sharded, g_single, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Model-parallel feature pool (pool sharding)
+# ---------------------------------------------------------------------------
+
+
+def _pool_mesh(shape=(8,), axes=("pool",)):
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:int(np.prod(shape))]).reshape(*shape), axes)
+
+
+def test_pool_sharded_render_matches_single():
+    """Row-sharded pool + per-round psum == single-device render, on both
+    backends, incl. a chunk count > 1 (the scan path) and a pool size
+    that needs padding."""
+    import dataclasses
+
+    from svox_t_tpu.parallel import render_pool_sharded
+
+    rng = np.random.RandomState(10)
+    t, feats, _ = build_tree(rng)
+    assert feats.shape[0] % 8 != 0  # padding path exercised
+    rays = make_rays(rng, 96)
+    opt = dataclasses.replace(
+        st.VolumeRenderer(t)._get_options(False), chunk_size=40
+    )
+    mesh = _pool_mesh()
+    for spec in (t._spec(), t._baked_spec()):
+        single = np.asarray(volume_render(
+            spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+        ))
+        out = np.asarray(render_pool_sharded(mesh, spec, feats, rays, opt))
+        np.testing.assert_allclose(out, single, atol=2e-6)
+
+
+def test_pool_sharded_interp_matches_single():
+    import dataclasses
+
+    from svox_t_tpu.parallel import render_pool_sharded
+
+    rng = np.random.RandomState(11)
+    t, feats, _ = build_tree(rng)
+    rays = make_rays(rng, 64)
+    opt = dataclasses.replace(
+        st.VolumeRenderer(t)._get_options(False), interp=1
+    )
+    mesh = _pool_mesh()
+    spec = t._baked_spec()
+    single = np.asarray(volume_render(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    ))
+    out = np.asarray(render_pool_sharded(mesh, spec, feats, rays, opt))
+    np.testing.assert_allclose(out, single, atol=2e-6)
+
+
+def test_pool_sharded_grads_match_single():
+    """Feature grads through shard_map: each device scatters only its own
+    rows; shard_map AD psums the ray-replicated cotangent. Exact vs the
+    single-device custom VJP."""
+    import dataclasses
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from svox_t_tpu.parallel import shard_pool
+
+    rng = np.random.RandomState(12)
+    t, feats, _ = build_tree(rng)
+    spec = t._baked_spec()
+    rays = make_rays(rng, 64)
+    opt0 = st.VolumeRenderer(t)._get_options(False)
+    M = feats.shape[0]
+
+    def loss_single(f):
+        out = volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt0)
+        return jnp.mean((out - 0.3) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(feats))
+
+    mesh = _pool_mesh((4, 2), ("rays", "pool"))
+    fshard, _ = shard_pool(mesh, feats)
+    opt2 = dataclasses.replace(opt0, pool_axis="pool", pool_rows=M, ray_axis="rays")
+    rspec = P("rays")
+
+    def local(spec_, f_, o_, d_, v_):
+        return volume_render(spec_, f_, o_, d_, v_, opt2)
+
+    sm = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("pool"), rspec, rspec, rspec), out_specs=rspec,
+    )
+
+    def loss_sm(f):
+        out = sm(spec, f, rays.origins, rays.dirs, rays.viewdirs)
+        return jnp.mean((out - 0.3) ** 2)
+
+    g2 = np.asarray(jax.jit(jax.grad(loss_sm))(fshard))[:M]
+    np.testing.assert_allclose(g2, g1, atol=1e-7)
+
+
+def test_pool_train_step_2d_mesh():
+    """DP x MP train step: pool + optimizer state sharded over the pool
+    axis, rays over the ray axis; loss decreases and the first-step
+    gradient equals the single-device gradient."""
+    import optax
+
+    from svox_t_tpu.parallel import make_pool_train_step, shard_rays, unshard_pool
+
+    rng = np.random.RandomState(13)
+    t, feats, _ = build_tree(rng)
+    spec = t._baked_spec()
+    opt = st.VolumeRenderer(t)._get_options(False)
+    M = feats.shape[0]
+    mesh = _pool_mesh((4, 2), ("rays", "pool"))
+    rays = make_rays(rng, 64)
+    rays_s = shard_rays(mesh, rays)
+    target = jax.device_put(
+        jnp.full((64, 4), 0.4),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rays")),
+    )
+
+    step = make_pool_train_step(
+        mesh, opt, n_features=M, optimizer=optax.sgd(1.0)
+    )
+    state = step.init(feats)
+    # optimizer state is sharded over the pool axis
+    f0 = state[0]
+    assert "pool" in str(f0.sharding.spec)
+    state1, loss0 = step(state, spec, tuple(rays_s), target)
+
+    # SGD(lr=1): f1 - f0 == -grad; compare with the single-device grad.
+    def loss_single(f):
+        out = volume_render(spec, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        return 0.5 * jnp.mean((out - target) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(feats))
+    g2 = np.asarray(unshard_pool(f0, M)) - unshard_pool(state1[0], M)
+    np.testing.assert_allclose(g2, g1, atol=1e-6)
+
+    losses = [float(loss0)]
+    for _ in range(3):
+        state1, l = step(state1, spec, tuple(rays_s), target)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_pool_sharded_aux_passes():
+    """Aux entry points under a sharded pool: opacity fwd+grad and the
+    motion-feature render fwd+grad match single-device."""
+    import dataclasses
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from svox_t_tpu.ops.render_aux import motion_feature_render, opacity_render
+    from svox_t_tpu.parallel import shard_pool
+
+    rng = np.random.RandomState(14)
+    t, feats, _ = build_tree(rng)
+    rays = make_rays(rng, 32)
+    M = feats.shape[0]
+    nb, J, jdim = 2, 3, 4
+    sw = jnp.asarray(np.abs(rng.rand(M, nb)).astype(np.float32))
+    ji = jnp.asarray(rng.randint(0, J, (M, nb)).astype(np.int32))
+    jf = jnp.asarray(rng.randn(J, jdim).astype(np.float32))
+    spec = t._spec(skinning_weights=sw, joint_index=ji)
+    opt0 = st.VolumeRenderer(t)._get_options(False)
+
+    op1 = np.asarray(opacity_render(spec, feats, rays.origins, rays.dirs, opt0))
+    gop1 = np.asarray(jax.grad(
+        lambda f: jnp.sum(opacity_render(spec, f, rays.origins, rays.dirs, opt0))
+    )(feats))
+    mf1 = np.asarray(motion_feature_render(
+        spec, jf, feats, rays.origins, rays.dirs, opt0
+    ))
+    gj1 = np.asarray(jax.grad(lambda j: jnp.sum(motion_feature_render(
+        spec, j, feats, rays.origins, rays.dirs, opt0
+    )))(jf))
+
+    mesh = _pool_mesh()
+    fshard, _ = shard_pool(mesh, feats)
+    opt2 = dataclasses.replace(opt0, pool_axis="pool", pool_rows=M)
+
+    op_sm = shard_map(
+        lambda s, f, o, d: opacity_render(s, f, o, d, opt2),
+        mesh=mesh, in_specs=(P(), P("pool"), P(), P()), out_specs=P(),
+    )
+    op2 = np.asarray(jax.jit(op_sm)(spec, fshard, rays.origins, rays.dirs))
+    np.testing.assert_allclose(op2, op1, atol=2e-6)
+    gop2 = np.asarray(jax.jit(jax.grad(
+        lambda f: jnp.sum(op_sm(spec, f, rays.origins, rays.dirs))
+    ))(fshard))[:M]
+    np.testing.assert_allclose(gop2, gop1, atol=1e-6)
+
+    mf_sm = shard_map(
+        lambda s, j, f, o, d: motion_feature_render(s, j, f, o, d, opt2),
+        mesh=mesh, in_specs=(P(), P(), P("pool"), P(), P()), out_specs=P(),
+    )
+    mf2 = np.asarray(jax.jit(mf_sm)(spec, jf, fshard, rays.origins, rays.dirs))
+    np.testing.assert_allclose(mf2, mf1, atol=2e-6)
+    gj2 = np.asarray(jax.jit(jax.grad(lambda j: jnp.sum(mf_sm(
+        spec, j, fshard, rays.origins, rays.dirs
+    ))))(jf))
+    np.testing.assert_allclose(gj2, gj1, atol=1e-6)
