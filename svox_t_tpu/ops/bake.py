@@ -116,6 +116,17 @@ class BakedTree:
     # behind the old "row-count knee"). See docs/PERFORMANCE.md.
     top_width: int = dataclasses.field(default=8, metadata=dict(static=True))
     brick_width: int = dataclasses.field(default=8, metadata=dict(static=True))
+    # Model-parallel brick atlas (huge scenes): mesh axis the brick
+    # table is ROW-sharded over (inside shard_map). Each fine-brick
+    # lookup gathers locally (non-owned elements read 0) and one
+    # lax.psum per march step assembles the true entry — exactly one
+    # shard owns any element, and non-owned contributions are exact
+    # zeros, so the reduction is exact (a legitimately-zero entry still
+    # sums to itself). top/mid/src_map stay replicated (they are the
+    # small part). See parallel/render.py::shard_baked.
+    brick_axis: Optional[str] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def R(self) -> int:
@@ -486,6 +497,11 @@ def refresh(baked: BakedTree, data_flat: jax.Array,
     know it — `N3Tree.construct_tree` passes the union of the old box
     and the points' covering-leaf box); with None the box conservatively
     resets to the full cube (culling off, never wrong)."""
+    if baked.brick_axis is not None:
+        raise ValueError(
+            "refresh() needs the global bake: refresh the unsharded "
+            "BakedTree, then re-shard (parallel.shard_baked)"
+        )
     n_top = baked.top.size
     rows = jnp.minimum(data_flat[baked.src_map], EMPTY_ROW)
     rows = jnp.where(rows < 0, EMPTY_ROW, rows)
@@ -538,6 +554,18 @@ def _row_gather(table2d: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(oh, rows, 0), axis=-1)
 
 
+def _brick_gather(baked: BakedTree, idx: jax.Array) -> jax.Array:
+    """Brick-table gather, shard-aware (see BakedTree.brick_axis)."""
+    if baked.brick_axis is None:
+        return _row_gather(baked.brick, idx)
+    n_elem = baked.brick.size  # this shard's element count
+    elem0 = jax.lax.axis_index(baked.brick_axis).astype(jnp.int32) * n_elem
+    loc = idx - elem0
+    own = jnp.logical_and(loc >= 0, loc < n_elem)
+    v = _row_gather(baked.brick, jnp.where(own, loc, 0))
+    return jax.lax.psum(jnp.where(own, v, 0), baked.brick_axis)
+
+
 def lookup_xyz(baked: BakedTree, px, py, pz):
     """`lookup` on unstacked per-axis coordinates — pure elementwise math
     around the row gathers, so XLA fuses each march step into a couple of
@@ -583,7 +611,7 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
         fy = jnp.minimum((py * RMB).astype(jnp.int32), RMB - 1) % Bk
         fz = jnp.minimum((pz * RMB).astype(jnp.int32), RMB - 1) % Bk
         f_idx = ((jnp.maximum(fbid, 0) * Bk + fx) * Bk + fy) * Bk + fz
-        fe = _row_gather(baked.brick, f_idx)
+        fe = _brick_gather(baked, f_idx)
         e = jnp.where(in_fine, fe, e)
         cell_id = jnp.where(in_fine, n_top + n_mid + f_idx, cell_id)
     elif baked.brick_levels > 0:
@@ -594,7 +622,7 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
         sy = jnp.minimum((py * RB).astype(jnp.int32), RB - 1) % Bk
         sz = jnp.minimum((pz * RB).astype(jnp.int32), RB - 1) % Bk
         b_idx = ((jnp.maximum(bid, 0) * Bk + sx) * Bk + sy) * Bk + sz
-        be = _row_gather(baked.brick, b_idx)
+        be = _brick_gather(baked, b_idx)
         e = jnp.where(in_brick, be, e)
         cell_id = jnp.where(in_brick, n_top + b_idx, top_idx)
     else:
@@ -658,7 +686,7 @@ def lookup(baked: BakedTree, pos: jax.Array):
         f_idx = (
             (jnp.maximum(fbid, 0) * Bk + fsub[:, 0]) * Bk + fsub[:, 1]
         ) * Bk + fsub[:, 2]
-        fe = _row_gather(baked.brick, f_idx)
+        fe = _brick_gather(baked, f_idx)
         e = jnp.where(in_fine, fe, e)
         cell_id = jnp.where(in_fine, n_top + n_mid + f_idx, cell_id)
     elif baked.brick_levels > 0:
@@ -669,7 +697,7 @@ def lookup(baked: BakedTree, pos: jax.Array):
         b_idx = (
             (jnp.maximum(bid, 0) * Bk + sub[:, 0]) * Bk + sub[:, 1]
         ) * Bk + sub[:, 2]
-        be = _row_gather(baked.brick, b_idx)
+        be = _brick_gather(baked, b_idx)
         e = jnp.where(in_brick, be, e)
         cell_id = jnp.where(in_brick, n_top + b_idx, top_idx)
     else:

@@ -183,6 +183,45 @@ def unshard_pool(features_padded, M: int):
     return np.asarray(jax.device_get(features_padded))[:M]
 
 
+def shard_baked(mesh: Mesh, baked, axis: str = "pool"):
+    """Row-shard a BakedTree's brick atlas over `axis` (huge-scene MP):
+    each device stores 1/n of the fine-brick table; one psum per march
+    step assembles looked-up entries (ops/bake.py::_brick_gather). The
+    top/mid tables and src maps stay replicated (the small part).
+    Compose with `shard_pool` on the same axis to shard the feature pool
+    too. Returns the sharded BakedTree (brick_axis set); `refresh`
+    requires the global bake — refresh, then re-shard."""
+    import dataclasses
+
+    from ..ops import bake as bake_ops
+
+    n = mesh.shape[axis]
+    brick = np.asarray(jax.device_get(baked.brick))
+    pad = (-brick.shape[0]) % n
+    if pad:
+        brick = np.concatenate([
+            brick,
+            np.full((pad, brick.shape[1]), bake_ops.EMPTY_ROW, brick.dtype),
+        ])
+    sh = NamedSharding(mesh, P(axis))
+    return dataclasses.replace(
+        baked, brick=jax.device_put(jnp.asarray(brick), sh), brick_axis=axis
+    )
+
+
+def _spec_pspecs(spec):
+    """Per-leaf PartitionSpecs for a TreeSpec/BakedTree shard_map input:
+    everything replicated except a brick atlas marked sharded."""
+    import dataclasses
+
+    from ..ops.bake import BakedTree
+
+    specs = jax.tree_util.tree_map(lambda _: P(), spec)
+    if isinstance(spec, BakedTree) and spec.brick_axis is not None:
+        specs = dataclasses.replace(specs, brick=P(spec.brick_axis))
+    return specs
+
+
 def render_pool_sharded(
     mesh: Mesh,
     spec: TreeSpec,
@@ -217,7 +256,7 @@ def render_pool_sharded(
     f = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(pool_axis), rspec, rspec, rspec),
+        in_specs=(_spec_pspecs(spec), P(pool_axis), rspec, rspec, rspec),
         out_specs=rspec,
     )
     return jax.jit(f)(spec, fshard, rays.origins, rays.dirs, rays.viewdirs)
@@ -231,6 +270,7 @@ def make_pool_train_step(
     loss_fn: Optional[Callable] = None,
     ray_axis: str = "rays",
     pool_axis: str = "pool",
+    spec_example=None,
 ):
     """Distributed training step on a 2-D (ray DP x pool MP) mesh.
 
@@ -263,10 +303,14 @@ def make_pool_train_step(
     def _render_local(spec_, f_, o_, d_, v_):
         return render_ops.volume_render(spec_, f_, o_, d_, v_, opt2)
 
+    # A brick-sharded BakedTree (shard_baked) needs its brick leaf
+    # declared sharded: pass the spec (or any same-structure example)
+    # as `spec_example`.
+    spec_in = P() if spec_example is None else _spec_pspecs(spec_example)
     render_sm = shard_map(
         _render_local,
         mesh=mesh,
-        in_specs=(P(), P(pool_axis), rspec, rspec, rspec),
+        in_specs=(spec_in, P(pool_axis), rspec, rspec, rspec),
         out_specs=rspec,
     )
 

@@ -336,3 +336,69 @@ def test_pool_sharded_aux_passes():
         spec, j, fshard, rays.origins, rays.dirs
     ))))(jf))
     np.testing.assert_allclose(gj2, gj1, atol=1e-6)
+
+
+def test_brick_sharded_render_matches_single():
+    """Huge-scene MP: brick atlas row-sharded (one psum per march step)
+    composed with the sharded pool — forward and feature grads equal the
+    single-device render."""
+    import dataclasses
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from svox_t_tpu.ops import bake as bake_ops
+    from svox_t_tpu.parallel import (render_pool_sharded, shard_baked,
+                                     shard_pool)
+    from svox_t_tpu.parallel.render import _spec_pspecs
+
+    rng = np.random.RandomState(15)
+    t, feats, _ = build_tree(rng, depth_limit=5, n_random_refines=3)
+    t._ensure_host_data()
+    baked = bake_ops.bake_arrays(
+        t._child, t._data, t._parent_depth, t.offset, t.invradius,
+        t.filled, top_levels=2,
+    )
+    assert baked.brick_levels >= 1 and baked.brick.shape[0] > 8
+    rays = make_rays(rng, 64)
+    opt0 = st.VolumeRenderer(t)._get_options(False)
+    M = feats.shape[0]
+
+    single = np.asarray(volume_render(
+        baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt0
+    ))
+
+    def loss_single(f):
+        out = volume_render(baked, f, rays.origins, rays.dirs, rays.viewdirs, opt0)
+        return jnp.mean((out - 0.3) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(feats))
+
+    mesh = _pool_mesh()
+    baked_s = shard_baked(mesh, baked)
+    # fwd through the high-level wrapper (brick + pool both sharded)
+    out = np.asarray(render_pool_sharded(mesh, baked_s, feats, rays, opt0))
+    np.testing.assert_allclose(out, single, atol=2e-6)
+
+    # grads: brick + pool sharded
+    fshard, _ = shard_pool(mesh, feats)
+    opt2 = dataclasses.replace(opt0, pool_axis="pool", pool_rows=M)
+    sm = shard_map(
+        lambda s, f, o, d, v: volume_render(s, f, o, d, v, opt2),
+        mesh=mesh,
+        in_specs=(_spec_pspecs(baked_s), P("pool"), P(), P(), P()),
+        out_specs=P(),
+    )
+
+    def loss_sm(f):
+        out = sm(baked_s, f, rays.origins, rays.dirs, rays.viewdirs)
+        return jnp.mean((out - 0.3) ** 2)
+
+    g2 = np.asarray(jax.jit(jax.grad(loss_sm))(fshard))[:M]
+    np.testing.assert_allclose(g2, g1, atol=1e-7)
+
+    # refresh on a sharded bake is refused (re-shard after refreshing)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bake_ops.refresh(baked_s, jnp.zeros((t.capacity * 8,), jnp.int32))
