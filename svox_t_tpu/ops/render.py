@@ -198,6 +198,22 @@ def _pool_view(features, opt) -> PackedFeatures:
     )
 
 
+def _scatter_to_local(sidx, features_t: PackedFeatures, Mloc: int, opt):
+    """Global gradient-scatter indices -> this shard's rows; non-owned
+    (and dummy index-M) rows redirect to the drop slot `Mloc`.
+
+    Shared by every custom-VJP backward (render + aux passes) so the
+    ownership rule (own = in-shard AND sidx < global M) cannot drift
+    between them."""
+    if opt.pool_axis is None:
+        return sidx
+    loc = sidx - features_t.row0
+    own = jnp.logical_and(
+        jnp.logical_and(loc >= 0, loc < Mloc), sidx < features_t.M
+    )
+    return jnp.where(own, loc, Mloc)
+
+
 def _gather_features(ft: PackedFeatures, idx: jax.Array) -> jax.Array:
     """(B,) clamped row indices -> (B, D) feature rows (dequantized).
 
@@ -636,6 +652,26 @@ def _gather_round(features_t: PackedFeatures, idx, dtype):
     return feat, sigma
 
 
+def _round_sigma(spec, features_t: PackedFeatures, opt, oxyz, dxyz, t_at,
+                 cube, idx, dtype):
+    """Per-round (feat, sigma, corners) honoring `opt.interp`.
+
+    Nearest mode: one bulk row gather keyed by the round's leaf ids
+    (`corners` is None). Interp mode: sample positions are RECOMPUTED
+    from the exact t-chain (t_at) — the single definition of interp
+    sample-position semantics. Shared by the main march phase 2, the
+    backward `round_quantities`, and every aux pass so forward/backward
+    and main/aux sigma semantics cannot drift (the parity class
+    docs/PARITY.md guards)."""
+    if opt.interp:
+        px = oxyz[0][None] + t_at * dxyz[0][None]
+        py = oxyz[1][None] + t_at * dxyz[1][None]
+        pz = oxyz[2][None] + t_at * dxyz[2][None]
+        return _gather_interp(spec, features_t, px, py, pz, cube, dtype)
+    feat, sigma = _gather_round(features_t, idx, dtype)
+    return feat, sigma, None
+
+
 def _round_colors(spec, opt, vdirs, gi_flat, feat, base_basis, window,
                   n_color, K):
     """Per-sample sigmoid colors for a round, (K, B, n_color) — one
@@ -741,15 +777,10 @@ def _volume_render_fwd_impl(
             # copy carried buffers and break fusion on this stack).
             def phase2(ops):
                 L, out_c, alpha, active, stopped, waccum = ops
-                if opt.interp:
-                    px = oxyz[0][None] + t_at * dxyz[0][None]
-                    py = oxyz[1][None] + t_at * dxyz[1][None]
-                    pz = oxyz[2][None] + t_at * dxyz[2][None]
-                    feat, sigma, _ = _gather_interp(
-                        spec, features_t, px, py, pz, cube, dtype
-                    )
-                else:
-                    feat, sigma = _gather_round(features_t, idx, dtype)
+                feat, sigma, _ = _round_sigma(
+                    spec, features_t, opt, oxyz, dxyz, t_at, cube, idx,
+                    dtype,
+                )
                 contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
                 att = jnp.exp(-dt * delta_scale[None] * sigma)
                 att_eff = jnp.where(contrib0, att, 1.0)
@@ -1084,15 +1115,7 @@ def _volume_render_bwd_impl(
     )
 
     def _to_local(sidx):
-        """Global scatter indices -> this shard's rows; non-owned (and
-        dummy index-M) rows redirect to the drop slot `Mloc`."""
-        if opt.pool_axis is None:
-            return sidx
-        loc = sidx - features_t.row0
-        own = jnp.logical_and(
-            jnp.logical_and(loc >= 0, loc < Mloc), sidx < M
-        )
-        return jnp.where(own, loc, Mloc)
+        return _scatter_to_local(sidx, features_t, Mloc, opt)
 
     def single(origins_, dirs_, vdirs_, grad_out_, out_res_, grad_f0):
       B = origins_.shape[0]
@@ -1128,16 +1151,9 @@ def _volume_render_bwd_impl(
           sigma > 0 regardless of sigma_thresh — the reference's
           deliberate asymmetry). `corners` (interp mode) carries the
           (data_idx, weight) pairs gradients scatter through."""
-          if opt.interp:
-              px = oxyz[0][None] + t_at * dxyz[0][None]
-              py = oxyz[1][None] + t_at * dxyz[1][None]
-              pz = oxyz[2][None] + t_at * dxyz[2][None]
-              feat, sigma, corners = _gather_interp(
-                  spec, features_t, px, py, pz, cube, dtype
-              )
-          else:
-              feat, sigma = _gather_round(features_t, idx, dtype)
-              corners = None
+          feat, sigma, corners = _round_sigma(
+              spec, features_t, opt, oxyz, dxyz, t_at, cube, idx, dtype
+          )
           gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
           contrib = jnp.logical_and(valid, sigma > 0.0)
           att = jnp.exp(-dt * delta_scale[None] * sigma)
@@ -1345,11 +1361,21 @@ def _volume_render_bwd_impl(
         )
         if use_tape:
             cap = int(opt.grad_tape_rows) + _TAPE_BLK
+            # The tape carries are filled from ray-derived rows inside the
+            # loop body; promote their vma like the grad buffer above or
+            # shard_map rejects the while/scan carry at trace time.
             carry0 = (
                 carry0,
-                jnp.full((cap,), M, jnp.int32),
-                jnp.zeros((cap, n_cc + 1), dtype),
-                jnp.zeros((), jnp.int32),
+                _pvary_like(
+                    jnp.full((cap,), M, jnp.int32), origins, features_t.table
+                ),
+                _pvary_like(
+                    jnp.zeros((cap, n_cc + 1), dtype), origins,
+                    features_t.table,
+                ),
+                _pvary_like(
+                    jnp.zeros((), jnp.int32), origins, features_t.table
+                ),
             )
         buf = _chunked_carry(
             single,

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..utils.spec import RenderOptions, TreeSpec
 from .render import (_chunked_carry, _chunked_outputs, _clip_to_occupied,
-                     _gather_interp, _gather_round, _march_round,
+                     _scatter_to_local,
+                     _march_round, _round_sigma,
                      _pool_view, _pvary_like, _ray_setup,
                      _scatter_add_compact, _volume_render_fwd_impl,
                      _zero_cotangent)
@@ -64,13 +65,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
     K = max(1, opt.round_size)
 
     def _to_local(sidx):
-        if opt.pool_axis is None:
-            return sidx
-        loc = sidx - features_t.row0
-        own = jnp.logical_and(
-            jnp.logical_and(loc >= 0, loc < Mloc), sidx < M
-        )
-        return jnp.where(own, loc, Mloc)
+        return _scatter_to_local(sidx, features_t, Mloc, opt)
     single_pass = (
         opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
         and out_res is not None
@@ -95,18 +90,11 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
             idx, dt, valid, _, t_at, cube, t_end, _ = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            if opt.interp:
-                # Mirror the forward: interpolated sigma gates the
-                # contribution; gradients flow to the 8 corner cells.
-                px = oxyz[0][None] + t_at * dxyz[0][None]
-                py = oxyz[1][None] + t_at * dxyz[1][None]
-                pz = oxyz[2][None] + t_at * dxyz[2][None]
-                _, sigma, corners = _gather_interp(
-                    spec, features_t, px, py, pz, cube, dtype
-                )
-            else:
-                _, sigma = _gather_round(features_t, idx, dtype)
-                corners = None
+            # Interp mode mirrors the forward: interpolated sigma gates
+            # the contribution; gradients flow to the 8 corner cells.
+            _, sigma, corners = _round_sigma(
+                spec, features_t, opt, oxyz, dxyz, t_at, cube, idx, dtype
+            )
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
             contrib = jnp.logical_and(valid, sigma > 0.0)
             return idx, dt, contrib, sigma, gi_flat, corners, t_end
@@ -259,17 +247,11 @@ def _first_hit(spec, features, origins, dirs, opt):
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
                 want_pos=True,
             )
-            if opt.interp:
-                # Trilinear density gates the hit, mirroring the main
-                # renderer's interp semantics.
-                px = oxyz[0][None] + t_at * dxyz[0][None]
-                py = oxyz[1][None] + t_at * dxyz[1][None]
-                pz = oxyz[2][None] + t_at * dxyz[2][None]
-                _, sigma, _ = _gather_interp(
-                    spec, features_t, px, py, pz, cube, dtype
-                )
-            else:
-                _, sigma = _gather_round(features_t, idx, dtype)
+            # Trilinear density gates the hit in interp mode, mirroring
+            # the main renderer's interp semantics.
+            _, sigma, _ = _round_sigma(
+                spec, features_t, opt, oxyz, dxyz, t_at, cube, idx, dtype
+            )
             # Two hit notions that coincide in nearest mode (empty-leaf
             # sigma is masked to 0) but split under interp:
             #   * `over` — first sample whose trilinear sigma exceeds the
@@ -410,18 +392,12 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
             idx, dt, valid, _, t_at, cube, t_end, act_end = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            if opt.interp:
-                # Trilinear density (main-renderer semantics); the LBS
-                # blend stays nearest-leaf — skinning rows are per-point
-                # attributes (rt_kernel.cu:937-938 gathers them per leaf).
-                px = oxyz[0][None] + t_at * dxyz[0][None]
-                py = oxyz[1][None] + t_at * dxyz[1][None]
-                pz = oxyz[2][None] + t_at * dxyz[2][None]
-                _, sigma, _ = _gather_interp(
-                    spec, features_t, px, py, pz, cube, dtype
-                )
-            else:
-                _, sigma = _gather_round(features_t, idx, dtype)
+            # Interp: trilinear density (main-renderer semantics); the
+            # LBS blend stays nearest-leaf — skinning rows are per-point
+            # attributes (rt_kernel.cu:937-938 gathers them per leaf).
+            _, sigma, _ = _round_sigma(
+                spec, features_t, opt, oxyz, dxyz, t_at, cube, idx, dtype
+            )
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
             # Attenuation follows the MAIN renderer's chain (valid &
             # sigma > thresh — under interp the boundary skin extincts
@@ -534,15 +510,9 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             idx, dt, valid, _, t_at, cube, t_end, _ = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active
             )
-            if opt.interp:
-                px = oxyz[0][None] + t_at * dxyz[0][None]
-                py = oxyz[1][None] + t_at * dxyz[1][None]
-                pz = oxyz[2][None] + t_at * dxyz[2][None]
-                _, sigma, _ = _gather_interp(
-                    spec, features_t, px, py, pz, cube, dtype
-                )
-            else:
-                _, sigma = _gather_round(features_t, idx, dtype)
+            _, sigma, _ = _round_sigma(
+                spec, features_t, opt, oxyz, dxyz, t_at, cube, idx, dtype
+            )
             gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
             # Mirror the forward's split gates (see
             # _motion_feature_fwd_impl): the attenuation chain includes

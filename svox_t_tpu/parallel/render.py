@@ -277,8 +277,12 @@ def make_pool_train_step(
     The pool AND its optimizer state live sharded over `pool_axis`
     (1/n-th of the memory per chip); rays/targets shard over `ray_axis`.
     Communication per step: the per-round feature-row psum over the pool
-    axis (forward + backward re-march) and the ray-axis gradient psum
-    shard_map's AD inserts for the pool cotangent.
+    axis (forward + backward re-march) and one ray-axis psum of the pool
+    cotangent. The latter is performed MANUALLY inside the custom-VJP
+    backward (ops/render.py `_cast`, gated on `opt.ray_axis`) — shard_map
+    AD cannot insert collectives into a custom_vjp bwd, so `ray_axis`
+    must be threaded into RenderOptions (done below) or gradients come
+    back as per-ray-shard partials.
 
     :param n_features: TRUE global pool row count M (static; the stored
         pool is padded to a multiple of the pool-axis size)

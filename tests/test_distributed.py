@@ -75,13 +75,7 @@ print(f"proc {pid} OK", flush=True)
 """
 
 
-def test_two_process_render(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+def _run_workers(worker, repo, port, timeout=540):
     env = dict(os.environ)
     env["REPO_ROOT"] = repo
     env.pop("XLA_FLAGS", None)
@@ -97,12 +91,31 @@ def test_two_process_render(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+        return None, "distributed workers timed out:\n" + "\n".join(outs)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
-        assert f"proc {pid} OK" in out
+        if p.returncode != 0 or f"proc {pid} OK" not in out:
+            return False, f"proc {pid} failed:\n{out[-4000:]}"
+    return True, ""
+
+
+def test_two_process_render(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    # Bind-then-release port picking has a TOCTOU window before the
+    # coordinator process rebinds it; retry once on a fresh port so a
+    # stolen port doesn't fail the suite spuriously.
+    err = ""
+    for _attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        ok, err = _run_workers(worker, repo, port)
+        if ok:
+            return
+    pytest.fail(err)

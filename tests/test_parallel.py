@@ -189,8 +189,10 @@ def test_pool_sharded_interp_matches_single():
 
 def test_pool_sharded_grads_match_single():
     """Feature grads through shard_map: each device scatters only its own
-    rows; shard_map AD psums the ray-replicated cotangent. Exact vs the
-    single-device custom VJP."""
+    rows; the custom-VJP backward psums the pool cotangent over the ray
+    axis itself (shard_map AD cannot insert collectives into a custom_vjp
+    bwd — hence ray_axis in RenderOptions). Exact vs the single-device
+    custom VJP."""
     import dataclasses
 
     from jax import shard_map
@@ -402,3 +404,45 @@ def test_brick_sharded_render_matches_single():
 
     with _pytest.raises(ValueError):
         bake_ops.refresh(baked_s, jnp.zeros((t.capacity * 8,), jnp.int32))
+
+
+def test_ray_sharded_grad_tape_matches_single(mesh):
+    """grad_tape_rows > 0 inside a ray-sharded shard_map: the tape
+    carries are filled from ray-derived rows, so their initial values
+    must be vma-promoted like the grad buffer (regression: unvarying
+    tape carries were rejected by shard_map's varying-axes check at
+    trace time). Gradients must equal the single-device tape path."""
+    import dataclasses
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.RandomState(21)
+    t, feats, _ = build_tree(rng)
+    spec = t._baked_spec()
+    rays = make_rays(rng, 64)
+    opt0 = st.VolumeRenderer(t)._get_options(False)
+
+    def loss_single(f):
+        out = volume_render(
+            spec, f, rays.origins, rays.dirs, rays.viewdirs, opt0
+        )
+        return jnp.mean((out - 0.3) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_single)(feats))
+
+    opt1 = dataclasses.replace(opt0, ray_axis="rays", grad_tape_rows=512)
+    rspec = P("rays")
+    sm = shard_map(
+        lambda f, o, d, v: volume_render(spec, f, o, d, v, opt1),
+        mesh=mesh,
+        in_specs=(P(), rspec, rspec, rspec),
+        out_specs=rspec,
+    )
+
+    def loss_sm(f):
+        out = sm(f, rays.origins, rays.dirs, rays.viewdirs)
+        return jnp.mean((out - 0.3) ** 2)
+
+    g2 = np.asarray(jax.jit(jax.grad(loss_sm))(feats))
+    np.testing.assert_allclose(g2, g1, atol=1e-6)
