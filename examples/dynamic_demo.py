@@ -85,6 +85,37 @@ def main():
         )
         assert mean > 0.0, "camera must see the animated blob"
 
+    # Fused variant: the SAME loop as ONE lax.scan dispatch
+    # (renderer.render_dynamic_frames) — warp + re-point + bake refresh
+    # + render per frame, compiled once; the serving path for animation
+    # streams.
+    poses = np.stack(
+        [
+            make_pose(0.6 * np.sin(2 * np.pi * i / n_frames))
+            for i in range(n_frames)
+        ]
+    )
+    t0 = time.time()
+    outs = renderer.render_dynamic_frames(
+        feats, poses, make_pose(0.0), pts, sw, ji,
+        c2w=c2w, width=W, height=H, fx=180.0,
+    )
+    outs.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    outs = renderer.render_dynamic_frames(
+        feats * 1.001, poses, make_pose(0.0), pts, sw, ji,
+        c2w=c2w, width=W, height=H, fx=180.0,
+    )
+    _ = float(jnp.sum(outs))
+    fused_s = time.time() - t0
+    print(
+        f"fused scan: {n_frames} frames in {1e3*fused_s:.1f} ms "
+        f"({n_frames/fused_s:.1f} frames/s; first call +compile "
+        f"{compile_s:.1f} s)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

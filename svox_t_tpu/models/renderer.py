@@ -192,6 +192,70 @@ def _persp_frames_jit(spec, features_frames, tmats_frames, c2w, perm, inv,
     return outs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "per_frame_feats", "per_frame_rays", "use_rot"),
+)
+def _dynamic_frames_jit(tree_spec, baked, features, tgt_poses, src_pose,
+                        points, skinning_weights, joint_index, origins,
+                        dirs, vdirs, opt, per_frame_feats, per_frame_rays,
+                        use_rot):
+    """The fused temporal pipeline (SURVEY.md §3.4) as ONE dispatch:
+    per scanned frame — LBS-warp the canonical cloud by that frame's
+    pose, re-point the octree (`construct_tree`), refresh the baked
+    structure (one gather), and render with per-voxel view-direction
+    rotation by the blended matrices. The index table and the
+    occupied-AABB union are scan carries, so semantics equal the eager
+    per-frame loop (tree.construct_tree + renderer.forward) exactly."""
+    import dataclasses as _dc
+
+    from ..ops import bake as bake_ops
+    from ..ops import query as query_ops
+    from ..ops import warp as warp_ops
+
+    if baked is not None and baked.aabb_lo is not None:
+        lo0, hi0 = baked.aabb_lo, baked.aabb_hi
+    else:
+        lo0 = jnp.zeros(3, jnp.float32)
+        hi0 = jnp.ones(3, jnp.float32)
+
+    def body(carry, xs):
+        data_flat, lo, hi = carry
+        xs = list(xs)
+        tgt = xs.pop(0)
+        f = xs.pop(0) if per_frame_feats else features
+        if per_frame_rays:
+            o_, d_, v_ = xs.pop(0), xs.pop(0), xs.pop(0)
+        else:
+            o_, d_, v_ = origins, dirs, vdirs
+        T = warp_ops.get_transformation_matrix(src_pose, tgt)
+        warped, mats = warp_ops.warp_vertices(
+            T, points, skinning_weights, joint_index
+        )
+        spec_t = tree_spec.with_(data_flat=data_flat)
+        new_flat = query_ops.construct_tree(spec_t, warped)
+        plo, phi = query_ops.points_leaf_aabb(spec_t, warped)
+        lo = jnp.minimum(lo, plo)
+        hi = jnp.maximum(hi, phi)
+        if baked is not None:
+            sp = bake_ops.refresh(baked, new_flat, aabb_lo=lo, aabb_hi=hi)
+        else:
+            sp = tree_spec.with_(data_flat=new_flat)
+        if use_rot:
+            sp = _dc.replace(sp, transformation_matrices=mats)
+        out = render_ops.volume_render(sp, f, o_, d_, v_, opt)
+        return (new_flat, lo, hi), out
+
+    xs = [tgt_poses]
+    if per_frame_feats:
+        xs.append(features)
+    if per_frame_rays:
+        xs += [origins, dirs, vdirs]
+    carry0 = (tree_spec.data_flat, lo0, hi0)
+    (data_flat, lo, hi), outs = jax.lax.scan(body, carry0, tuple(xs))
+    return outs, data_flat, lo, hi
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def _render_weights_jit(spec, features, origins, dirs, vdirs, opt):
     return render_ops.volume_render_with_weight_accum(
@@ -426,6 +490,102 @@ class VolumeRenderer:
             int(width), int(height), float(fx), float(fy), has_tm,
             per_frame_cam,
         )
+
+    def render_dynamic_frames(self, features, tgt_poses, src_pose, points,
+                              skinning_weights, joint_index, rays: Rays = None,
+                              c2w=None, width=800, height=800, fx=1111.111,
+                              fy=None, fast=False, viewdir_rotation=True,
+                              update_tree=True):
+        """Fused Artemis frame loop (SURVEY.md §3.4) in ONE dispatch:
+        per frame, LBS-warp the canonical cloud by that frame's pose,
+        re-point the octree at the warped points, refresh the baked
+        render structure (one gather, ~1 ms), and render with per-voxel
+        view-direction rotation by the blended matrices — a `lax.scan`
+        over frames, so a whole animation renders without per-frame
+        dispatch or re-bake overhead. Semantics match the eager loop
+        `construct_tree(warp_vertices(...)) + forward(...)` exactly
+        (the index table and cull-box union are scan carries).
+
+        :param features: (Q, data_dim) shared or (T, Q, data_dim)
+            per-frame feature matrix (row i belongs to point i)
+        :param tgt_poses: (T, J, 4, 4) per-frame joint poses
+        :param src_pose: (J, 4, 4) canonical pose
+        :param points: (Q, 3) canonical point cloud
+        :param skinning_weights / joint_index: (Q, n_bones)
+        :param rays: shared Rays (B, 3), OR `c2w` a (3|4, 4) fixed or
+            (T, 3|4, 4) per-frame camera path
+        :param update_tree: leave the tree pointed at the LAST frame
+            (like the eager loop); False keeps the tree untouched
+        :return: (T, B, n_color+1) for rays, (T, H, W, n_color+1) for
+            cameras
+        """
+        assert (rays is None) != (c2w is None), "pass exactly one of rays/c2w"
+        assert self.tree._weight_accum is None, (
+            "weight accumulation is per-render; use the eager loop inside "
+            "the accumulator context"
+        )
+        opt = self._get_options(fast)
+        tree_spec = self.tree._spec()
+        baked = (
+            self.tree._baked_spec() if self.backend == "baked" else None
+        )
+        features = jnp.asarray(features)
+        tgt_poses = jnp.asarray(tgt_poses, jnp.float32)
+        per_frame_feats = features.ndim == 3
+        if per_frame_feats:
+            assert features.shape[0] == tgt_poses.shape[0]
+
+        inv = None
+        if rays is not None:
+            origins = jnp.asarray(rays.origins)
+            dirs = jnp.asarray(rays.dirs)
+            vdirs = jnp.asarray(rays.viewdirs)
+            per_frame_rays = False
+            height_ = width_ = None
+        else:
+            if fy is None:
+                fy = fx
+            perm = None
+            if opt.chunk_size > 0:
+                tile = max(8, int(np.sqrt(opt.chunk_size)))
+                perm, inv = _tile_perm(width, height, tile)
+            c2w = jnp.asarray(c2w, jnp.float32)
+            per_frame_rays = c2w.ndim == 3
+
+            def rays_of(cam):
+                o, d = render_ops.cam2world_rays(
+                    cam, int(width), int(height), float(fx), float(fy)
+                )
+                v = d
+                if opt.ndc_width >= 0:
+                    d, o = render_ops.world2ndc(opt, d, o)
+                if perm is not None:
+                    o, d, v = o[perm], d[perm], v[perm]
+                return o, d, v
+
+            if per_frame_rays:
+                assert c2w.shape[0] == tgt_poses.shape[0]
+                origins, dirs, vdirs = jax.vmap(rays_of)(c2w)
+            else:
+                origins, dirs, vdirs = rays_of(c2w)
+            height_, width_ = int(height), int(width)
+
+        outs, data_flat, lo, hi = _dynamic_frames_jit(
+            tree_spec, baked, features, tgt_poses,
+            jnp.asarray(src_pose, jnp.float32),
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(skinning_weights, jnp.float32),
+            jnp.asarray(joint_index, jnp.int32),
+            origins, dirs, vdirs, opt, per_frame_feats, per_frame_rays,
+            bool(viewdir_rotation),
+        )
+        if update_tree:
+            self.tree._adopt_data_flat(tree_spec, data_flat, lo, hi)
+        if inv is not None:
+            outs = outs[:, inv]
+        if height_ is not None:
+            outs = outs.reshape(outs.shape[0], height_, width_, -1)
+        return outs
 
     def motion_render(self, features, rays: Rays, cuda=True, fast=False):
         """First-hit pass: (motion_feature (B, n_joints), depth (B,1),

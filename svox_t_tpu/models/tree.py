@@ -246,6 +246,20 @@ class N3Tree:
         device until a host-side structure op needs it."""
         spec = self._spec()
         new_data_flat = query_ops.construct_tree(spec, jnp.asarray(indices, self.dtype))
+        lo = hi = None
+        if self._cached_baked is not None:
+            lo, hi = query_ops.points_leaf_aabb(
+                spec, jnp.asarray(indices, self.dtype)
+            )
+        self._adopt_data_flat(spec, new_data_flat, lo, hi)
+
+    def _adopt_data_flat(self, spec, new_data_flat, lo=None, hi=None):
+        """Adopt a functionally produced index table (construct_tree /
+        a fused frame loop): splice it into the jit-cached specs and
+        refresh the baked structure, keeping the exact ray-cull box
+        valid. Old occupied cells keep their (possibly stale) rows, new
+        points may occupy cells outside the old box -> union of the two;
+        with lo=None the box conservatively resets to the full cube."""
         cap = spec.capacity
         self._data = new_data_flat.reshape(cap, self.N, self.N, self.N, 1)
         # Keep jit caches warm: splice the new table into cached specs
@@ -256,15 +270,9 @@ class N3Tree:
         if self._cached_baked is not None:
             from ..ops import bake as bake_ops
 
-            # Keep the exact ray-cull box valid: old occupied cells keep
-            # their (possibly stale) rows, new points may occupy cells
-            # outside the old box -> union of the two.
-            lo, hi = query_ops.points_leaf_aabb(
-                spec, jnp.asarray(indices, self.dtype)
-            )
             old_lo = self._cached_baked.aabb_lo
             old_hi = self._cached_baked.aabb_hi
-            if old_lo is not None:
+            if lo is not None and old_lo is not None:
                 lo = jnp.minimum(lo, old_lo)
                 hi = jnp.maximum(hi, old_hi)
             self._cached_baked = bake_ops.refresh(
