@@ -253,6 +253,28 @@ def config_5():
         _fetch(outs)
         _fetch(vol)
     dt = time.time() - t0
+
+    # Fused scan variant (renderer.render_dynamic_frames): the whole
+    # warp -> re-point -> bake-refresh -> render sequence as ONE
+    # dispatch (no p2v — measured above). The per-frame path pays a
+    # relay round-trip per dispatch that the scan amortizes away.
+    T_stack = np.tile(np.eye(4, dtype=np.float32), (n_frames, J, 1, 1))
+    for k in range(n_frames):
+        T_stack[k, 0, 0, 3] = 0.02 * np.sin(0.7 * (k + 1))
+        T_stack[k, 1, 1, 3] = 0.02 * np.cos(0.7 * (k + 1))
+    src = np.tile(np.eye(4, dtype=np.float32), (J, 1, 1))
+    rays = st.Rays(all_o, all_d, all_d)
+
+    def fused(i):
+        out = r.render_dynamic_frames(
+            feats0 * (1.0 + 1e-3 * i), T_stack, src, pts, sw, ji,
+            rays=rays, viewdir_rotation=False, update_tree=False,
+        )
+        _fetch(out)
+
+    fused(0)  # compile
+    fused_dt = _timed_min(fused, n=3)
+
     return {
         "config": 5,
         "frames_per_s": round(n_frames / dt, 2),
@@ -261,6 +283,8 @@ def config_5():
         "points": int(Q),
         "p2v_voxels": int(vol.size),
         "rebuilds_per_s": round(n_frames / dt, 2),
+        "fused_frames_per_s": round(n_frames / fused_dt, 2),
+        "fused_frame_ms": round(fused_dt / n_frames * 1e3, 1),
     }
 
 
