@@ -170,3 +170,44 @@ def test_fused_camera_path(scene):
         out = np.asarray(r2(feats, rays, transformation_matrices=mats))
         outs.append(out[np.asarray(inv)].reshape(H, W, -1))
     np.testing.assert_allclose(fused, np.stack(outs), atol=1e-6)
+
+
+def test_fused_differentiable_wrt_feature_stack(scene):
+    """Feature gradients flow through the fused scan to every frame
+    (structure re-pointing is non-differentiable by design — the
+    reference's render backward also emits feature grads only)."""
+    tree, pts, feats, sw, ji, rng = scene
+    poses = _poses(2)
+    src_pose = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    rays = _rays(rng, 24)
+    r = st.VolumeRenderer(tree)
+    stack = jnp.stack([feats, feats * 1.05])
+
+    def loss(s):
+        outs = r.render_dynamic_frames(
+            s, poses, src_pose, pts, sw, ji, rays=rays, update_tree=False
+        )
+        return jnp.sum(outs ** 2)
+
+    g = np.asarray(jax.grad(loss)(stack))
+    assert g.shape == stack.shape
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).sum() > 0
+    # Matches the eager per-frame gradient.
+    tree2 = st.N3Tree(N=2, data_dim=4, depth_limit=4)
+    tree2.refine(repeats=3)
+    r2 = st.VolumeRenderer(tree2)
+    for k in range(2):
+        T = st.get_transformation_matrix(
+            jnp.asarray(src_pose), jnp.asarray(poses[k])
+        )
+        warped, mats = st.warp_vertices(
+            T, jnp.asarray(pts), jnp.asarray(sw), jnp.asarray(ji)
+        )
+        tree2.construct_tree(warped)
+
+        def loss_k(f, mats=mats):
+            return jnp.sum(r2(f, rays, transformation_matrices=mats) ** 2)
+
+        gk = np.asarray(jax.grad(loss_k)(stack[k]))
+        np.testing.assert_allclose(g[k], gk, atol=2e-5)

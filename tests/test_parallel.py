@@ -446,3 +446,27 @@ def test_ray_sharded_grad_tape_matches_single(mesh):
 
     g2 = np.asarray(jax.jit(jax.grad(loss_sm))(feats))
     np.testing.assert_allclose(g2, g1, atol=1e-6)
+
+
+def test_frames_api_under_ray_sharding(mesh):
+    """render_frames composes with GSPMD ray sharding: a (T, M, D)
+    stack rendered over sharded rays equals the single-device stack."""
+    rng = np.random.RandomState(23)
+    t, feats, _ = build_tree(rng)
+    r = st.VolumeRenderer(t)
+    rays = make_rays(rng, 64)
+    stack = jnp.stack([feats, feats * 1.1, feats * 0.9])
+
+    single = np.asarray(r.render_frames(stack, rays))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ray_sh = NamedSharding(mesh, P("rays"))
+    rays_s = st.Rays(
+        jax.device_put(rays.origins, ray_sh),
+        jax.device_put(rays.dirs, ray_sh),
+        jax.device_put(rays.viewdirs, ray_sh),
+    )
+    stack_r = jax.device_put(stack, NamedSharding(mesh, P()))
+    sharded = np.asarray(r.render_frames(stack_r, rays_s))
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
