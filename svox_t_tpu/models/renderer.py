@@ -194,12 +194,14 @@ def _persp_frames_jit(spec, features_frames, tmats_frames, c2w, perm, inv,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt", "per_frame_feats", "per_frame_rays", "use_rot"),
+    static_argnames=(
+        "opt", "per_frame_feats", "per_frame_rays", "use_rot", "with_depth"
+    ),
 )
 def _dynamic_frames_jit(tree_spec, baked, features, tgt_poses, src_pose,
                         points, skinning_weights, joint_index, origins,
                         dirs, vdirs, opt, per_frame_feats, per_frame_rays,
-                        use_rot):
+                        use_rot, with_depth=False):
     """The fused temporal pipeline (SURVEY.md §3.4) as ONE dispatch:
     per scanned frame — LBS-warp the canonical cloud by that frame's
     pose, re-point the octree (`construct_tree`), refresh the baked
@@ -244,6 +246,10 @@ def _dynamic_frames_jit(tree_spec, baked, features, tgt_poses, src_pose,
         if use_rot:
             sp = _dc.replace(sp, transformation_matrices=mats)
         out = render_ops.volume_render(sp, f, o_, d_, v_, opt)
+        if with_depth:
+            from ..ops import render_aux as aux_ops
+
+            out = (out, aux_ops.render_depth(sp, f, o_, d_, opt))
         return (new_flat, lo, hi), out
 
     xs = [tgt_poses]
@@ -495,7 +501,7 @@ class VolumeRenderer:
                               skinning_weights, joint_index, rays: Rays = None,
                               c2w=None, width=800, height=800, fx=1111.111,
                               fy=None, fast=False, viewdir_rotation=True,
-                              update_tree=True):
+                              update_tree=True, with_depth=False):
         """Fused Artemis frame loop (SURVEY.md §3.4) in ONE dispatch:
         per frame, LBS-warp the canonical cloud by that frame's pose,
         re-point the octree at the warped points, refresh the baked
@@ -516,8 +522,11 @@ class VolumeRenderer:
             (T, 3|4, 4) per-frame camera path
         :param update_tree: leave the tree pointed at the LAST frame
             (like the eager loop); False keeps the tree untouched
+        :param with_depth: also return per-frame first-hit depth maps
+            (the Artemis aux output), computed inside the same scan
         :return: (T, B, n_color+1) for rays, (T, H, W, n_color+1) for
-            cameras
+            cameras; with_depth returns (colors, depths) where depths is
+            (T, B, 1) / (T, H, W, 1)
         """
         assert (rays is None) != (c2w is None), "pass exactly one of rays/c2w"
         assert self.tree._weight_accum is None, (
@@ -577,15 +586,22 @@ class VolumeRenderer:
             jnp.asarray(skinning_weights, jnp.float32),
             jnp.asarray(joint_index, jnp.int32),
             origins, dirs, vdirs, opt, per_frame_feats, per_frame_rays,
-            bool(viewdir_rotation),
+            bool(viewdir_rotation), bool(with_depth),
         )
         if update_tree:
             self.tree._adopt_data_flat(tree_spec, data_flat, lo, hi)
-        if inv is not None:
-            outs = outs[:, inv]
-        if height_ is not None:
-            outs = outs.reshape(outs.shape[0], height_, width_, -1)
-        return outs
+
+        def _finish(o):
+            if inv is not None:
+                o = o[:, inv]
+            if height_ is not None:
+                o = o.reshape(o.shape[0], height_, width_, -1)
+            return o
+
+        if with_depth:
+            colors, depths = outs
+            return _finish(colors), _finish(depths)
+        return _finish(outs)
 
     def motion_render(self, features, rays: Rays, cuda=True, fast=False):
         """First-hit pass: (motion_feature (B, n_joints), depth (B,1),

@@ -211,3 +211,39 @@ def test_fused_differentiable_wrt_feature_stack(scene):
 
         gk = np.asarray(jax.grad(loss_k)(stack[k]))
         np.testing.assert_allclose(g[k], gk, atol=2e-5)
+
+
+def test_fused_with_depth_matches_eager(scene):
+    """with_depth returns the per-frame first-hit depth maps the aux
+    pass produces on the eager loop's re-pointed tree."""
+    tree, pts, feats, sw, ji, rng = scene
+    poses = _poses(2)
+    src_pose = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    rays = _rays(rng, 32)
+    r = st.VolumeRenderer(tree)
+
+    colors, depths = r.render_dynamic_frames(
+        feats, poses, src_pose, pts, sw, ji, rays=rays, with_depth=True
+    )
+    colors, depths = np.asarray(colors), np.asarray(depths)
+    assert depths.shape == (2, 32, 1)
+
+    tree2 = st.N3Tree(N=2, data_dim=4, depth_limit=4)
+    tree2.refine(repeats=3)
+    r2 = st.VolumeRenderer(tree2)
+    for k in range(2):
+        T = st.get_transformation_matrix(
+            jnp.asarray(src_pose), jnp.asarray(poses[k])
+        )
+        warped, mats = st.warp_vertices(
+            T, jnp.asarray(pts), jnp.asarray(sw), jnp.asarray(ji)
+        )
+        tree2.construct_tree(warped)
+        np.testing.assert_allclose(
+            colors[k],
+            np.asarray(r2(feats, rays, transformation_matrices=mats)),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            depths[k], np.asarray(r2.render_depth(feats, rays)), atol=1e-6
+        )
