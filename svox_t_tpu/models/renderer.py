@@ -697,6 +697,10 @@ class VolumeRenderer:
         # thresholds (the approach samples contribute nothing; removing
         # them shifts later sample positions by bounded amounts).
         box_advance = 1 if fast else 0
+        # ... and crosses baked empty-space skip boxes in one step
+        # (RenderOptions.skip_boxes) — the directed-skip counterpart of
+        # box_advance, same accuracy license.
+        skip_boxes = 1 if fast else 0
         # Attribute overrides, honored like the reference.
         if hasattr(self, "sigma_thresh"):
             sigma_thresh = self.sigma_thresh
@@ -704,6 +708,8 @@ class VolumeRenderer:
             stop_thresh = self.stop_thresh
         if hasattr(self, "box_advance"):
             box_advance = self.box_advance
+        if hasattr(self, "skip_boxes"):
+            skip_boxes = self.skip_boxes
         return RenderOptions(
             step_size=float(self.step_size),
             background_brightness=float(self.background_brightness),
@@ -721,6 +727,7 @@ class VolumeRenderer:
             interp=int(self.interp),
             round_size=self._auto_round_size(),
             box_advance=int(box_advance),
+            skip_boxes=int(skip_boxes),
         )
 
     def _auto_round_size(self) -> int:

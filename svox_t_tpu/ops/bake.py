@@ -54,6 +54,32 @@ ROW_BITS = 27
 EMPTY_ROW = (1 << ROW_BITS) - 1
 ROW_MASK = EMPTY_ROW
 
+# --- Directed empty-space skip boxes (FAST-mode acceleration) --------------
+#
+# Every packed row value in [n_features, EMPTY_ROW] already means "empty
+# space" at render time, so the sentinel lane of an EMPTY cell has
+# ~2^27 - n_features spare codes — room to smuggle a per-leaf skip box
+# into the very value the march already fetches (zero extra gathers).
+# Empty leaves store ``SKIP_BASE + bits`` where ``bits`` packs six 4-bit
+# face extents (units of the leaf's own cell size) of an axis-aligned
+# box, grown greedily at bake time, that is GUARANTEED to contain no
+# occupied cell. The fast-mode march exits that box instead of the
+# single cell — grazing rays that would crawl through dozens of
+# shell-adjacent empty leaves (65% of all real samples on the headline
+# scene) cross them in one step. Exact mode ignores the extents (the
+# empty test `row >= n_features` is unchanged), and `refresh()`
+# re-packing rows from the index table degrades every box to a plain
+# sentinel (EMPTY_ROW decodes as out-of-range -> extent 0) — stale boxes
+# can never survive a re-point, so the skip is always conservative.
+#
+# Bit layout (low to high): lo_x, hi_x, lo_y, hi_y, lo_z, hi_z — 4 bits
+# each, 24 bits total; SKIP_BASE + bits < EMPTY_ROW always holds.
+SKIP_BASE = 1 << 26
+_SKIP_EXT_MAX = 15
+_SKIP_BITS_SPAN = 1 << 24
+# Fine-grid cap for the bake-time occupancy SAT (memory: (F+1)^3 int32).
+_SKIP_MAX_FINE = 256
+
 # Max rows per packed table. The measured gather-cost knee sits at
 # ~128k-row operands (CLAUDE.md cost model); staying a factor 2 below it
 # (2^16) keeps every table safely in the ~2ns/index regime — 131072 rows
@@ -116,6 +142,10 @@ class BakedTree:
     # behind the old "row-count knee"). See docs/PERFORMANCE.md.
     top_width: int = dataclasses.field(default=8, metadata=dict(static=True))
     brick_width: int = dataclasses.field(default=8, metadata=dict(static=True))
+    # Nonzero when empty cells carry packed skip-box extents (== the
+    # SKIP_BASE the extents are coded above). The FAST-mode march
+    # (RenderOptions.skip_boxes) decodes them; exact mode ignores them.
+    skip_base: int = dataclasses.field(default=0, metadata=dict(static=True))
     # Model-parallel brick atlas (huge scenes): mesh axis the brick
     # table is ROW-sharded over (inside shard_map). Each fine-brick
     # lookup gathers locally (non-owned elements read 0) and one
@@ -214,6 +244,105 @@ def _paint(dst, dst_aux, idx3, span, values, depths, srcs, aux3=None):
             dst_aux[1][X, Y, Z] = np.repeat(sr, rep)
 
 
+def _grow_skip_boxes(rows, corners, depths, N, D, F):
+    """Grow per-empty-leaf guaranteed-empty AABBs; returns packed rows.
+
+    `rows` is the per-leaf packed row array (EMPTY_ROW = no data);
+    `corners` the leaf lower corners in finest-grid units, `depths` the
+    leaf depths (cell side = F // N^(depth+1) fine cells). Emptiness is
+    verified against a summed-area table of the occupied-cell grid, so
+    a box never contains a cell with a data pointer; space outside the
+    unit cube counts as empty (the global tmax clamp already bounds the
+    march there). Each face extent is grown greedily, round-robin, by
+    one leaf-size step per round, saturating at _SKIP_EXT_MAX."""
+    empty = rows == EMPTY_ROW
+    occ = ~empty
+    if not (empty.any() and occ.any()):
+        return rows
+    size = (F // (N ** (depths + 1))).astype(np.int64)
+
+    grid = np.zeros((F, F, F), np.uint8)
+    oc = corners[occ]
+    osz = size[occ]
+    for s in np.unique(osz):
+        m = osz == s
+        cs = oc[m]
+        if s == 1:
+            grid[cs[:, 0], cs[:, 1], cs[:, 2]] = 1
+        else:
+            off = np.arange(s)
+            ox, oy, oz = np.meshgrid(off, off, off, indexing="ij")
+            ox, oy, oz = ox.ravel(), oy.ravel(), oz.ravel()
+            grid[
+                (cs[:, 0, None] + ox).ravel(),
+                (cs[:, 1, None] + oy).ravel(),
+                (cs[:, 2, None] + oz).ravel(),
+            ] = 1
+
+    sat = np.zeros((F + 1, F + 1, F + 1), np.int32)
+    sat[1:, 1:, 1:] = grid
+    np.cumsum(sat, axis=0, out=sat)
+    np.cumsum(sat, axis=1, out=sat)
+    np.cumsum(sat, axis=2, out=sat)
+
+    def box_count(lo, hi):
+        lo = np.clip(lo, 0, F)
+        hi = np.clip(hi, 0, F)
+        hi = np.maximum(hi, lo)
+        x0, y0, z0 = lo[:, 0], lo[:, 1], lo[:, 2]
+        x1, y1, z1 = hi[:, 0], hi[:, 1], hi[:, 2]
+        return (
+            sat[x1, y1, z1] - sat[x0, y1, z1] - sat[x1, y0, z1]
+            - sat[x1, y1, z0] + sat[x0, y0, z1] + sat[x0, y1, z0]
+            + sat[x1, y0, z0] - sat[x0, y0, z0]
+        )
+
+    es = size[empty]
+    lo = corners[empty].copy()
+    hi = lo + es[:, None]
+    E = len(es)
+    ext_lo = np.zeros((E, 3), np.int64)
+    ext_hi = np.zeros((E, 3), np.int64)
+    for _ in range(_SKIP_EXT_MAX):
+        grew = False
+        for axis in range(3):
+            c_lo = lo.copy()
+            c_hi = hi.copy()
+            c_lo[:, axis] = hi[:, axis]
+            c_hi[:, axis] = hi[:, axis] + es
+            ok = (box_count(c_lo, c_hi) == 0) & (
+                ext_hi[:, axis] < _SKIP_EXT_MAX
+            )
+            hi[ok, axis] += es[ok]
+            ext_hi[ok, axis] += 1
+            grew = grew or bool(ok.any())
+
+            c_lo = lo.copy()
+            c_hi = hi.copy()
+            c_hi[:, axis] = lo[:, axis]
+            c_lo[:, axis] = lo[:, axis] - es
+            ok = (box_count(c_lo, c_hi) == 0) & (
+                ext_lo[:, axis] < _SKIP_EXT_MAX
+            )
+            lo[ok, axis] -= es[ok]
+            ext_lo[ok, axis] += 1
+            grew = grew or bool(ok.any())
+        if not grew:
+            break
+
+    bits = (
+        ext_lo[:, 0]
+        | (ext_hi[:, 0] << 4)
+        | (ext_lo[:, 1] << 8)
+        | (ext_hi[:, 1] << 12)
+        | (ext_lo[:, 2] << 16)
+        | (ext_hi[:, 2] << 20)
+    )
+    rows = rows.copy()
+    rows[empty] = SKIP_BASE + bits
+    return rows
+
+
 def bake_arrays(
     child: np.ndarray,
     data: np.ndarray,
@@ -225,8 +354,16 @@ def bake_arrays(
     transformation_matrices=None,
     top_levels: Optional[int] = None,
     mid_levels: Optional[int] = None,
+    skip_boxes: bool = True,
 ) -> BakedTree:
-    """Bake from host-side (capacity, N, N, N[, 1]) arrays."""
+    """Bake from host-side (capacity, N, N, N[, 1]) arrays.
+
+    ``skip_boxes``: pack guaranteed-empty skip AABBs into empty cells'
+    sentinel lanes (see SKIP_BASE above). On by default — exact-mode
+    rendering is unaffected (the empty test is unchanged); only the
+    FAST-mode march (RenderOptions.skip_boxes) reads the extents.
+    Auto-disabled for very deep trees (fine grid > _SKIP_MAX_FINE^3)
+    and for pools whose row ids reach SKIP_BASE."""
     child = np.asarray(child)
     N = child.shape[1]
     data_flat = np.asarray(data).reshape(-1).astype(np.int64)
@@ -264,10 +401,23 @@ def bake_arrays(
 
     rows = np.minimum(data_flat[srcs], EMPTY_ROW).astype(np.int64)
     rows = np.where(rows < 0, EMPTY_ROW, rows)
-    packed = ((depths.astype(np.int64) << ROW_BITS) | rows).astype(np.int64)
 
-    # Occupied-cell AABB in tree coords (see BakedTree.aabb_lo).
+    # Occupied-cell AABB in tree coords (see BakedTree.aabb_lo) — must
+    # see pre-skip-box rows (boxes re-code empty cells below EMPTY_ROW).
     occ = rows < EMPTY_ROW
+
+    skip_base = 0
+    if (
+        skip_boxes
+        and F <= _SKIP_MAX_FINE
+        and occ.any()
+        and (~occ).any()
+        and int(rows[occ].max()) < SKIP_BASE
+    ):
+        rows = _grow_skip_boxes(rows, corners, depths, N, D, F)
+        skip_base = SKIP_BASE
+
+    packed = ((depths.astype(np.int64) << ROW_BITS) | rows).astype(np.int64)
     if occ.any():
         size_occ = (F // (N ** (depths[occ] + 1)))[:, None]
         aabb_lo = (corners[occ].min(axis=0) / F).astype(np.float32)
@@ -459,13 +609,15 @@ def bake_arrays(
         n_tree_cells=int(child.size),
         top_width=int(top_width),
         brick_width=int(brick_width),
+        skip_base=int(skip_base),
         aabb_lo=jnp.asarray(aabb_lo),
         aabb_hi=jnp.asarray(aabb_hi),
     )
 
 
 def bake(spec: TreeSpec, top_levels: Optional[int] = None,
-         mid_levels: Optional[int] = None) -> BakedTree:
+         mid_levels: Optional[int] = None,
+         skip_boxes: bool = True) -> BakedTree:
     """Bake a device TreeSpec (pulls tables to host first)."""
     N = spec.N
     child = np.asarray(jax.device_get(spec.child_flat)).reshape(-1, N, N, N)
@@ -484,6 +636,7 @@ def bake(spec: TreeSpec, top_levels: Optional[int] = None,
         else np.asarray(jax.device_get(spec.transformation_matrices)),
         top_levels=top_levels,
         mid_levels=mid_levels,
+        skip_boxes=skip_boxes,
     )
 
 

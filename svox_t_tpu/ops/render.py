@@ -180,15 +180,28 @@ def _pvary_like(x, *refs):
     return x
 
 
-def _pool_view(features, opt) -> PackedFeatures:
+def _pool_view(features, opt, spec=None) -> PackedFeatures:
     """Pack the pool for gathering, honoring `opt.pool_axis`.
 
     Unsharded: identical to `_pack_features`. Sharded (inside shard_map
     over `opt.pool_axis`): `features` is this device's row shard; the
     returned view gathers locally with `M` set to the GLOBAL bound
     (`opt.pool_rows`) so empty-leaf tests stay global. Callers must psum
-    gathered rows over the axis (`_gather_round`/`_gather_interp` do)."""
+    gathered rows over the axis (`_gather_round`/`_gather_interp` do).
+
+    When `spec` is passed and carries baked skip boxes, the pool must
+    stay below the box code space (rows >= SKIP_BASE would make empty
+    cells read as occupied) — re-bake with skip_boxes=False for pools
+    that large."""
     ft = _pack_features(features)
+    sb = getattr(spec, "skip_base", 0) if spec is not None else 0
+    if sb:
+        M_glob = opt.pool_rows if opt.pool_axis is not None else ft.M
+        if M_glob > sb:
+            raise ValueError(
+                f"feature pool has {M_glob} rows but the baked tree packs "
+                f"skip boxes above row {sb}; bake with skip_boxes=False"
+            )
     if opt.pool_axis is None:
         return ft
     n_local = ft.M  # rows actually present on this device
@@ -462,7 +475,7 @@ def _chunked_carry(single_fn, opt, ray_arrays, carry_init, fills=_RAY_FILLS):
 # ---------------------------------------------------------------------------
 
 
-def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
+def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size, skip_base=0):
     """Structure-only march step on unstacked per-axis coordinates — the
     whole step is elementwise math around the structure gather, fusing
     into ~2 kernels (stacked (B,3) forms cost ~4 extra ops/step).
@@ -470,7 +483,14 @@ def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
     Returns (data_idx, delta_t, cell_id): the leaf's feature row
     (>= n_features: empty), the leaf-adaptive step length
     `(subcube_tmax - subcube_tmin)/cube_sz + step_size` (parity:
-    rt_kernel.cu:273-276), and the flat cell id (weight accumulation)."""
+    rt_kernel.cu:273-276), and the flat cell id (weight accumulation).
+
+    ``skip_base`` nonzero (FAST mode, see RenderOptions.skip_boxes):
+    empty cells whose sentinel lane packs skip-box extents
+    (ops/bake.SKIP_BASE coding) run the exit DDA against the enlarged
+    guaranteed-empty box — pure extra VPU bit-math on the value the
+    step already fetched. Occupied cells and plain sentinels decode to
+    extent 0 and take the identical cell exit."""
     ox, oy, oz = oxyz
     dx, dy, dz = dxyz
     ivx, ivy, ivz = ivxyz
@@ -496,12 +516,32 @@ def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size):
         fy = leaf.frac[:, 1].reshape(shape)
         fz = leaf.frac[:, 2].reshape(shape)
     # dda_unit on the unit leaf cube, unrolled per axis (elementwise only)
-    t1x = -fx * ivx
-    t2x = t1x + ivx
-    t1y = -fy * ivy
-    t2y = t1y + ivy
-    t1z = -fz * ivz
-    t2z = t1z + ivz
+    if skip_base:
+        bits = data_idx - skip_base
+        use = jnp.logical_and(bits >= 0, bits < (1 << 24))
+        bz = jnp.where(use, bits, 0)
+
+        def _ext(shift):
+            v = jax.lax.shift_right_logical(bz, shift) if shift else bz
+            return jax.lax.bitwise_and(v, 15).astype(px.dtype)
+
+        # Written so extent 0 is BIT-IDENTICAL to the plain cell DDA
+        # (x + 0.0 == x, 1.0 * iv == iv): occupied samples and degraded
+        # boxes (post-refresh sentinels) take exactly the no-skip path.
+        elx, ely, elz = _ext(0), _ext(8), _ext(16)
+        t1x = -(fx + elx) * ivx
+        t2x = t1x + (1.0 + _ext(4) + elx) * ivx
+        t1y = -(fy + ely) * ivy
+        t2y = t1y + (1.0 + _ext(12) + ely) * ivy
+        t1z = -(fz + elz) * ivz
+        t2z = t1z + (1.0 + _ext(20) + elz) * ivz
+    else:
+        t1x = -fx * ivx
+        t2x = t1x + ivx
+        t1y = -fy * ivy
+        t2y = t1y + ivy
+        t1z = -fz * ivz
+        t2z = t1z + ivz
     sub_tmin = jnp.maximum(
         jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
         jnp.minimum(t1z, t2z),
@@ -527,6 +567,13 @@ def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
     K = max(1, opt.round_size)
     if want_pos is None:
         want_pos = bool(opt.interp)
+    # FAST-mode directed empty-space skip (see RenderOptions.skip_boxes);
+    # off under interp (boxes are not eroded for the interpolation skin).
+    skip_base = (
+        getattr(spec, "skip_base", 0)
+        if (opt.skip_boxes and not opt.interp)
+        else 0
+    )
     cap_ragged = (opt.max_steps % K) != 0
     idx_k, dt_k, val_k, cell_k, t_k, cube_k = [], [], [], [], [], []
     tt, act = t, active
@@ -537,7 +584,7 @@ def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
             # (compiled out otherwise: cond guarantees step0+K<=max_steps).
             valid = jnp.logical_and(valid, step0 + k < opt.max_steps)
         data_idx, delta_t, cell_id, cube_sz = _lookup_leaf_xyz(
-            spec, oxyz, dxyz, ivxyz, tt, opt.step_size
+            spec, oxyz, dxyz, ivxyz, tt, opt.step_size, skip_base
         )
         idx_k.append(data_idx)
         dt_k.append(delta_t)
@@ -733,7 +780,7 @@ def _volume_render_fwd_impl(
     # reference); compile out its carries and per-step work then.
     can_stop = opt.stop_thresh > 0.0
 
-    features_t = _pool_view(features, opt)
+    features_t = _pool_view(features, opt, spec)
     M = features_t.M
 
     def single(origins_, dirs_, vdirs_, waccum0_):
@@ -1099,12 +1146,22 @@ def _volume_render_bwd_impl(
     merge into a single (K*B, D) row scatter — the feature layout puts
     sigma in the last column, so the scatter target IS the final (M, D)
     gradient; no assembly pass."""
+    if opt.bwd_round_size > 0 or opt.bwd_chunk_size > 0:
+        import dataclasses as _dc
+
+        opt = _dc.replace(
+            opt,
+            round_size=opt.bwd_round_size or opt.round_size,
+            chunk_size=opt.bwd_chunk_size or opt.chunk_size,
+            bwd_round_size=0,
+            bwd_chunk_size=0,
+        )
     Mloc, D = features.shape  # this device's rows (== global when unsharded)
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     n_cc = n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
     dtype = origins.dtype
     K = max(1, opt.round_size)
-    features_t = _pool_view(features, opt)
+    features_t = _pool_view(features, opt, spec)
     M = features_t.M  # GLOBAL valid-row bound (empty-leaf test)
     single_pass = (
         opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0 and out_res is not None

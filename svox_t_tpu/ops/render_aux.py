@@ -60,7 +60,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
     saved forward output (1 - alpha) and the re-march count drops to one.
     Gradient rows scatter through the tiered compact scatter."""
     Mloc, D = features.shape  # this device's rows (== global unsharded)
-    features_t = _pool_view(features, opt)
+    features_t = _pool_view(features, opt, spec)
     M = features_t.M  # GLOBAL valid-row bound
     K = max(1, opt.round_size)
 
@@ -219,7 +219,7 @@ def _first_hit(spec, features, origins, dirs, opt):
     Round-based: per round, the first contributing sample per ray is
     selected with a prefix mask (hit position recomputed from t_hit
     after the loop — pos = o + t*d exactly)."""
-    features_t = _pool_view(features, opt)
+    features_t = _pool_view(features, opt, spec)
     M = features_t.M
     K = max(1, opt.round_size)
 
@@ -364,7 +364,7 @@ def _mf_blend(spec, joint_features, idx, valid, out_dim):
 
 def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt):
     out_dim = joint_features.shape[1]
-    features_t = _pool_view(features, opt)
+    features_t = _pool_view(features, opt, spec)
     M = features_t.M
     K = max(1, opt.round_size)
     can_stop = opt.stop_thresh > 0.0
@@ -480,7 +480,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     scatters with a wrong index; SURVEY.md K14). Round-based: one tiered
     compact scatter of (sample x bone) rows per round."""
     J, Kd = joint_features.shape
-    features_t = _pool_view(features, opt)
+    features_t = _pool_view(features, opt, spec)
     M = features_t.M
     K = max(1, opt.round_size)
 

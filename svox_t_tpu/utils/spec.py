@@ -96,6 +96,17 @@ class RenderOptions:
     # (renderer.py:428-433). MUST stay 0 on the exact-parity path; no-op
     # for tree-walk specs (no box) and under interp.
     box_advance: int = 0
+    # FAST-MODE-ONLY directed empty-space skip: when the baked structure
+    # carries per-empty-leaf skip boxes (BakedTree.skip_base, packed into
+    # the sentinel lane the march already fetches — zero extra gathers),
+    # empty samples advance to the exit of a guaranteed-empty AABB
+    # instead of the single cell. Empty samples contribute nothing, but
+    # merging their crossings SHIFTS later sample positions on the
+    # sequential t-chain by up to step_size per merged run — the same
+    # accuracy license as box_advance / the reference's fast thresholds.
+    # MUST stay 0 on the exact-parity path; no-op for tree-walk specs,
+    # box-free bakes, and under interp (boxes are not skin-eroded).
+    skip_boxes: int = 0
     # Backward gradient-tape capacity (rows). 0 = per-round tiered
     # scatter (each round pays a latency-chained scatter call). > 0 =
     # per-round COMPACT-APPEND of contributing gradient rows into a
@@ -107,6 +118,15 @@ class RenderOptions:
     # Exact single-pass nearest-mode backward only (interp/thresholded
     # paths ignore it).
     grad_tape_rows: int = 0
+    # Backward-only overrides of round_size / chunk_size (0 = inherit).
+    # The backward march carries large per-round gradient-row buffers
+    # that evict the VMEM-pinned structure tables anyway, and its
+    # per-round fixed costs (compaction map + scatter dispatch) dominate
+    # — so a LARGER backward round/chunk can amortize them where the
+    # forward's K=8 VMEM cliff forbids it. Semantics are round-size
+    # invariant (parity-tested); these are pure performance knobs.
+    bwd_round_size: int = 0
+    bwd_chunk_size: int = 0
     # Model-parallel feature pool (multi-chip): when `pool_axis` names a
     # mesh axis (render called inside shard_map over that axis), the
     # features argument is this device's ROW SHARD of the pool; each

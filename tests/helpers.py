@@ -16,11 +16,17 @@ def build_tree(
     n_random_refines=2,
     extra_data=None,
     sigma_scale=10.0,
+    occupy=None,
 ):
     """Random irregular tree with features attached to every leaf.
 
     Returns (tree, features) where features has one row per leaf and the
     index table points at them via construct_tree on leaf centers.
+
+    ``occupy``: optional predicate over (L, 3) world leaf centers
+    returning a bool mask — only those leaves get data pointers (the
+    rest stay genuinely empty, sentinel index). Features then have one
+    row per OCCUPIED leaf.
     """
     t = st.N3Tree(
         N=N, data_dim=data_dim, depth_limit=depth_limit,
@@ -37,6 +43,8 @@ def build_tree(
     centers_world = np.asarray(
         jax.device_get(t.tree2world(jnp.asarray(centers_local)))
     )
+    if occupy is not None:
+        centers_world = centers_world[occupy(centers_world)]
     t.construct_tree(centers_world)
     M = centers_world.shape[0]
     feats = rng.randn(M, data_dim).astype(np.float32) * 0.5
