@@ -220,26 +220,25 @@ def main():
         poses = np.stack(poses)
         src = np.stack([np.eye(4, dtype=np.float32)] * 2)
 
-        def dyn_run(i):
+        def dyn_run(i, fast):
             outs = dr.render_dynamic_frames(
                 dfeats * (1.0 + 1e-3 * i), poses, src, pts, sw, ji,
                 c2w=c2w, width=W, height=H, fx=W * 1.1,
-                update_tree=False,
+                update_tree=False, fast=fast,
             )
             return float(jnp.sum(outs))
 
-        _ = dyn_run(0)  # compile
-        dts = []
-        for i in range(3):
-            t0 = time.time()
-            _ = dyn_run(i + 1)
-            dts.append(time.time() - t0)
-        dyn_s = min(dts) / n_frames
-        dyn = {
-            "dynamic_fused_frames_s": round(1.0 / dyn_s, 2),
-            "dynamic_fused_frame_ms": round(dyn_s * 1e3, 1),
-            "dynamic_points": Q,
-        }
+        dyn = {"dynamic_points": Q}
+        for fast, key in ((False, "dynamic_fused"), (True, "dynamic_fast")):
+            _ = dyn_run(0, fast)  # compile
+            dts = []
+            for i in range(3):
+                t0 = time.time()
+                _ = dyn_run(i + 1, fast)
+                dts.append(time.time() - t0)
+            dyn_s = min(dts) / n_frames
+            dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
+            dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
     except Exception as e:  # pragma: no cover - defensive for the driver
         dyn = {"dynamic_error": repr(e)[:200]}
 
