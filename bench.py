@@ -80,7 +80,10 @@ def main():
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def fwd_sustained(sp, f, o, d, v, opt_):
         def one(i, acc):
-            out = volume_render(sp, f * (1.0 + 1e-7 * i), o, d, v, opt_)
+            # Quantized pools (NamedTuple) can't be scalar-perturbed
+            # in-loop; their outer iterations re-quantize instead.
+            ff = f if isinstance(f, tuple) else f * (1.0 + 1e-7 * i)
+            out = volume_render(sp, ff, o, d, v, opt_)
             return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
 
@@ -186,6 +189,36 @@ def main():
     deep_s = min(times) / N_SUSTAIN
     deep_mrays = n_rays / deep_s / 1e6
 
+    # int8-quantized pool on the same deep scene (inference path): the
+    # 39 MB int8 table re-enters the VMEM-pinnable regime the 78 MB bf16
+    # one misses — measured ~3.5x. Quantization error reported alongside
+    # (per-channel affine int8; NOT the exact path).
+    from svox_t_tpu.ops.render import quantize_features
+
+    def _quant(i):
+        return quantize_features(
+            (dfeats.astype(jnp.float32) * (1.0 + 1e-2 * i))
+        )
+
+    qf = _quant(0)
+    sel = np.random.RandomState(0).choice(n_rays, 8192, replace=False)
+    oq = volume_render(dbaked, qf, origins[sel], dirs[sel], vdirs[sel],
+                       opt_deep)
+    of = volume_render(dbaked, dfeats.astype(jnp.float32), origins[sel],
+                       dirs[sel], vdirs[sel], opt_deep)
+    deep_int8_err = float(jnp.max(jnp.abs(oq - of)))
+    _ = float(fwd_sustained(dbaked, qf, origins, dirs, vdirs, opt_deep))
+    times = []
+    for i in range(3):
+        q_i = _quant(i + 1)
+        _ = float(jnp.sum(q_i.q))
+        t0 = time.time()
+        res = fwd_sustained(dbaked, q_i, origins, dirs, vdirs, opt_deep)
+        _ = float(res)
+        times.append(time.time() - t0)
+    deep_int8_s = min(times) / N_SUSTAIN
+    deep_int8_mrays = n_rays / deep_int8_s / 1e6
+
     # Dynamic serving metric: the fused temporal pipeline
     # (render_dynamic_frames — per frame: LBS warp, construct_tree
     # re-point, bake refresh, 800x800 render — in ONE scanned dispatch).
@@ -264,6 +297,9 @@ def main():
                 "deep9_mrays_s": round(deep_mrays, 3),
                 "deep9_ms": round(deep_s * 1e3, 1),
                 "deep9_build_s": round(deep_build_s, 1),
+                "deep9_int8_mrays_s": round(deep_int8_mrays, 3),
+                "deep9_int8_ms": round(deep_int8_s * 1e3, 1),
+                "deep9_int8_max_err": round(deep_int8_err, 5),
                 "n_rays": int(n_rays),
                 "tree_internal_nodes": int(tree.n_internal),
                 "tree_leaves": int(tree.n_leaves),
