@@ -244,7 +244,7 @@ def _paint(dst, dst_aux, idx3, span, values, depths, srcs, aux3=None):
             dst_aux[1][X, Y, Z] = np.repeat(sr, rep)
 
 
-def _grow_skip_boxes(rows, corners, depths, N, D, F):
+def _grow_skip_boxes(rows, corners, depths, N, F):
     """Grow per-empty-leaf guaranteed-empty AABBs; returns packed rows.
 
     `rows` is the per-leaf packed row array (EMPTY_ROW = no data);
@@ -414,7 +414,7 @@ def bake_arrays(
         and (~occ).any()
         and int(rows[occ].max()) < SKIP_BASE
     ):
-        rows = _grow_skip_boxes(rows, corners, depths, N, D, F)
+        rows = _grow_skip_boxes(rows, corners, depths, N, F)
         skip_base = SKIP_BASE
 
     packed = ((depths.astype(np.int64) << ROW_BITS) | rows).astype(np.int64)

@@ -55,7 +55,7 @@ import numpy as np
 
 from ..utils.spec import (FORMAT_RGBA, RenderOptions, TreeSpec,
                           get_out_data_dim)
-from .bake import BakedTree
+from .bake import _SKIP_BITS_SPAN, BakedTree
 from .bake import lookup as _baked_lookup
 from .bake import lookup_xyz as _baked_lookup_xyz
 from .sh import _PREC, eval_basis
@@ -178,6 +178,24 @@ def _pvary_like(x, *refs):
     for a in want:
         x = jax.lax.pcast(x, a, to="varying")
     return x
+
+
+def apply_bwd_sizing(opt: RenderOptions) -> RenderOptions:
+    """Resolve the backward-only round/chunk overrides (spec.py
+    `bwd_round_size`/`bwd_chunk_size`) into plain round/chunk sizes.
+    Every backward march (main render, opacity, motion-feature) calls
+    this first; sizing is semantics-free (gradient parity is tested)."""
+    if opt.bwd_round_size <= 0 and opt.bwd_chunk_size <= 0:
+        return opt
+    import dataclasses as _dc
+
+    return _dc.replace(
+        opt,
+        round_size=opt.bwd_round_size or opt.round_size,
+        chunk_size=opt.bwd_chunk_size or opt.chunk_size,
+        bwd_round_size=0,
+        bwd_chunk_size=0,
+    )
 
 
 def _pool_view(features, opt, spec=None) -> PackedFeatures:
@@ -518,7 +536,7 @@ def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size, skip_base=0):
     # dda_unit on the unit leaf cube, unrolled per axis (elementwise only)
     if skip_base:
         bits = data_idx - skip_base
-        use = jnp.logical_and(bits >= 0, bits < (1 << 24))
+        use = jnp.logical_and(bits >= 0, bits < _SKIP_BITS_SPAN)
         bz = jnp.where(use, bits, 0)
 
         def _ext(shift):
@@ -1146,16 +1164,7 @@ def _volume_render_bwd_impl(
     merge into a single (K*B, D) row scatter — the feature layout puts
     sigma in the last column, so the scatter target IS the final (M, D)
     gradient; no assembly pass."""
-    if opt.bwd_round_size > 0 or opt.bwd_chunk_size > 0:
-        import dataclasses as _dc
-
-        opt = _dc.replace(
-            opt,
-            round_size=opt.bwd_round_size or opt.round_size,
-            chunk_size=opt.bwd_chunk_size or opt.chunk_size,
-            bwd_round_size=0,
-            bwd_chunk_size=0,
-        )
+    opt = apply_bwd_sizing(opt)
     Mloc, D = features.shape  # this device's rows (== global when unsharded)
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
     n_cc = n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color

@@ -30,7 +30,7 @@ from .render import (_chunked_carry, _chunked_outputs, _clip_to_occupied,
                      _march_round, _round_sigma,
                      _pool_view, _pvary_like, _ray_setup,
                      _scatter_add_compact, _volume_render_fwd_impl,
-                     _zero_cotangent)
+                     _zero_cotangent, apply_bwd_sizing)
 from .sh import _PREC
 from .traversal import tree2world
 
@@ -59,6 +59,7 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
     docstring). Round-based march; in exact mode L_ray comes from the
     saved forward output (1 - alpha) and the re-march count drops to one.
     Gradient rows scatter through the tiered compact scatter."""
+    opt = apply_bwd_sizing(opt)
     Mloc, D = features.shape  # this device's rows (== global unsharded)
     features_t = _pool_view(features, opt, spec)
     M = features_t.M  # GLOBAL valid-row bound
@@ -479,6 +480,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     rt_kernel.cu:982-1065 (the reference reads an uninitialized buffer and
     scatters with a wrong index; SURVEY.md K14). Round-based: one tiered
     compact scatter of (sample x bone) rows per round."""
+    opt = apply_bwd_sizing(opt)
     J, Kd = joint_features.shape
     features_t = _pool_view(features, opt, spec)
     M = features_t.M

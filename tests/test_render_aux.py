@@ -1,6 +1,8 @@
 """Aux renders: opacity (+ sigma-only VJP), depth, motion first-hit, and
 motion-feature LBS rendering (+ corrected VJP)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -339,3 +341,24 @@ def test_mf_interp_grad_fd_partially_occupied(rng):
         assert abs(fd - g[i, c]) < 5e-3 + 0.05 * abs(fd), (i, c, fd, g[i, c])
         checked += 1
     assert checked == 4
+
+
+def test_bwd_sizing_applies_to_aux_backward(rng):
+    """bwd_round_size/bwd_chunk_size (spec.py) must reach EVERY backward
+    march — opacity and motion-feature too, not just the main render —
+    with gradients equal up to scatter-accumulation order."""
+    from svox_t_tpu.ops.render_aux import opacity_render
+
+    t, feats, _ = build_tree(rng, depth_limit=4, n_random_refines=2)
+    rays = make_rays(rng, B=128)
+    opt = st.RenderOptions(step_size=2e-3, format=0, basis_dim=1,
+                           max_steps=200)
+    opt_b = dataclasses.replace(opt, bwd_round_size=8, bwd_chunk_size=64)
+
+    def g(o):
+        return jax.grad(lambda f: jnp.sum(opacity_render(
+            t._spec(f), f, rays.origins, rays.dirs, o)))(feats)
+
+    np.testing.assert_allclose(
+        np.asarray(g(opt)), np.asarray(g(opt_b)), atol=1e-6
+    )
