@@ -241,6 +241,11 @@ def _dynamic_frames_jit(tree_spec, baked, features, tgt_poses, src_pose,
         hi = jnp.maximum(hi, phi)
         if baked is not None:
             sp = bake_ops.refresh(baked, new_flat, aabb_lo=lo, aabb_hi=hi)
+            if opt.skip_boxes and baked.skip_base:
+                # FAST serving: refresh degraded the bake-time skip
+                # boxes; re-grow symmetric ones on device (~0.1 ms vs
+                # the ~25% render win they buy).
+                sp = bake_ops.grow_boxes_device(sp)
         else:
             sp = tree_spec.with_(data_flat=new_flat)
         if use_rot:

@@ -278,6 +278,12 @@ class N3Tree:
             self._cached_baked = bake_ops.refresh(
                 self._cached_baked, new_data_flat, aabb_lo=lo, aabb_hi=hi
             )
+            if self._cached_baked.skip_base:
+                # keep FAST-mode skip boxes alive across re-pointing
+                # (refresh degrades them; device regrowth is ~0.1 ms)
+                self._cached_baked = bake_ops.grow_boxes_device(
+                    self._cached_baked
+                )
 
     def construct_tree_device(self, spec: TreeSpec, indices) -> TreeSpec:
         """Functional on-device variant for jitted frame loops: returns a

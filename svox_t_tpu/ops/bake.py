@@ -406,16 +406,19 @@ def bake_arrays(
     # see pre-skip-box rows (boxes re-code empty cells below EMPTY_ROW).
     occ = rows < EMPTY_ROW
 
+    # skip_base marks the CODING as enabled (the march may decode box
+    # extents from sentinel lanes) even when there is nothing to grow
+    # yet — trees baked before their first `construct_tree` re-point
+    # start all-empty, and `grow_boxes_device` adds boxes after refresh.
     skip_base = 0
     if (
         skip_boxes
         and F <= _SKIP_MAX_FINE
-        and occ.any()
-        and (~occ).any()
-        and int(rows[occ].max()) < SKIP_BASE
+        and (not occ.any() or int(rows[occ].max()) < SKIP_BASE)
     ):
-        rows = _grow_skip_boxes(rows, corners, depths, N, F)
         skip_base = SKIP_BASE
+        if occ.any() and (~occ).any():
+            rows = _grow_skip_boxes(rows, corners, depths, N, F)
 
     packed = ((depths.astype(np.int64) << ROW_BITS) | rows).astype(np.int64)
     if occ.any():
@@ -683,6 +686,66 @@ def refresh(baked: BakedTree, data_flat: jax.Array,
         aabb_hi=jnp.asarray(aabb_hi),
         **updates,
     )
+
+
+def grow_boxes_device(baked: BakedTree) -> BakedTree:
+    """Re-grow SYMMETRIC skip boxes on device (after `refresh()`).
+
+    `refresh()` re-packs rows from the index table, degrading every
+    bake-time skip box to a plain sentinel — correct but slow for
+    FAST-mode serving of re-pointed structures (the fused dynamic frame
+    loop). This recovers most of the win without leaving the device: an
+    iterated 3^3 max-pool (chebyshev dilation) of the occupied-cell
+    indicator over the dense TOP grid yields, per cell, the largest e
+    such that every cell within chebyshev distance e is empty; each
+    empty top cell then packs the symmetric box extent
+    floor((e - s + 1) / s) in its own leaf-size units (s = leaf cells
+    per top cell), so a leaf's box `leaf corner +- extent*leafsize` is
+    guaranteed empty. Space outside the cube counts as empty (same
+    license as the host growth; the tmax clamp bounds the march there).
+    Cells under brick pointers and all brick cells keep plain sentinels
+    (conservative). Occupancy tests `row < SKIP_BASE`, so existing box
+    codes read as empty and the operation is idempotent. No-op when the
+    bake carries no skip coding (`skip_base == 0`).
+
+    Pure jnp ops on the (R^3,) top table (~15 reduce_windows) — safe
+    inside scanned frame loops; ~0.1 ms at R = 64.
+    """
+    if not baked.skip_base:
+        return baked
+    R = baked.R
+    N = baked.N
+    w = baked.top_width
+    top_flat = baked.top.reshape(-1)
+    e = top_flat[: R ** 3]
+    row = jax.lax.bitwise_and(e, ROW_MASK)
+    depth = jax.lax.shift_right_logical(jnp.maximum(e, 0), ROW_BITS)
+    is_brick = e < 0
+    occupied = jnp.logical_or(is_brick, row < SKIP_BASE)
+    empty = jnp.logical_not(occupied)
+
+    occ3 = occupied.reshape(R, R, R)
+    dil = occ3
+    e_map = jnp.zeros((R, R, R), jnp.int32)
+    for _ in range(_SKIP_EXT_MAX):
+        dil = jax.lax.reduce_window(
+            dil, False, jax.lax.bitwise_or, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+        e_map = e_map + jnp.logical_not(dil).astype(jnp.int32)
+    e_map = e_map.reshape(-1)
+
+    # leaf size in top cells (in-top leaves have depth+1 <= top_levels)
+    cube = jnp.power(jnp.int32(N), (depth + 1).astype(jnp.int32))
+    s = jnp.maximum(R // jnp.maximum(cube, 1), 1).astype(jnp.int32)
+    ext = jnp.clip((e_map - (s - 1)) // s, 0, _SKIP_EXT_MAX)
+    bits = ext * jnp.int32(0x111111)  # same extent in all six nibbles
+    new_e = jnp.where(
+        jnp.logical_and(empty, ext > 0),
+        jax.lax.bitwise_and(e, ~ROW_MASK) | (SKIP_BASE + bits),
+        e,
+    )
+    new_flat = jax.lax.dynamic_update_slice(top_flat, new_e, (0,))
+    return dataclasses.replace(baked, top=new_flat.reshape(-1, w))
 
 
 def _row_gather(table2d: jax.Array, idx: jax.Array) -> jax.Array:

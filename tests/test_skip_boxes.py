@@ -17,6 +17,8 @@ amounts. These tests pin:
 
 import dataclasses
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -149,11 +151,16 @@ def test_refresh_degrades_boxes_conservatively(rng):
 
 
 def test_fully_occupied_tree_bakes_no_boxes(rng):
-    """No empty leaves -> no boxes (skip_base 0) and fast+skip is a
-    no-op."""
+    """No empty leaves -> coding enabled (regrowth may add boxes after a
+    later re-point) but no box has extents, so fast+skip is a no-op."""
     t, feats, _ = build_tree(rng, depth_limit=4, n_random_refines=2)
     baked = t._baked_spec()
-    assert baked.skip_base == 0
+    assert baked.skip_base == bake_ops.SKIP_BASE
+    for tbl in (baked.top, baked.brick):
+        v = np.asarray(tbl).reshape(-1)
+        v = v[v >= 0] & bake_ops.ROW_MASK
+        b = v[(v >= bake_ops.SKIP_BASE) & (v < bake_ops.EMPTY_ROW)]
+        assert ((b - bake_ops.SKIP_BASE) == 0).all()
 
 
 def test_pool_guard_rejects_rows_in_code_space(rng):
@@ -206,3 +213,110 @@ def test_skip_boxes_n3(rng):
         baked, feats, rays.origins, rays.dirs, rays.viewdirs, optfs
     ))
     assert np.max(np.abs(a - b)) < 0.05
+
+
+def test_device_box_regrowth_after_refresh(rng):
+    """grow_boxes_device: refresh degrades boxes; the device regrowth
+    (chebyshev erosion of the top grid) restores sound symmetric ones —
+    exact rendering stays bit-identical, fast stays within the license,
+    and the op is idempotent."""
+    t, feats, _ = _partial_tree(
+        rng, lambda c: c[:, 0] < 0.45, depth_limit=5, n_random_refines=3
+    )
+    M = feats.shape[0]
+    baked = t._baked_spec()
+    data_flat = jnp.asarray(np.asarray(t.data).reshape(-1))
+    refreshed = bake_ops.refresh(baked, data_flat)
+    grown = bake_ops.grow_boxes_device(refreshed)
+
+    # regrown boxes exist and are sound (no occupied cell inside)
+    top = np.asarray(grown.top).reshape(-1)
+    R = grown.R
+    rs = np.random.RandomState(11)
+    checked = 0
+    for ci in range(R ** 3):
+        e = int(top[ci])
+        if e < 0:
+            continue
+        b = (e & bake_ops.ROW_MASK) - bake_ops.SKIP_BASE
+        if b <= 0 or b >= (1 << 24):
+            continue
+        depth = e >> bake_ops.ROW_BITS
+        cube = grown.N ** (depth + 1)
+        center = (np.array([ci // (R * R), (ci // R) % R, ci % R]) + 0.5) / R
+        cell_lo = np.floor(center * cube) / cube
+        el = np.array([b & 15, (b >> 8) & 15, (b >> 16) & 15])
+        eh = np.array([(b >> 4) & 15, (b >> 12) & 15, (b >> 20) & 15])
+        np.testing.assert_array_equal(el, eh)  # symmetric by construction
+        lo = cell_lo - el / cube
+        hi = cell_lo + (1.0 + eh) / cube
+        p = np.clip(lo + rs.rand(16, 3) * (hi - lo), 0, 1 - 1e-6)
+        didx = np.asarray(
+            bake_ops.lookup(grown, jnp.asarray(p.astype(np.float32)))[0]
+        )
+        assert not (didx < M).any()
+        checked += 1
+        if checked >= 60:
+            break
+    assert checked >= 40
+
+    rays = make_rays(rng, B=512)
+    opt = st.RenderOptions(step_size=1e-3, format=0, basis_dim=1,
+                           max_steps=512)
+    a = render_ops.volume_render(
+        refreshed, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    b = render_ops.volume_render(
+        grown, feats, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    optf = dataclasses.replace(opt, sigma_thresh=1e-2, stop_thresh=1e-2,
+                               box_advance=1, skip_boxes=1)
+    af = render_ops.volume_render(
+        refreshed, feats, rays.origins, rays.dirs, rays.viewdirs, optf
+    )
+    bf = render_ops.volume_render(
+        grown, feats, rays.origins, rays.dirs, rays.viewdirs, optf
+    )
+    assert float(jnp.max(jnp.abs(af - bf))) < 0.05
+
+    g2 = bake_ops.grow_boxes_device(grown)
+    np.testing.assert_array_equal(np.asarray(g2.top), np.asarray(grown.top))
+
+
+def test_construct_tree_keeps_boxes_alive(rng):
+    """N3Tree.construct_tree re-points the table; the cached bake must
+    come back with regrown boxes (not bare sentinels) and identical
+    exact renders vs the tree walk."""
+    t, feats, _ = _partial_tree(
+        rng, lambda c: c[:, 0] < 0.45, depth_limit=5, n_random_refines=3
+    )
+    # re-point at a different half-space
+    centers = np.asarray(
+        jax.device_get(t.tree2world(jnp.asarray(
+            t[:].corners_local + 0.5 * t[:].lengths_local[:, None]
+        )))
+    )
+    keep = centers[:, 1] > 0.5
+    t.construct_tree(centers[keep])
+    feats2 = jnp.asarray(
+        np.random.RandomState(5).randn(int(keep.sum()), feats.shape[1])
+        .astype(np.float32)
+    )
+    baked = t._baked_spec()
+    top = np.asarray(baked.top).reshape(-1)
+    rows = top[top >= 0] & bake_ops.ROW_MASK
+    grown = (rows >= bake_ops.SKIP_BASE) & (rows < bake_ops.EMPTY_ROW) \
+        & ((rows - bake_ops.SKIP_BASE) != 0)
+    assert grown.sum() > 50  # boxes survived the re-point
+    rays = make_rays(rng, B=256)
+    opt = st.RenderOptions(step_size=1e-3, format=0, basis_dim=1,
+                           max_steps=512)
+    a = render_ops.volume_render(
+        t._spec(feats2), feats2, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    b = render_ops.volume_render(
+        baked, feats2, rays.origins, rays.dirs, rays.viewdirs, opt
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
