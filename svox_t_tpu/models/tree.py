@@ -161,7 +161,13 @@ class N3Tree:
         transformation_matrices=None,
         world=True,
     ) -> TreeSpec:
-        """Build (and cache) the immutable device TreeSpec."""
+        """Build (and cache) the immutable device TreeSpec.
+
+        ``features`` is accepted for call-site symmetry with the
+        reference's `_spec(data, ...)` (svox.py:899) but is NOT stored:
+        the feature pool is a separate traced argument of every render
+        and query op (the structure/contents decoupling this framework
+        is built around), so passing it here is a no-op by design."""
         key = world
         if (
             self._cached_spec.get(key) is None
@@ -438,9 +444,9 @@ class N3Tree:
         parent_row = np.where(valid.any(axis=1), parent_row, DATA_SENTINEL)
 
         if op is not None:
-            vals = self._leaf_feature_values(
-                self.features if features is None else features, nid
-            )
+            # feats_np already holds the pool — don't device_get it a
+            # second time (a big pool costs ~100 ms+ over the relay).
+            vals = self._leaf_feature_values(feats_np, nid)
             ok = parent_row < feats_np.shape[0]
             if op is np.mean:
                 # Vectorized occupied-only mean (the default; a frontier
@@ -571,6 +577,10 @@ class N3Tree:
                 # Keep the `resized` flag from earlier repeats: callers use
                 # the return value as the "re-make optimizers" signal (the
                 # reference returns False here and loses it; svox.py:525).
+                # Earlier repeats may already have mutated the tree —
+                # caches must still be dropped on this early exit.
+                if repeat_id > 0:
+                    self._invalidate()
                 return resized
             new_filled = filled + num_nc
 

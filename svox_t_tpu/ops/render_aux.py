@@ -167,8 +167,11 @@ def _opacity_bwd_impl(spec, features, origins, dirs, grad_out, opt,
     )
     if opt.ray_axis is not None:
         grad_s = jax.lax.psum(grad_s, opt.ray_axis)  # see render._cast
+    # Cotangent must match the primal dtype (bf16 pools composite and
+    # differentiate in f32; see render._cast) — custom_vjp rejects a
+    # mismatched bwd output.
     grad_f = jnp.zeros((Mloc, D), origins.dtype)
-    return grad_f.at[:, D - 1].set(grad_s)
+    return grad_f.at[:, D - 1].set(grad_s).astype(features.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -376,7 +379,13 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmin, tmax, hit = _clip_to_occupied(
+        # Clamps only — `hit` must stay the CUBE test here: this pass
+        # outputs ZERO for cube misses but BACKGROUND for cube-hit rays
+        # whose march contributes nothing (rt_kernel.cu:912-918), so a
+        # ray that misses the occupied AABB may not be reclassified as a
+        # miss (it marches zero-to-few provably empty samples and
+        # composes bg — exactly the uncull'd result).
+        tmin, tmax, _hit_box = _clip_to_occupied(
             spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
         )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
@@ -492,7 +501,8 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
         )
-        tmin, tmax, hit = _clip_to_occupied(
+        # Clamps only (see the forward): hit stays the cube test.
+        tmin, tmax, _hit_box = _clip_to_occupied(
             spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
         )
         oxyz = (o[:, 0], o[:, 1], o[:, 2])
@@ -565,7 +575,9 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
     )
     if opt.ray_axis is not None:
         gjf = jax.lax.psum(gjf, opt.ray_axis)  # see render._cast
-    return gjf
+    # Cotangent dtype must match the joint_features primal (see the
+    # opacity backward's cast).
+    return gjf.astype(joint_features.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -39,6 +39,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import render as render_ops
 from ..utils.spec import Rays, RenderOptions, TreeSpec
 
+# render_pool_sharded's built shard_map+jit callables, keyed by
+# (mesh, options, axes, spec treedef) — see the build site.
+_POOL_RENDER_CACHE: dict = {}
+
 
 def make_ray_mesh(devices=None, axis_name: str = "rays") -> Mesh:
     """1-D mesh over all (or given) devices, sharding axis `rays`."""
@@ -72,6 +76,14 @@ def render_sharded(
     """jit the volume render with rays sharded / tree replicated. XLA
     GSPMD propagates the shardings through the march loop; no collectives
     are needed in the forward pass."""
+    fn = _render_sharded_fn(mesh, axis_name)
+    return fn(spec, features, rays.origins, rays.dirs, rays.viewdirs, opt)
+
+
+@functools.lru_cache(maxsize=None)
+def _render_sharded_fn(mesh: Mesh, axis_name: str):
+    """Build-once jitted sharded render (a fresh closure per call would
+    key a fresh jit cache and re-trace every frame)."""
     ray_sh = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
@@ -84,7 +96,7 @@ def render_sharded(
     def _render(spec, features, origins, dirs, vdirs, opt):
         return render_ops.volume_render(spec, features, origins, dirs, vdirs, opt)
 
-    return _render(spec, features, rays.origins, rays.dirs, rays.viewdirs, opt)
+    return _render
 
 
 def make_train_step(
@@ -248,18 +260,26 @@ def render_pool_sharded(
     opt2 = dataclasses.replace(
         opt, pool_axis=pool_axis, pool_rows=M, ray_axis=ray_axis
     )
-    rspec = P(ray_axis) if ray_axis is not None else P()
+    key = (mesh, opt2, pool_axis, ray_axis,
+           jax.tree_util.tree_structure(spec))
+    fn = _POOL_RENDER_CACHE.get(key)
+    if fn is None:
+        rspec = P(ray_axis) if ray_axis is not None else P()
 
-    def local(spec_, f_, o_, d_, v_):
-        return render_ops.volume_render(spec_, f_, o_, d_, v_, opt2)
+        def local(spec_, f_, o_, d_, v_):
+            return render_ops.volume_render(spec_, f_, o_, d_, v_, opt2)
 
-    f = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(_spec_pspecs(spec), P(pool_axis), rspec, rspec, rspec),
-        out_specs=rspec,
-    )
-    return jax.jit(f)(spec, fshard, rays.origins, rays.dirs, rays.viewdirs)
+        fn = jax.jit(shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(_spec_pspecs(spec), P(pool_axis), rspec, rspec, rspec),
+            out_specs=rspec,
+        ))
+        # Build once per (mesh, options, spec structure): a fresh
+        # closure per call would key a fresh jit cache and re-trace
+        # the whole march every frame.
+        _POOL_RENDER_CACHE[key] = fn
+    return fn(spec, fshard, rays.origins, rays.dirs, rays.viewdirs)
 
 
 def make_pool_train_step(

@@ -362,3 +362,65 @@ def test_bwd_sizing_applies_to_aux_backward(rng):
     np.testing.assert_allclose(
         np.asarray(g(opt)), np.asarray(g(opt_b)), atol=1e-6
     )
+
+
+def test_mf_cull_miss_semantics_partial_tree(rng):
+    """motion_feature_render on a PARTIALLY occupied tree: the baked
+    backend's occupied-AABB cull may only clamp, never reclassify a
+    cube-hit ray as a miss — this pass outputs 0 for cube misses but
+    BACKGROUND for contribution-free marches (rt_kernel.cu:912-918), so
+    box-miss rays must still compose bg. Tree walk (no box) is the
+    reference behavior."""
+    t, feats, _ = build_tree(
+        rng, depth_limit=4, n_random_refines=2,
+        occupy=lambda c: c[:, 0] < 0.45,
+    )
+    M = feats.shape[0]
+    n_bones, jdim, J = 2, 3, 3
+    rs = np.random.RandomState(0)
+    sw = jnp.asarray(np.abs(rs.rand(M, n_bones)).astype(np.float32))
+    ji = jnp.asarray(rs.randint(0, J, size=(M, n_bones)).astype(np.int32))
+    jf = jnp.asarray(rs.randn(J, jdim).astype(np.float32))
+    spec = t._spec(skinning_weights=sw, joint_index=ji)
+    baked = t._baked_spec(skinning_weights=sw, joint_index=ji)
+    assert baked.aabb_lo is not None
+    opt = st.VolumeRenderer(t)._get_options(False)
+    # rays aimed at the EMPTY half: cube hits, box misses
+    o = np.tile(np.array([0.9, 0.5, -0.6], np.float32), (64, 1))
+    o[:, 1] += 0.2 * rs.rand(64) - 0.1
+    d = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (64, 1))
+    a = np.asarray(motion_feature_render(
+        spec, jf, feats, jnp.asarray(o), jnp.asarray(d), opt))
+    b = np.asarray(motion_feature_render(
+        baked, jf, feats, jnp.asarray(o), jnp.asarray(d), opt))
+    np.testing.assert_array_equal(a, b)
+    # and these rays DO compose background, not zero
+    assert np.abs(a).max() > 0.5
+
+
+def test_aux_backward_bf16_pool(rng):
+    """bf16 feature pools (a supported configuration of the main render)
+    must also differentiate through the aux passes: the cotangents must
+    come back in the primal dtypes."""
+    from svox_t_tpu.ops.render_aux import opacity_render
+
+    t, feats, _ = build_tree(rng, depth_limit=3, n_random_refines=1)
+    rays = make_rays(rng, B=64)
+    opt = st.RenderOptions(step_size=2e-3, format=0, basis_dim=1,
+                           max_steps=128)
+    fb = feats.astype(jnp.bfloat16)
+    g = jax.grad(lambda f: jnp.sum(opacity_render(
+        t._spec(), f, rays.origins, rays.dirs, opt).astype(jnp.float32)))(fb)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+    M = feats.shape[0]
+    rs = np.random.RandomState(0)
+    sw = jnp.asarray(np.abs(rs.rand(M, 2)).astype(np.float32))
+    ji = jnp.asarray(rs.randint(0, 3, size=(M, 2)).astype(np.int32))
+    jf = jnp.asarray(rs.randn(3, 4)).astype(jnp.bfloat16)
+    spec = t._spec(skinning_weights=sw, joint_index=ji)
+    gj = jax.grad(lambda j: jnp.sum(motion_feature_render(
+        spec, j, feats, rays.origins, rays.dirs, opt
+    ).astype(jnp.float32)))(jf)
+    assert gj.dtype == jnp.bfloat16

@@ -364,3 +364,17 @@ def test_deep_refine_beyond_depth_limit_respected(rng):
         t2._spec(), feats, jnp.asarray(world, jnp.float32), True
     )
     np.testing.assert_array_equal(np.asarray(data_ids), np.arange(M))
+
+
+def test_refine_invalidates_on_partial_repeats(rng):
+    """refine(repeats=2) where only the first repeat refines (depth
+    limit) must still drop cached specs — stale caches silently render
+    the pre-refine structure."""
+    t = st.N3Tree(N=2, data_dim=4, depth_limit=2)
+    t.refine()  # depth-1 children
+    _ = t._spec()  # populate the cache
+    n0 = t.n_leaves
+    resized = t.refine(repeats=2)  # repeat 0 refines to the limit; 1 no-ops
+    assert t.n_leaves > n0
+    spec = t._spec()
+    assert int(spec.n_internal) == t.n_internal
