@@ -36,11 +36,13 @@ class N3TreeView:
             key = (main_key, *key[3:]) if len(key) > 3 else main_key
 
         leaf_key = key[0] if isinstance(key, tuple) else key
+        # Any 2-D (B, 3) array key is a batch of query POINTS, whatever its
+        # dtype — the reference casts non-float tensors to float here
+        # (helpers.py:53-56) rather than fancy-indexing leaves with them.
         is_points = (
             hasattr(leaf_key, "ndim")
             and getattr(leaf_key, "ndim", 0) == 2
             and leaf_key.shape[1] == 3
-            and np.issubdtype(np.asarray(leaf_key).dtype, np.floating)
         )
         if is_points:
             pts = jnp.asarray(np.asarray(leaf_key, np.float32))
@@ -65,12 +67,9 @@ class N3TreeView:
             leaf_node = all_leaves[leaf_key]
 
         self._leaf_node = np.asarray(leaf_node)  # (n, 4)
-        if isinstance(key, tuple) and len(key) > 1 and not is_points:
-            self._chan_key = key[1]
-        elif isinstance(key, tuple) and is_points and len(key) > 1:
-            self._chan_key = key[1]
-        else:
-            self._chan_key = None
+        self._chan_key = (
+            key[1] if isinstance(key, tuple) and len(key) > 1 else None
+        )
         self._tree_ver = tree._ver
 
     # -- helpers --------------------------------------------------------

@@ -37,10 +37,15 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
             os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+            # Compile to a process-unique temp path, then rename into
+            # place: os.rename is atomic, so concurrent workers never
+            # CDLL a partially linked file.
+            tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
             subprocess.check_call(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _SO_PATH, _SRC]
+                 "-o", tmp, _SRC]
             )
+            os.rename(tmp, _SO_PATH)
         lib = ctypes.CDLL(_SO_PATH)
         lib.svoxt_quantize_median_cut.restype = ctypes.c_int32
         lib.svoxt_quantize_median_cut.argtypes = [

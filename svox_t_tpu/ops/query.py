@@ -146,12 +146,18 @@ def points_leaf_aabb(spec: TreeSpec, points: jax.Array, world: bool = True):
 
     :return: (lo (3,), hi (3,)) float32 device arrays.
     """
-    leaf = _descend_points(spec, points, world)
     pos = world2tree(points, spec.offset, spec.scaling) if world else points
-    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+    leaf, cell = descend(spec, pos, with_cell=True)
+    # Use the descent's OWN integer cell: recomputing floor(pos * cube_sz)
+    # one-shot in float disagrees with the iterative descent near cell
+    # boundaries when N is not a power of two (measured ~8% of boundary
+    # points at N=3 depth 5), which would let the cull box exclude the
+    # very leaf construct_tree pointed at. Dilated by 1e-6 (the coord
+    # clamp epsilon) to absorb the /cube_sz rounding for non-pow2 N —
+    # the cull contract is conservative-containment, not tightness.
     cs = leaf.cube_sz[:, None]
-    lo_cells = jnp.floor(pos * cs) / cs
-    hi_cells = lo_cells + 1.0 / cs
+    lo_cells = cell.astype(jnp.float32) / cs - 1e-6
+    hi_cells = (cell + 1).astype(jnp.float32) / cs + 1e-6
     return (
         jnp.min(lo_cells, axis=0).astype(jnp.float32),
         jnp.max(hi_cells, axis=0).astype(jnp.float32),

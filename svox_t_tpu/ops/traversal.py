@@ -51,11 +51,17 @@ def clamp_coord(pos: jax.Array) -> jax.Array:
     return jnp.clip(pos, 0.0, 1.0 - 1e-6)
 
 
-def descend(spec: TreeSpec, pos: jax.Array) -> LeafInfo:
+def descend(spec: TreeSpec, pos: jax.Array, with_cell: bool = False):
     """Root-to-leaf descent for a batch of tree-space points.
 
     :param pos: (B, 3) float32 in [0,1]^3 (will be clamped).
-    :return: LeafInfo over the batch.
+    :param with_cell: also return the integer leaf cell coordinates
+        (B, 3) int32 at each point's own leaf resolution ``cube_sz`` —
+        the EXACT cell the descent selected (``floor(pos * cube_sz)``
+        recomputed one-shot in float can land one cell off near
+        boundaries when N is not a power of two).
+    :return: LeafInfo over the batch (``(LeafInfo, cell)`` if
+        ``with_cell``).
     """
     N = spec.N
     n_levels = spec.n_levels
@@ -66,7 +72,7 @@ def descend(spec: TreeSpec, pos: jax.Array) -> LeafInfo:
     xyz0 = clamp_coord(pos)
 
     def body(_, state):
-        xyz, node, cube, done, leaf_flat = state
+        xyz, node, cube, done, leaf_flat, cell = state
         xyz_s = xyz * N
         uvw = jnp.minimum(jnp.floor(xyz_s), N - 1).astype(jnp.int32)
         frac = xyz_s - uvw
@@ -75,11 +81,12 @@ def descend(spec: TreeSpec, pos: jax.Array) -> LeafInfo:
         term = jnp.logical_and(skip == 0, jnp.logical_not(done))
         cont = jnp.logical_not(jnp.logical_or(done, term))
         leaf_flat = jnp.where(term, flat, leaf_flat)
+        cell = jnp.where(done[:, None], cell, cell * N + uvw)
         xyz = jnp.where(done[:, None], xyz, frac)
         node = jnp.where(cont, node + skip, node)
         cube = jnp.where(cont, cube * N, cube)
         done = jnp.logical_or(done, term)
-        return xyz, node, cube, done, leaf_flat
+        return xyz, node, cube, done, leaf_flat, cell
 
     from .render import _pvary_like
 
@@ -89,12 +96,14 @@ def descend(spec: TreeSpec, pos: jax.Array) -> LeafInfo:
         _pvary_like(jnp.full((B,), float(N), dtype), xyz0),
         _pvary_like(jnp.zeros((B,), bool), xyz0),
         _pvary_like(jnp.zeros((B,), jnp.int32), xyz0),
+        _pvary_like(jnp.zeros((B, 3), jnp.int32), xyz0),
     )
-    xyz, node, cube, done, leaf_flat = jax.lax.fori_loop(
+    xyz, node, cube, done, leaf_flat, cell = jax.lax.fori_loop(
         0, n_levels, body, state, unroll=True
     )
     data_idx = spec.data_flat[leaf_flat]
-    return LeafInfo(data_idx=data_idx, node_flat=leaf_flat, cube_sz=cube, frac=xyz)
+    leaf = LeafInfo(data_idx=data_idx, node_flat=leaf_flat, cube_sz=cube, frac=xyz)
+    return (leaf, cell) if with_cell else leaf
 
 
 def dda_unit(cen: jax.Array, invdir: jax.Array):

@@ -51,7 +51,6 @@ def tree_structure_from_occupancy(occ: np.ndarray, N: int = 2):
 
     child_rows = []
     parent_rows = [np.zeros((1, 2), np.int32)]
-    data_rows = []
     frontier_ids = np.array([0], np.int64)
     frontier_corners = np.zeros((1, 3), np.int64)  # in units of own level cells
     n_nodes = 1

@@ -166,3 +166,43 @@ def test_unique_leaf_nodes_on_device(rng):
     # tree.forward(want_leaf_node=True) returns the trimmed list
     _, leaf2 = t(feats, jnp.asarray(pts, np.float32), want_leaf_node=True)
     np.testing.assert_array_equal(np.asarray(leaf2), expect)
+
+
+def test_points_leaf_aabb_contains_descended_cells_n3(rng):
+    """The cull AABB must contain the exact leaf cells the descent picked,
+    even at N=3 where one-shot floor(pos * cube_sz) disagrees with the
+    iterative descent near cell boundaries (regression: conservative-cull
+    contract of _clip_to_occupied)."""
+    from svox_t_tpu.models.tree import N3Tree
+    from svox_t_tpu.ops.query import points_leaf_aabb
+    from svox_t_tpu.ops.traversal import descend
+
+    tree = N3Tree(N=3, data_dim=4, init_refine=1, depth_limit=6)
+    # refine a couple of leaves so depths are mixed
+    tree._refine_at(0, (0, 0, 0))
+    tree._refine_at(0, (2, 2, 2))
+    spec = tree._spec()
+    # concentrate points near multiples of 1/3^k, where the float paths split
+    base = rng.randint(0, 3 ** 4, size=(4000, 3)).astype(np.float32) / 3 ** 4
+    jitter = (rng.random_sample((4000, 3)).astype(np.float32) - 0.5) * 1e-6
+    pts = np.clip(base + jitter, 0.0, 1.0 - 1e-6)
+    lo, hi = points_leaf_aabb(spec, jnp.asarray(pts), world=False)
+    leaf, cell = descend(spec, jnp.asarray(pts), with_cell=True)
+    cs = np.asarray(leaf.cube_sz)[:, None]
+    cell = np.asarray(cell)
+    lo_cells = cell / cs
+    hi_cells = (cell + 1) / cs
+    assert (np.asarray(lo) <= lo_cells.min(0) + 1e-7).all()
+    assert (np.asarray(hi) >= hi_cells.max(0) - 1e-7).all()
+
+
+def test_view_integer_point_key_routes_to_point_query(rng):
+    """A 2-D (B, 3) integer array key is a batch of points (the reference
+    casts to float, helpers.py:53-56), not a leaf fancy-index."""
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    ikey = np.round(centers * 64).astype(np.int64)  # ints, same points scaled
+    fkey = ikey.astype(np.float32)
+    vi = t[ikey].values
+    vf = t[fkey].values
+    np.testing.assert_allclose(np.asarray(vi), np.asarray(vf), atol=0)
