@@ -60,6 +60,18 @@ def main():
     vdirs = dirs
     n_rays = origins.shape[0]
 
+    # Cost-ordered ray schedule (ops/schedule.py; render_persp
+    # schedule="cost"): one plan per (camera, scene) — precomputed here
+    # exactly as a serving system would, its cost reported below —
+    # makes march chunks cost-homogeneous. Outputs are BIT-identical to
+    # tile order (schedule only changes chunk membership).
+    from svox_t_tpu.ops.schedule import cost_order
+
+    def plan(sp, o_, d_, opt_, rows):
+        t0 = time.time()
+        order = cost_order(sp, o_, d_, opt_, rows)
+        return o_[order], d_[order], time.time() - t0
+
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def fwd(sp, f, o, d, v, opt_):
         return volume_render(sp, f, o, d, v, opt_)
@@ -96,13 +108,16 @@ def main():
             return acc + jnp.sum(g)
         return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
 
+    o_ex, d_ex, plan_exact_s = plan(baked, origins, dirs, opt,
+                                    feats.shape[0])
+
     # Warmup (compile)
-    out = fwd(baked, feats, origins, dirs, vdirs, opt)
+    out = fwd(baked, feats, o_ex, d_ex, d_ex, opt)
     out.block_until_ready()
-    g = fwdbwd(baked, feats, origins, dirs, vdirs, opt)
+    g = fwdbwd(baked, feats, o_ex, d_ex, d_ex, opt)
     g.block_until_ready()
-    _ = float(fwd_sustained(baked, feats, origins, dirs, vdirs, opt))
-    _ = float(fwdbwd_sustained(baked, feats, origins, dirs, vdirs, opt))
+    _ = float(fwd_sustained(baked, feats, o_ex, d_ex, d_ex, opt))
+    _ = float(fwdbwd_sustained(baked, feats, o_ex, d_ex, d_ex, opt))
 
     def bench(fn, n_iter=5, scalar=False):
         # Honest timing through the axon relay requires (a) perturbing the
@@ -115,7 +130,7 @@ def main():
             f_i = feats * (1.0 + 1e-7 * (i + 1))
             _ = float(jnp.sum(f_i))
             t0 = time.time()
-            res = fn(baked, f_i, origins, dirs, vdirs, opt)
+            res = fn(baked, f_i, o_ex, d_ex, d_ex, opt)
             _ = float(res) if scalar else float(jnp.sum(res))
             times.append(time.time() - t0)
         return min(times)
@@ -131,15 +146,17 @@ def main():
     # accelerated configuration and the setting PlenOctrees-class FPS
     # numbers are quoted in (early ray termination).
     opt_fast = r._get_options(True)
-    out = fwd(baked, feats, origins, dirs, vdirs, opt_fast)
+    o_f, d_f, plan_fast_s = plan(baked, origins, dirs, opt_fast,
+                                 feats.shape[0])
+    out = fwd(baked, feats, o_f, d_f, d_f, opt_fast)
     out.block_until_ready()
-    _ = float(fwd_sustained(baked, feats, origins, dirs, vdirs, opt_fast))
+    _ = float(fwd_sustained(baked, feats, o_f, d_f, d_f, opt_fast))
     times = []
     for i in range(4):
         f_i = feats * (1.0 + 1e-7 * (i + 1))
         _ = float(jnp.sum(f_i))
         t0 = time.time()
-        res = fwd_sustained(baked, f_i, origins, dirs, vdirs, opt_fast)
+        res = fwd_sustained(baked, f_i, o_f, d_f, d_f, opt_fast)
         _ = float(res)
         times.append(time.time() - t0)
     fast_s = min(times) / N_SUSTAIN
@@ -153,15 +170,17 @@ def main():
     otree, ofeats = build_opaque_tree(depth=depth, data_format="SH9",
                                       data_dim=28)
     obaked = otree._baked_spec()
-    out_o = fwd(obaked, ofeats, origins, dirs, vdirs, opt_fast)
+    o_o, d_o, plan_opaque_s = plan(obaked, origins, dirs, opt_fast,
+                                   ofeats.shape[0])
+    out_o = fwd(obaked, ofeats, o_o, d_o, d_o, opt_fast)
     out_o.block_until_ready()
-    _ = float(fwd_sustained(obaked, ofeats, origins, dirs, vdirs, opt_fast))
+    _ = float(fwd_sustained(obaked, ofeats, o_o, d_o, d_o, opt_fast))
     times = []
     for i in range(3):
         f_i = ofeats * (1.0 + 1e-7 * (i + 1))
         _ = float(jnp.sum(f_i))
         t0 = time.time()
-        res = fwd_sustained(obaked, f_i, origins, dirs, vdirs, opt_fast)
+        res = fwd_sustained(obaked, f_i, o_o, d_o, d_o, opt_fast)
         _ = float(res)
         times.append(time.time() - t0)
     opaque_fast_s = min(times) / N_SUSTAIN
@@ -177,13 +196,15 @@ def main():
     deep_build_s = time.time() - t0
     rd = st.VolumeRenderer(dtree, step_size=1e-3)
     opt_deep = rd._get_options(False)
-    _ = float(fwd_sustained(dbaked, dfeats, origins, dirs, vdirs, opt_deep))
+    o_d, d_d, plan_deep_s = plan(dbaked, origins, dirs, opt_deep,
+                                 dfeats.shape[0])
+    _ = float(fwd_sustained(dbaked, dfeats, o_d, d_d, d_d, opt_deep))
     times = []
     for i in range(3):
         f_i = dfeats * (1.0 + 1e-2 * (i + 1))
         _ = float(jnp.sum(f_i))
         t0 = time.time()
-        res = fwd_sustained(dbaked, f_i, origins, dirs, vdirs, opt_deep)
+        res = fwd_sustained(dbaked, f_i, o_d, d_d, d_d, opt_deep)
         _ = float(res)
         times.append(time.time() - t0)
     deep_s = min(times) / N_SUSTAIN
@@ -207,13 +228,13 @@ def main():
     of = volume_render(dbaked, dfeats.astype(jnp.float32), origins[sel],
                        dirs[sel], vdirs[sel], opt_deep)
     deep_int8_err = float(jnp.max(jnp.abs(oq - of)))
-    _ = float(fwd_sustained(dbaked, qf, origins, dirs, vdirs, opt_deep))
+    _ = float(fwd_sustained(dbaked, qf, o_d, d_d, d_d, opt_deep))
     times = []
     for i in range(3):
         q_i = _quant(i + 1)
         _ = float(jnp.sum(q_i.q))
         t0 = time.time()
-        res = fwd_sustained(dbaked, q_i, origins, dirs, vdirs, opt_deep)
+        res = fwd_sustained(dbaked, q_i, o_d, d_d, d_d, opt_deep)
         _ = float(res)
         times.append(time.time() - t0)
     deep_int8_s = min(times) / N_SUSTAIN
@@ -300,6 +321,11 @@ def main():
                 "deep9_int8_mrays_s": round(deep_int8_mrays, 3),
                 "deep9_int8_ms": round(deep_int8_s * 1e3, 1),
                 "deep9_int8_max_err": round(deep_int8_err, 5),
+                "ray_schedule": "cost",
+                "plan_exact_ms": round(plan_exact_s * 1e3, 1),
+                "plan_fast_ms": round(plan_fast_s * 1e3, 1),
+                "plan_opaque_ms": round(plan_opaque_s * 1e3, 1),
+                "plan_deep_ms": round(plan_deep_s * 1e3, 1),
                 "n_rays": int(n_rays),
                 "tree_internal_nodes": int(tree.n_internal),
                 "tree_leaves": int(tree.n_leaves),

@@ -363,6 +363,9 @@ class VolumeRenderer:
         if self.max_comp < 0:
             self.max_comp += self.data_format.basis_dim
         self.tree._weight_accum = None
+        # Cost-ordered ray schedules (ops/schedule.py), keyed by
+        # (camera, geometry, options); see plan_persp / plan_rays.
+        self._plan_cache = {}
 
     # ------------------------------------------------------------------
 
@@ -394,11 +397,85 @@ class VolumeRenderer:
 
     __call__ = forward
 
+    def plan_rays(self, rays: Rays, fast=False, n_rows=None):
+        """Precompute a cost-ordered ray schedule (ops/schedule.py).
+
+        Returns (perm, inv) int32 NumPy permutations: render
+        ``rays[perm]`` and read outputs back through ``inv`` (or apply
+        to image rays via render_persp(..., schedule="cost"), which does
+        both in-graph). Any permutation renders BIT-identically — plans
+        only ever go stale (slower), never wrong — so reuse a plan
+        across frames while features animate; re-plan when the camera or
+        the scene structure changes. Measured on the 800^2 headline
+        scenes: fast 23.2 -> 29.7 Mrays/s, opaque-fast 38.1 -> 45.5,
+        exact 15.9 -> 17.7 (benchmarks/probe_costorder.py).
+
+        :param n_rows: occupied-row bound for the cost pre-march
+            (default: this tree's feature pool size).
+        """
+        from ..ops.schedule import cost_order
+
+        opt = self._get_options(fast)
+        spec = self._render_spec()
+        if n_rows is None:
+            n_rows = int(self.tree.features.shape[0])
+        perm = cost_order(
+            spec, jnp.asarray(rays.origins), jnp.asarray(rays.dirs), opt,
+            n_rows,
+        )
+        inv = np.argsort(perm).astype(np.int32)
+        return perm, inv
+
+    def plan_persp(self, c2w, width=800, height=800, fx=1111.111,
+                   fy=None, fast=False, n_rows=None):
+        """Cost-ordered schedule for a perspective camera (see
+        plan_rays). Cached on (camera bytes, image size, tree version,
+        options); render_persp(..., schedule="cost") uses it
+        automatically. The schedule composes with the tile order
+        (stable sort keeps tile coherence within equal-cost classes)."""
+        if fy is None:
+            fy = fx
+        opt = self._get_options(fast)
+        c2w_np = np.asarray(c2w, np.float32)
+        key = (c2w_np.tobytes(), int(width), int(height), float(fx),
+               float(fy), self.tree._ver, opt)
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            return hit
+        origins, dirs = render_ops.cam2world_rays(
+            jnp.asarray(c2w_np), int(width), int(height), float(fx),
+            float(fy),
+        )
+        if opt.ndc_width >= 0:
+            # Cost the rays the march actually walks (same order as
+            # _persp_jit: NDC warp, then permutation).
+            dirs, origins = render_ops.world2ndc(opt, dirs, origins)
+        tperm = None
+        if opt.chunk_size > 0:
+            tile = max(8, int(np.sqrt(opt.chunk_size)))
+            tperm, _ = _tile_perm(width, height, tile)
+            origins, dirs = origins[tperm], dirs[tperm]
+        rays = Rays(origins, dirs, dirs)
+        order, _ = self.plan_rays(rays, fast=fast, n_rows=n_rows)
+        perm = (
+            np.asarray(tperm)[order] if tperm is not None else order
+        ).astype(np.int32)
+        inv = np.argsort(perm).astype(np.int32)
+        if len(self._plan_cache) > 32:
+            self._plan_cache.clear()
+        self._plan_cache[key] = (perm, inv)
+        return perm, inv
+
     def render_persp(self, features, c2w, width=800, height=800,
-                     fx=1111.111, fy=None, cuda=True, fast=False):
+                     fx=1111.111, fy=None, cuda=True, fast=False,
+                     schedule="tile"):
         """Render a perspective image; differentiable wrt `features`.
 
         :param c2w: (3,4) or (4,4) camera-to-world matrix
+        :param schedule: ray chunking order — "tile" (spatially coherent
+            blocks) or "cost" (cost-homogeneous chunks via a cached
+            per-camera plan; bit-identical output, measured 1.1-1.3x
+            faster — see plan_persp)
         :return: (height, width, n_color + 1)
         """
         del cuda
@@ -408,7 +485,9 @@ class VolumeRenderer:
         # Tile-coherent ray order (undone on output) so march chunks
         # exit together.
         perm = inv = None
-        if opt.chunk_size > 0:
+        if schedule == "cost":
+            perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast)
+        elif opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
         spec = self._render_spec()
@@ -465,10 +544,15 @@ class VolumeRenderer:
     def render_persp_frames(self, features_frames, c2w, width=800,
                             height=800, fx=1111.111, fy=None,
                             transformation_matrices_frames=None,
-                            fast=False):
+                            fast=False, schedule="tile"):
         """Render T perspective frames in ONE dispatch (see
         `render_frames`). `c2w` may be a single (3|4, 4) camera shared
         by every frame or a (T, 3|4, 4) per-frame path (orbit videos).
+
+        `schedule="cost"` uses the cached cost-ordered plan (the best
+        case for it: one plan serves the whole feature stream; only
+        supported for a single shared camera — per-frame paths keep
+        tile order).
 
         :return: (T, height, width, n_color + 1)
         """
@@ -476,7 +560,9 @@ class VolumeRenderer:
             fy = fx
         opt = self._get_options(fast)
         perm = inv = None
-        if opt.chunk_size > 0:
+        if schedule == "cost" and np.asarray(c2w).ndim == 2:
+            perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast)
+        elif opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
         spec = self._render_spec()
@@ -506,7 +592,8 @@ class VolumeRenderer:
                               skinning_weights, joint_index, rays: Rays = None,
                               c2w=None, width=800, height=800, fx=1111.111,
                               fy=None, fast=False, viewdir_rotation=True,
-                              update_tree=True, with_depth=False):
+                              update_tree=True, with_depth=False,
+                              schedule="tile"):
         """Fused Artemis frame loop (SURVEY.md §3.4) in ONE dispatch:
         per frame, LBS-warp the canonical cloud by that frame's pose,
         re-point the octree at the warped points, refresh the baked
@@ -559,12 +646,19 @@ class VolumeRenderer:
         else:
             if fy is None:
                 fy = fx
+            per_frame_rays = np.asarray(c2w).ndim == 3
             perm = None
-            if opt.chunk_size > 0:
+            if (schedule == "cost" and not per_frame_rays
+                    and opt.ndc_width < 0):
+                # Plan on the CURRENT (canonical-pose) structure; the
+                # per-frame re-pointing only staleness the plan
+                # (performance), never correctness.
+                perm, inv = self.plan_persp(c2w, width, height, fx, fy,
+                                            fast)
+            elif opt.chunk_size > 0:
                 tile = max(8, int(np.sqrt(opt.chunk_size)))
                 perm, inv = _tile_perm(width, height, tile)
             c2w = jnp.asarray(c2w, jnp.float32)
-            per_frame_rays = c2w.ndim == 3
 
             def rays_of(cam):
                 o, d = render_ops.cam2world_rays(

@@ -801,7 +801,18 @@ def _volume_render_fwd_impl(
     features_t = _pool_view(features, opt, spec)
     M = features_t.M
 
-    def single(origins_, dirs_, vdirs_, waccum0_):
+    def march(origins_, dirs_, vdirs_, waccum0_, state, cap, per_ray_stop):
+        """Round-march one chunk of rays up to `cap` samples.
+
+        state=None starts fresh rays; otherwise state is a carried
+        (step0, t, L, out_c, alpha, active, stopped) tuple from an
+        earlier capped march — the t-chain resumes bit-identically (the
+        setup below is a pure elementwise function of origins/dirs, so
+        recomputing it on gathered rays reproduces the same values).
+        per_ray_stop forces (B,)-shaped alpha/stopped carries even when
+        early-stop is compiled out (two-phase state must be per-ray).
+        Returns ((t, L, out_c, alpha, active, stopped, hit), waccum).
+        """
         B = origins_.shape[0]
         o, d, invdir, delta_scale, tmin, tmax, hit = _ray_setup(
             spec, origins_, dirs_
@@ -826,7 +837,7 @@ def _volume_render_fwd_impl(
 
         def cond(carry):
             step0, t, L, out_c, alpha, active, stopped, waccum = carry
-            return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
+            return jnp.logical_and(step0 < cap, jnp.any(active))
 
         def body(carry):
             step0, t, L, out_c, alpha, active, stopped, waccum = carry
@@ -912,22 +923,39 @@ def _volume_render_fwd_impl(
             )
             return step0 + K, t_end, L, out_c, alpha, active, stopped, waccum
 
-        stopped0 = jnp.zeros((B,), bool) if can_stop else jnp.zeros((1,), bool)
-        alpha0 = jnp.zeros((B,), dtype) if can_stop else jnp.zeros((1,), dtype)
-        init = (
-            jnp.zeros((), jnp.int32),
-            tmin,
-            _pvary_like(jnp.ones((B,), dtype), origins_),
-            _pvary_like(jnp.zeros((B, n_color), dtype), origins_),
-            _pvary_like(alpha0, origins_),
-            hit,
-            _pvary_like(stopped0, origins_),
-            _pvary_like(waccum0_, origins_),
-        )
+        if state is None:
+            per_ray = can_stop or per_ray_stop
+            stopped0 = (
+                jnp.zeros((B,), bool) if per_ray else jnp.zeros((1,), bool)
+            )
+            alpha0 = (
+                jnp.zeros((B,), dtype) if per_ray else jnp.zeros((1,), dtype)
+            )
+            init = (
+                jnp.zeros((), jnp.int32),
+                tmin,
+                _pvary_like(jnp.ones((B,), dtype), origins_),
+                _pvary_like(jnp.zeros((B, n_color), dtype), origins_),
+                _pvary_like(alpha0, origins_),
+                hit,
+                _pvary_like(stopped0, origins_),
+                _pvary_like(waccum0_, origins_),
+            )
+        else:
+            step0_in, t_in, L_in, outc_in, alpha_in, act_in, stop_in = state
+            init = (step0_in, t_in, L_in, outc_in, alpha_in, act_in,
+                    stop_in, waccum0_)
         _, t, L, out_c, alpha, active, stopped, waccum = jax.lax.while_loop(
             cond, body, init
         )
+        return (t, L, out_c, alpha, active, stopped, hit), waccum
 
+    def finalize(state):
+        """Blend background into final per-ray march state (once, at the
+        very end — identical math whether the march ran in one phase or
+        two)."""
+        t, L, out_c, alpha, active, stopped, hit = state
+        B = L.shape[0]
         bg = opt.background_brightness
         if can_stop:
             out_c = jnp.where(
@@ -943,8 +971,95 @@ def _volume_render_fwd_impl(
                 jnp.full((B, n_color), bg, dtype),
             )
             alpha = jnp.where(hit, 1.0 - L, 0.0)
-        out = jnp.concatenate([out_c, alpha[:, None]], axis=-1)
-        return out, waccum
+        return jnp.concatenate([out_c, alpha[:, None]], axis=-1)
+
+    def single(origins_, dirs_, vdirs_, waccum0_):
+        state, waccum = march(
+            origins_, dirs_, vdirs_, waccum0_, None, opt.max_steps, False
+        )
+        return finalize(state), waccum
+
+    # Two-phase straggler schedule (opt.straggler_rounds > 0): cap every
+    # chunk's march at SR rounds (phase A), then COMPACT still-active
+    # rays batch-wide into dense chunks and finish them (phase B,
+    # repeated while any remain). EXACT: per-ray sample sequences are
+    # unchanged — only the dispatch schedule moves work between loops.
+    # Pays when chunk-straggler slot waste exceeds the one-off
+    # compaction gathers (~1.15-1.3x round reduction measured on the
+    # headline scenes — benchmarks/probe_twophase.py).
+    SR = opt.straggler_rounds
+    B_total = origins.shape[0]
+    cap_a = SR * K
+    shape = _chunk_shape(opt, B_total)
+    if SR > 0 and cap_a < opt.max_steps and shape is not None:
+        n_chunks, C = shape
+
+        def single_a(origins_, dirs_, vdirs_, waccum0_):
+            return march(origins_, dirs_, vdirs_, waccum0_, None, cap_a, True)
+
+        state, waccum = _chunked_outputs(
+            single_a, opt, (origins, dirs, vdirs), waccum0
+        )
+        # Straggler capacity: ~B/8 rays (a generous bound on measured
+        # straggler fractions), padded to whole chunks; overflow is
+        # handled exactly by the generation loop below.
+        S = min(n_chunks, max(1, n_chunks // 8)) * C
+        arange_b = jnp.arange(B_total, dtype=jnp.int32)
+
+        def gen_cond(carry):
+            st, _ = carry
+            return jnp.any(st[4])  # active
+
+        def gen_body(carry):
+            (t, L, out_c, alpha, active, stopped, hit), waccum = carry
+            m = active.astype(jnp.int32)
+            pos = jnp.cumsum(m) - m
+            tgt = jnp.where(jnp.logical_and(active, pos < S), pos, S)
+            idxbuf = jnp.full((S,), B_total, jnp.int32).at[tgt].set(
+                arange_b, mode="drop"
+            )
+            valid = idxbuf < B_total
+            gidx = jnp.where(valid, idxbuf, 0)
+            step0_b = jnp.asarray(cap_a, jnp.int32)
+            g_state = (
+                t[gidx], L[gidx], out_c[gidx], alpha[gidx],
+                jnp.logical_and(active[gidx], valid), stopped[gidx],
+            )
+            xs = jax.tree_util.tree_map(
+                lambda x: x.reshape((S // C, C) + x.shape[1:]),
+                (origins[gidx], dirs[gidx], vdirs[gidx]) + g_state,
+            )
+
+            def body_b(w, chunk):
+                o_, d_, v_, t_, L_, oc_, al_, ac_, sp_ = chunk
+                st, w = march(
+                    o_, d_, v_, w,
+                    (step0_b, t_, L_, oc_, al_, ac_, sp_),
+                    opt.max_steps, True,
+                )
+                return w, st[:-1]  # hit recomputes identically; keep A's
+
+            waccum, outs = jax.lax.scan(body_b, waccum, xs)
+            f_t, f_L, f_oc, f_al, _f_ac, f_sp = jax.tree_util.tree_map(
+                lambda y: y.reshape((S,) + y.shape[2:]), outs
+            )
+            scat = jnp.where(valid, idxbuf, B_total)
+
+            def put(x, v):
+                return x.at[scat].set(v, mode="drop")
+
+            return (
+                (put(t, f_t), put(L, f_L), put(out_c, f_oc),
+                 put(alpha, f_al),
+                 # processed rays are DONE (march() finishes or hits the
+                 # max_steps cap — same termination as single-phase)
+                 put(active, jnp.zeros((S,), bool)),
+                 put(stopped, f_sp), hit),
+                waccum,
+            )
+
+        state, waccum = jax.lax.while_loop(gen_cond, gen_body, (state, waccum))
+        return finalize(state), (waccum if want_weight_accum else None)
 
     out, waccum = _chunked_outputs(
         single, opt, (origins, dirs, vdirs), waccum0

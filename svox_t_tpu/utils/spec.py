@@ -127,6 +127,18 @@ class RenderOptions:
     # invariant (parity-tested); these are pure performance knobs.
     bwd_round_size: int = 0
     bwd_chunk_size: int = 0
+    # Two-phase straggler schedule for the FORWARD march: > 0 caps every
+    # chunk's while-march at this many rounds (phase A), then COMPACTS
+    # all still-active rays batch-wide into dense chunks and finishes
+    # them (phase B; repeated exactly if the straggler buffer
+    # overflows). EXACT — per-ray sample sequences are unchanged, only
+    # the dispatch schedule moves — so render outputs are BIT-IDENTICAL
+    # and it is legal on the parity path. (Weight accumulation stays
+    # deterministic but its scatter-add ORDER across rays changes, so
+    # waccum matches single-phase to ~1 ulp, not bitwise.) A pure
+    # performance knob sized by the chunk-straggler round waste
+    # (benchmarks/probe_twophase.py). 0 = single-phase march.
+    straggler_rounds: int = 0
     # Model-parallel feature pool (multi-chip): when `pool_axis` names a
     # mesh axis (render called inside shard_map over that axis), the
     # features argument is this device's ROW SHARD of the pool; each

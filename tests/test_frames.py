@@ -115,3 +115,32 @@ def test_render_frames_differentiable(rng):
 
         gk = np.asarray(jax.grad(loss_one)(stack[k]))
         np.testing.assert_allclose(g[k], gk, atol=3e-5)
+
+
+def test_frames_cost_schedule_bit_exact(rng):
+    """schedule='cost' on the frame-stack and fused dynamic paths is a
+    pure ray reorder — bit-identical to tile order."""
+    import numpy as np
+    from helpers import build_tree
+
+    t, feats, centers = build_tree(rng)
+    t.features = feats
+    r = st.VolumeRenderer(t)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    ff = jnp.stack([feats, feats * 1.1])
+    a = r.render_persp_frames(ff, c2w, 32, 24, 40.0)
+    b = r.render_persp_frames(ff, c2w, 32, 24, 40.0, schedule="cost")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    Q = centers.shape[0]
+    sw = np.ones((Q, 1), np.float32)
+    ji = np.zeros((Q, 1), np.int32)
+    poses = np.stack([np.stack([np.eye(4, dtype=np.float32)])] * 2)
+    src = np.stack([np.eye(4, dtype=np.float32)])
+    kw = dict(width=32, height=24, fx=40.0, update_tree=False)
+    o1 = r.render_dynamic_frames(feats, poses, src, centers, sw, ji,
+                                 c2w=c2w, **kw)
+    o2 = r.render_dynamic_frames(feats, poses, src, centers, sw, ji,
+                                 c2w=c2w, schedule="cost", **kw)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))

@@ -752,3 +752,88 @@ def test_quantized_pool_render(rng):
         spec, st.QuantizedFeatures(qf.q, s, qf.zero),
         rays.origins, rays.dirs, rays.viewdirs, opt)))(qf.scale)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_two_phase_straggler_march_bit_exact(rng):
+    """straggler_rounds (two-phase compacted march) is a pure SCHEDULE
+    change: outputs and gradients bit-match the single-phase march in
+    every mode/backend; weight accumulation matches to scatter-order
+    rounding."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "SH1", 4)
+    rays = make_rays(rng, 1536)
+    origins, dirs = rays.origins, rays.dirs
+    for fast in (False, True):
+        for backend in ("baked", "tree"):
+            spec = t._baked_spec() if backend == "baked" else t._spec()
+            opt0 = dataclasses.replace(
+                r._get_options(fast), chunk_size=256
+            )
+            out0 = volume_render(spec, feats, origins, dirs, dirs, opt0)
+            for sr in (1, 3):
+                opt1 = dataclasses.replace(opt0, straggler_rounds=sr)
+                out1 = volume_render(spec, feats, origins, dirs, dirs, opt1)
+                np.testing.assert_array_equal(
+                    np.asarray(out1), np.asarray(out0),
+                    err_msg=f"fast={fast} backend={backend} sr={sr}",
+                )
+    spec = t._baked_spec()
+    opt0 = dataclasses.replace(r._get_options(False), chunk_size=256)
+    opt1 = dataclasses.replace(opt0, straggler_rounds=2)
+    g0 = jax.grad(
+        lambda f: jnp.sum(volume_render(spec, f, origins, dirs, dirs, opt0))
+    )(feats)
+    g1 = jax.grad(
+        lambda f: jnp.sum(volume_render(spec, f, origins, dirs, dirs, opt1))
+    )(feats)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+    o0, w0 = volume_render_with_weight_accum(
+        spec, feats, origins, dirs, dirs, opt0
+    )
+    o1, w1 = volume_render_with_weight_accum(
+        spec, feats, origins, dirs, dirs, opt1
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+    np.testing.assert_allclose(
+        np.asarray(w1), np.asarray(w0), atol=1e-5
+    )
+
+
+def test_two_phase_straggler_overflow_generations(rng):
+    """When stragglers exceed the compaction buffer (B/8 rays), the
+    generation loop finishes them in further passes — still bit-exact."""
+    import dataclasses
+
+    t, feats, r = _setup(rng, "RGBA", 4)
+    # Tiny chunks make nearly every ray a straggler at cap 1.
+    rays = make_rays(rng, 2048)
+    origins, dirs = rays.origins, rays.dirs
+    opt0 = dataclasses.replace(r._get_options(False), chunk_size=128)
+    opt1 = dataclasses.replace(opt0, straggler_rounds=1)
+    spec = t._baked_spec()
+    out0 = volume_render(spec, feats, origins, dirs, dirs, opt0)
+    out1 = volume_render(spec, feats, origins, dirs, dirs, opt1)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out0))
+
+
+def test_cost_schedule_bit_exact(rng):
+    """render_persp(schedule='cost') is a pure ray reorder: bit-identical
+    image, cached plan reused, plain rays plan round-trips."""
+    t, feats, r = _setup(rng, "SH1", 4)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    for fast in (False, True):
+        img0 = r.render_persp(feats, c2w, 48, 40, 60.0, fast=fast)
+        img1 = r.render_persp(feats, c2w, 48, 40, 60.0, fast=fast,
+                              schedule="cost")
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+    assert len(r._plan_cache) == 2
+    # plan_rays round-trip on a raw batch
+    rays = make_rays(rng, 512)
+    perm, inv = r.plan_rays(rays)
+    out0 = r(feats, rays)
+    permuted = st.Rays(rays.origins[perm], rays.dirs[perm],
+                       rays.viewdirs[perm])
+    out1 = np.asarray(r(feats, permuted))[inv]
+    np.testing.assert_array_equal(out1, np.asarray(out0))
