@@ -67,9 +67,10 @@ def main():
     # tile order (schedule only changes chunk membership).
     from svox_t_tpu.ops.schedule import cost_order
 
-    def plan(sp, o_, d_, opt_, rows):
+    def plan(sp, o_, d_, opt_, f_):
         t0 = time.time()
-        order = cost_order(sp, o_, d_, opt_, rows)
+        order = cost_order(sp, o_, d_, opt_, f_.shape[0],
+                           jnp.asarray(f_, jnp.float32)[:, -1])
         return o_[order], d_[order], time.time() - t0
 
     @functools.partial(jax.jit, static_argnames=("opt_",))
@@ -108,8 +109,7 @@ def main():
             return acc + jnp.sum(g)
         return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
 
-    o_ex, d_ex, plan_exact_s = plan(baked, origins, dirs, opt,
-                                    feats.shape[0])
+    o_ex, d_ex, plan_exact_s = plan(baked, origins, dirs, opt, feats)
 
     # Warmup (compile)
     out = fwd(baked, feats, o_ex, d_ex, d_ex, opt)
@@ -146,8 +146,7 @@ def main():
     # accelerated configuration and the setting PlenOctrees-class FPS
     # numbers are quoted in (early ray termination).
     opt_fast = r._get_options(True)
-    o_f, d_f, plan_fast_s = plan(baked, origins, dirs, opt_fast,
-                                 feats.shape[0])
+    o_f, d_f, plan_fast_s = plan(baked, origins, dirs, opt_fast, feats)
     out = fwd(baked, feats, o_f, d_f, d_f, opt_fast)
     out.block_until_ready()
     _ = float(fwd_sustained(baked, feats, o_f, d_f, d_f, opt_fast))
@@ -170,8 +169,7 @@ def main():
     otree, ofeats = build_opaque_tree(depth=depth, data_format="SH9",
                                       data_dim=28)
     obaked = otree._baked_spec()
-    o_o, d_o, plan_opaque_s = plan(obaked, origins, dirs, opt_fast,
-                                   ofeats.shape[0])
+    o_o, d_o, plan_opaque_s = plan(obaked, origins, dirs, opt_fast, ofeats)
     out_o = fwd(obaked, ofeats, o_o, d_o, d_o, opt_fast)
     out_o.block_until_ready()
     _ = float(fwd_sustained(obaked, ofeats, o_o, d_o, d_o, opt_fast))
@@ -196,8 +194,7 @@ def main():
     deep_build_s = time.time() - t0
     rd = st.VolumeRenderer(dtree, step_size=1e-3)
     opt_deep = rd._get_options(False)
-    o_d, d_d, plan_deep_s = plan(dbaked, origins, dirs, opt_deep,
-                                 dfeats.shape[0])
+    o_d, d_d, plan_deep_s = plan(dbaked, origins, dirs, opt_deep, dfeats)
     _ = float(fwd_sustained(dbaked, dfeats, o_d, d_d, d_d, opt_deep))
     times = []
     for i in range(3):
@@ -260,6 +257,10 @@ def main():
         ji = np.tile(np.array([0, 1], np.int32), (Q, 1))
         dt_tree = st.N3Tree(N=2, data_dim=4, depth_limit=6)
         dt_tree.refine(repeats=5)
+        # Point the canonical tree at the cloud so the cost plan
+        # (schedule="cost" below) sees the canonical-pose occupancy.
+        dt_tree.construct_tree(jnp.asarray(pts))
+        dt_tree.features = dfeats
         dr = st.VolumeRenderer(dt_tree)
         n_frames = 4
         poses = []
@@ -274,6 +275,11 @@ def main():
         poses = np.stack(poses)
         src = np.stack([np.eye(4, dtype=np.float32)] * 2)
 
+        # Tile order: a cost plan computed on the canonical pose goes
+        # STALE once the cloud animates (measured 12.9 -> 7.4 fps: a
+        # stale plan loses both cost homogeneity and tile coherence).
+        # schedule="cost" on the dynamic path pays only for near-static
+        # motion.
         def dyn_run(i, fast):
             outs = dr.render_dynamic_frames(
                 dfeats * (1.0 + 1e-3 * i), poses, src, pts, sw, ji,

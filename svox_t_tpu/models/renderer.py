@@ -397,7 +397,7 @@ class VolumeRenderer:
 
     __call__ = forward
 
-    def plan_rays(self, rays: Rays, fast=False, n_rows=None):
+    def plan_rays(self, rays: Rays, fast=False, n_rows=None, features=None):
         """Precompute a cost-ordered ray schedule (ops/schedule.py).
 
         Returns (perm, inv) int32 NumPy permutations: render
@@ -411,23 +411,42 @@ class VolumeRenderer:
         exact 15.9 -> 17.7 (benchmarks/probe_costorder.py).
 
         :param n_rows: occupied-row bound for the cost pre-march
-            (default: this tree's feature pool size).
+            (default: from `features`, else this tree's feature pool).
+        :param features: the feature matrix that will be rendered (its
+            row count and density column drive the cost model; defaults
+            to the tree's own pool).
         """
         from ..ops.schedule import cost_order
 
         opt = self._get_options(fast)
         spec = self._render_spec()
+        src = features if features is not None else getattr(
+            self.tree, "features", None
+        )
+        feats = getattr(src, "q", src)  # quantized pools: row count only
         if n_rows is None:
-            n_rows = int(self.tree.features.shape[0])
+            n_rows = int(feats.shape[0])
+        if feats is src and getattr(feats, "ndim", 0) != 2:
+            feats = None  # absent/odd pools: structure-only cost
+        elif feats is not src:
+            feats = None  # quantized: no float density column
+        # Density column: lets the cost march predict early termination
+        # (fast mode); a count-occupied proxy misorders translucent
+        # scenes (docs/PERFORMANCE.md).
+        sigmas = (
+            jnp.asarray(feats, jnp.float32)[:, -1]
+            if feats is not None and int(feats.shape[0]) == n_rows
+            else None
+        )
         perm = cost_order(
             spec, jnp.asarray(rays.origins), jnp.asarray(rays.dirs), opt,
-            n_rows,
+            n_rows, sigmas,
         )
         inv = np.argsort(perm).astype(np.int32)
         return perm, inv
 
     def plan_persp(self, c2w, width=800, height=800, fx=1111.111,
-                   fy=None, fast=False, n_rows=None):
+                   fy=None, fast=False, n_rows=None, features=None):
         """Cost-ordered schedule for a perspective camera (see
         plan_rays). Cached on (camera bytes, image size, tree version,
         options); render_persp(..., schedule="cost") uses it
@@ -456,7 +475,8 @@ class VolumeRenderer:
             tperm, _ = _tile_perm(width, height, tile)
             origins, dirs = origins[tperm], dirs[tperm]
         rays = Rays(origins, dirs, dirs)
-        order, _ = self.plan_rays(rays, fast=fast, n_rows=n_rows)
+        order, _ = self.plan_rays(rays, fast=fast, n_rows=n_rows,
+                                  features=features)
         perm = (
             np.asarray(tperm)[order] if tperm is not None else order
         ).astype(np.int32)
@@ -486,7 +506,8 @@ class VolumeRenderer:
         # exit together.
         perm = inv = None
         if schedule == "cost":
-            perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast)
+            perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast,
+                                        features=features)
         elif opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
@@ -561,7 +582,10 @@ class VolumeRenderer:
         opt = self._get_options(fast)
         perm = inv = None
         if schedule == "cost" and np.asarray(c2w).ndim == 2:
-            perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast)
+            f0 = jnp.asarray(features_frames)
+            f0 = f0[0] if f0.ndim == 3 else f0
+            perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast,
+                                        features=f0)
         elif opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
@@ -650,11 +674,14 @@ class VolumeRenderer:
             perm = None
             if (schedule == "cost" and not per_frame_rays
                     and opt.ndc_width < 0):
-                # Plan on the CURRENT (canonical-pose) structure; the
-                # per-frame re-pointing only staleness the plan
-                # (performance), never correctness.
+                # Plan on the CURRENT (canonical-pose) structure. A
+                # stale plan is always CORRECT but measured to LOSE on
+                # animated content (it drops both cost homogeneity and
+                # tile coherence — docs/PERFORMANCE.md); prefer the
+                # default tile order unless motion is near-static.
+                f0 = features[0] if features.ndim == 3 else features
                 perm, inv = self.plan_persp(c2w, width, height, fx, fy,
-                                            fast)
+                                            fast, features=f0)
             elif opt.chunk_size > 0:
                 tile = max(8, int(np.sqrt(opt.chunk_size)))
                 perm, inv = _tile_perm(width, height, tile)

@@ -20,9 +20,14 @@ only stale: re-plan when the camera or the scene structure changes
 enough to matter.
 
 The cost model is the march's own structure walk (no radiometry): steps
-to the clipped tmax honoring the options' cull/advance/skip-box flags,
-with an occupancy-count proxy for early termination when stop_thresh is
-set. One fused pre-march dispatch + one host argsort (~10 ms at 640k).
+to the clipped tmax honoring the options' cull/advance/skip-box flags.
+When early termination is enabled (stop_thresh > 0) and a sigma table
+is supplied, the cost march replicates the real transmittance chain
+(one extra gather per step) so retire points are predicted for opaque
+AND translucent content — a count-occupied-samples proxy misorders
+translucent scenes, where rays cross many occupied cells without
+stopping. One fused pre-march dispatch + one host argsort (~10 ms at
+640k rays).
 """
 
 from __future__ import annotations
@@ -35,56 +40,61 @@ import numpy as np
 
 from ..utils.spec import RenderOptions
 
-# Early-termination proxy: with stop_thresh set, a ray is assumed to
-# retire after this many OCCUPIED samples (opaque scenes retire in 1-3;
-# translucent ones march on — underestimating only degrades schedule
-# quality, never correctness).
-_STOP_OCC = 3
-
 
 @functools.partial(
     jax.jit,
-    static_argnames=("skip_base", "stop_occ", "n_rows", "step_size",
-                     "max_steps", "interp", "box_advance"),
+    static_argnames=("skip_base", "n_rows", "step_size", "max_steps",
+                     "interp", "box_advance", "sigma_thresh",
+                     "stop_thresh"),
 )
 def march_cost(
     spec,
     origins: jax.Array,
     dirs: jax.Array,
     skip_base: int,
-    stop_occ: bool,
     n_rows: int,
     step_size: float,
     max_steps: int,
     interp: int = 0,
     box_advance: int = 0,
+    sigma_thresh: float = 0.0,
+    stop_thresh: float = 0.0,
+    sigmas: jax.Array = None,
 ) -> jax.Array:
     """Per-ray structure-march step count (B,) int32 — the schedule's
     cost metric. Mirrors the production march's phase-1 walk (same
-    lookup, same cull/advance flags) without any radiometry."""
+    lookup, same cull/advance flags); with `sigmas` ((n_rows,) density
+    column) and stop_thresh > 0 it also tracks transmittance so early
+    ray termination is predicted."""
     from .render import _clip_to_occupied, _lookup_leaf_xyz, _ray_setup
 
-    o, d, invdir, _, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+    o, d, invdir, dscale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
     tmin, tmax, hit = _clip_to_occupied(
         spec, o, invdir, tmin, tmax, hit, interp, box_advance
     )
     oxyz = (o[:, 0], o[:, 1], o[:, 2])
     dxyz = (d[:, 0], d[:, 1], d[:, 2])
     ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
+    use_stop = stop_thresh > 0.0 and sigmas is not None
 
     def body(carry):
-        t, act, n, nocc = carry
+        t, act, n, L = carry
         didx, dt, _, _ = _lookup_leaf_xyz(
             spec, oxyz, dxyz, ivxyz, t, step_size, skip_base
         )
-        occ = jnp.logical_and(act, didx < n_rows)
-        nocc = nocc + occ.astype(jnp.int32)
+        if use_stop:
+            occ = didx < n_rows
+            sig = jnp.where(occ, sigmas[jnp.where(occ, didx, 0)], 0.0)
+            contrib = jnp.logical_and(
+                jnp.logical_and(act, occ), sig > sigma_thresh
+            )
+            L = jnp.where(contrib, L * jnp.exp(-dt * dscale * sig), L)
         t = jnp.where(act, t + dt, t)
         n = n + act.astype(jnp.int32)
         act = jnp.logical_and(act, t < tmax)
-        if stop_occ:
-            act = jnp.logical_and(act, nocc < _STOP_OCC)
-        return t, act, n, nocc
+        if use_stop:
+            act = jnp.logical_and(act, L > stop_thresh)
+        return t, act, n, L
 
     t0 = jnp.where(hit, tmin, jnp.inf)
     act0 = jnp.logical_and(hit, t0 < tmax)
@@ -92,22 +102,28 @@ def march_cost(
     _, _, n, _ = jax.lax.while_loop(
         lambda c: jnp.logical_and(jnp.any(c[1]), jnp.max(c[2]) < max_steps),
         body,
-        (t0, act0, z, z),
+        (t0, act0, z, jnp.ones_like(t0)),
     )
     return n
 
 
-def cost_order(spec, origins, dirs, opt: RenderOptions, n_rows: int):
+def cost_order(spec, origins, dirs, opt: RenderOptions, n_rows: int,
+               sigmas=None):
     """Stable cost-sorted ray permutation (host int32 (B,)).
 
     Stability preserves the input (e.g. tile-coherent) order within
-    equal-cost classes, keeping spatial gather locality."""
+    equal-cost classes, keeping spatial gather locality. Pass `sigmas`
+    (the feature pool's density column, (n_rows,)) so plans under
+    early-termination options predict where rays retire."""
     skip_base = int(getattr(spec, "skip_base", 0) or 0) if opt.skip_boxes else 0
+    if sigmas is not None:
+        sigmas = jnp.asarray(sigmas, jnp.float32)
     n = np.asarray(
         march_cost(
-            spec, origins, dirs, skip_base, opt.stop_thresh > 0.0,
-            int(n_rows), float(opt.step_size), int(opt.max_steps),
-            int(opt.interp), int(opt.box_advance),
+            spec, origins, dirs, skip_base, int(n_rows),
+            float(opt.step_size), int(opt.max_steps), int(opt.interp),
+            int(opt.box_advance), float(opt.sigma_thresh),
+            float(opt.stop_thresh), sigmas,
         )
     )
     return np.argsort(n, kind="stable").astype(np.int32)
