@@ -68,10 +68,16 @@ def main():
     from svox_t_tpu.ops.schedule import cost_order
 
     def plan(sp, o_, d_, opt_, f_):
-        t0 = time.time()
-        order = cost_order(sp, o_, d_, opt_, f_.shape[0],
-                           jnp.asarray(f_, jnp.float32)[:, -1])
-        return o_[order], d_[order], time.time() - t0
+        # Warm first (march_cost compiles once per options), then report
+        # the best of two timed plans — the steady-state serving cost.
+        sig = jnp.asarray(f_, jnp.float32)[:, -1]
+        _ = cost_order(sp, o_, d_, opt_, f_.shape[0], sig)
+        ts = []
+        for _i in range(2):
+            t0 = time.time()
+            order = cost_order(sp, o_, d_, opt_, f_.shape[0], sig)
+            ts.append(time.time() - t0)
+        return o_[order], d_[order], min(ts)
 
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def fwd(sp, f, o, d, v, opt_):

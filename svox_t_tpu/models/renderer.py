@@ -434,8 +434,8 @@ class VolumeRenderer:
         # (fast mode); a count-occupied proxy misorders translucent
         # scenes (docs/PERFORMANCE.md).
         sigmas = (
-            jnp.asarray(feats, jnp.float32)[:, -1]
-            if feats is not None and int(feats.shape[0]) == n_rows
+            jnp.asarray(feats, jnp.float32)[:n_rows, -1]
+            if feats is not None and int(feats.shape[0]) >= n_rows
             else None
         )
         perm = cost_order(
@@ -457,7 +457,8 @@ class VolumeRenderer:
         opt = self._get_options(fast)
         c2w_np = np.asarray(c2w, np.float32)
         key = (c2w_np.tobytes(), int(width), int(height), float(fx),
-               float(fy), self.tree._ver, opt)
+               float(fy), self.tree._ver,
+               getattr(self.tree, "_occ_ver", 0), opt)
         hit = self._plan_cache.get(key)
         if hit is not None:
             return hit
@@ -499,6 +500,7 @@ class VolumeRenderer:
         :return: (height, width, n_color + 1)
         """
         del cuda
+        assert schedule in ("tile", "cost"), schedule
         if fy is None:
             fy = fx
         opt = self._get_options(fast)
@@ -577,6 +579,7 @@ class VolumeRenderer:
 
         :return: (T, height, width, n_color + 1)
         """
+        assert schedule in ("tile", "cost"), schedule
         if fy is None:
             fy = fx
         opt = self._get_options(fast)
@@ -645,6 +648,7 @@ class VolumeRenderer:
             (T, B, 1) / (T, H, W, 1)
         """
         assert (rays is None) != (c2w is None), "pass exactly one of rays/c2w"
+        assert schedule in ("tile", "cost"), schedule
         assert self.tree._weight_accum is None, (
             "weight accumulation is per-render; use the eager loop inside "
             "the accumulator context"

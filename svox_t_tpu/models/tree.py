@@ -105,6 +105,12 @@ class N3Tree:
         self.extra_data = extra_data
 
         self._ver = 0
+        # Occupancy version: bumped whenever the index table is
+        # RE-POINTED (construct_tree / fused frame loops) — structure
+        # layout is unchanged (leaf views stay valid, _ver untouched)
+        # but anything keyed on which cells are occupied (e.g. cached
+        # cost-ordered ray plans) must re-derive.
+        self._occ_ver = 0
         self._invalidate()
         self._lock_tree_structure = False
         self._weight_accum = None
@@ -267,6 +273,7 @@ class N3Tree:
         points may occupy cells outside the old box -> union of the two;
         with lo=None the box conservatively resets to the full cube."""
         cap = spec.capacity
+        self._occ_ver += 1
         self._data = new_data_flat.reshape(cap, self.N, self.N, self.N, 1)
         # Keep jit caches warm: splice the new table into cached specs
         # instead of rebuilding them.
@@ -936,6 +943,7 @@ class N3Tree:
 
     def _invalidate(self):
         self._ver += 1
+        self._occ_ver += 1
         self._last_all_leaves = None
         self._last_frontier = None
         self._cached_spec = {}
@@ -944,6 +952,7 @@ class N3Tree:
     def _invalidate_spec(self):
         """Contents-only change (index table): jit-relevant arrays change
         but leaf-view keys remain valid (reference keeps _ver too)."""
+        self._occ_ver += 1
         self._cached_spec = {}
         self._cached_baked = None
 

@@ -1025,6 +1025,10 @@ def _volume_render_fwd_impl(
                 t[gidx], L[gidx], out_c[gidx], alpha[gidx],
                 jnp.logical_and(active[gidx], valid), stopped[gidx],
             )
+            # These reshapes are of BODY-LOCAL gathers (fresh data each
+            # generation), not loop carries, so the CLAUDE.md
+            # "no reshape in while bodies" rule's re-materialization
+            # cost is paid once per generation by construction.
             xs = jax.tree_util.tree_map(
                 lambda x: x.reshape((S // C, C) + x.shape[1:]),
                 (origins[gidx], dirs[gidx], vdirs[gidx]) + g_state,

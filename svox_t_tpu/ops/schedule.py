@@ -115,7 +115,13 @@ def cost_order(spec, origins, dirs, opt: RenderOptions, n_rows: int,
     equal-cost classes, keeping spatial gather locality. Pass `sigmas`
     (the feature pool's density column, (n_rows,)) so plans under
     early-termination options predict where rays retire."""
-    skip_base = int(getattr(spec, "skip_base", 0) or 0) if opt.skip_boxes else 0
+    # Same gate as the production march (render.py): skip boxes are not
+    # skin-eroded for trilinear interp, so the real walk ignores them —
+    # the cost walk must too.
+    skip_base = (
+        int(getattr(spec, "skip_base", 0) or 0)
+        if (opt.skip_boxes and not opt.interp) else 0
+    )
     if sigmas is not None:
         sigmas = jnp.asarray(sigmas, jnp.float32)
     n = np.asarray(

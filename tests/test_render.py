@@ -837,3 +837,22 @@ def test_cost_schedule_bit_exact(rng):
                        rays.viewdirs[perm])
     out1 = np.asarray(r(feats, permuted))[inv]
     np.testing.assert_array_equal(out1, np.asarray(out0))
+
+
+def test_cost_plan_invalidated_by_repointing(rng):
+    """construct_tree (occupancy re-pointing) must invalidate cached
+    cost plans: the plan cache keys on tree._occ_ver."""
+    t, feats, r = _setup(rng, "RGBA", 4)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    p1, _ = r.plan_persp(c2w, 32, 24, 40.0)
+    assert len(r._plan_cache) == 1
+    centers = np.asarray(jax.device_get(t.tree2world(jnp.asarray(
+        t[:].corners_local + 0.5 * t[:].lengths_local[:, None]))))
+    t.construct_tree(centers[: max(4, len(centers) // 2)])
+    p2, _ = r.plan_persp(c2w, 32, 24, 40.0)
+    assert len(r._plan_cache) == 2  # new key -> re-planned
+    # outputs stay bit-exact under the new plan
+    img0 = r.render_persp(feats, c2w, 32, 24, 40.0)
+    img1 = r.render_persp(feats, c2w, 32, 24, 40.0, schedule="cost")
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
