@@ -35,3 +35,16 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The suite now compiles 200+ executables in one process; jaxlib's
+    CPU compiler has been observed to segfault partway through a full
+    one-process run (compile #~150+, backend_compile_and_load — not
+    OOM, 120+ GB free). Dropping the in-process executable/tracing
+    caches at module boundaries keeps the live-executable count bounded;
+    the persistent on-disk cache (JAX_COMPILATION_CACHE_DIR) makes
+    re-loads cheap."""
+    yield
+    jax.clear_caches()
