@@ -80,10 +80,16 @@ def config_2():
     tree, feats = build_shell_tree(depth=7, data_format="SH9", data_dim=28)
     r = st.VolumeRenderer(tree)
     c2w = orbit_camera()
+    # Tile order: for single-IMAGE renders the cost schedule's in-graph
+    # permutation (random 640k-row gathers in + inverse out) costs more
+    # than the march saves (measured 69.6 -> 125 ms at 800^2); the
+    # schedule pays where the permutation lives OUTSIDE the dispatch
+    # (raw ray batches, training reductions) — see docs/PERFORMANCE.md.
     img = r.render_persp(feats, c2w, width=800, height=800, fx=880.0)
     _fetch(img)
     dt = _timed_min(lambda i: _fetch(
-        r.render_persp(feats * (1 + 1e-7 * i), c2w, width=800, height=800, fx=880.0)
+        r.render_persp(feats * (1 + 1e-7 * i), c2w, width=800, height=800,
+                       fx=880.0)
     ))
     return {
         "config": 2,

@@ -403,12 +403,15 @@ class VolumeRenderer:
         Returns (perm, inv) int32 NumPy permutations: render
         ``rays[perm]`` and read outputs back through ``inv`` (or apply
         to image rays via render_persp(..., schedule="cost"), which does
-        both in-graph). Any permutation renders BIT-identically — plans
-        only ever go stale (slower), never wrong — so reuse a plan
-        across frames while features animate; re-plan when the camera or
-        the scene structure changes. Measured on the 800^2 headline
-        scenes: fast 23.2 -> 29.7 Mrays/s, opaque-fast 38.1 -> 45.5,
-        exact 15.9 -> 17.7 (benchmarks/probe_costorder.py).
+        both in-graph — but see the caveat there). Any permutation
+        renders BIT-identically — plans only ever go stale (slower),
+        never wrong — so reuse a plan across frames while features
+        animate; re-plan when the camera or the scene structure
+        changes. Pays when rays are HELD in plan order across the hot
+        loop (training steps — reductions are order-invariant — or a
+        raw-ray serving batch): measured on the 800^2 headline scenes
+        fast 20.0 ms (32.0 Mrays/s vs 27.6 tile), opaque-fast 12.7
+        (50.3), exact 29.2 (21.9), fwd+bwd 197 (3.25) — bench.py.
 
         :param n_rows: occupied-row bound for the cost pre-march
             (default: from `features`, else this tree's feature pool).
@@ -494,9 +497,12 @@ class VolumeRenderer:
 
         :param c2w: (3,4) or (4,4) camera-to-world matrix
         :param schedule: ray chunking order — "tile" (spatially coherent
-            blocks) or "cost" (cost-homogeneous chunks via a cached
-            per-camera plan; bit-identical output, measured 1.1-1.3x
-            faster — see plan_persp)
+            blocks, default) or "cost" (cost-homogeneous chunks via a
+            cached per-camera plan; bit-identical output). CAVEAT: for
+            single images the in-graph permutation gathers cost more
+            than the march saves (docs/PERFORMANCE.md) — the schedule
+            pays on raw ray batches held in plan order (plan_rays +
+            forward, training reductions), not here
         :return: (height, width, n_color + 1)
         """
         del cuda

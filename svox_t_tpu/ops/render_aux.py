@@ -13,7 +13,11 @@ Parity targets in the reference:
   * motion_feature_render fwd: rt_kernel.cu:885-980; its backward here
     fixes the reference's uninitialized-buffer / wrong-index bugs
     (rt_kernel.cu:1035,1051,1056 — see SURVEY.md K14) and computes the
-    mathematically correct scatter.
+    mathematically correct scatter FOR stop_thresh == 0: like the
+    reference backward (rt_kernel.cu:1015-1065 marches to tmax with no
+    stop handling), it ignores early termination, so under fast options
+    (stop_thresh > 0) the grads omit the forward's 1/(1-L_stop)
+    renormalization and post-stop truncation. Train with exact options.
 """
 
 from __future__ import annotations
@@ -218,7 +222,13 @@ def _first_hit(spec, features, origins, dirs, opt):
     (which may be boundary skin in an empty leaf — where the main
     renderer's alpha registers the surface) while data_idx comes from
     the first over-threshold RESIDENT sample; `found` requires the
-    latter. The two notions coincide in nearest mode.
+    latter. The two notions coincide in nearest mode — EXCEPT for the
+    pathological sigma_thresh < 0, where empty-leaf sigma (masked to 0)
+    also exceeds the threshold: the reference then 'hits' the very
+    first sample of the march (rt_kernel.cu:829-836) while this pass
+    keeps requiring a resident leaf for `found`/data_idx (a sentinel
+    data_idx would index per-point tables out of range). Deliberate
+    divergence; thresholds are expected >= 0.
 
     Round-based: per round, the first contributing sample per ray is
     selected with a prefix mask (hit position recomputed from t_hit
@@ -304,10 +314,15 @@ def _first_hit(spec, features, origins, dirs, opt):
         _, _, _, _, found, t_hit, idx_hit = jax.lax.while_loop(
             cond, body, init
         )
-        # NOTE: the hit position recorded by the reference is the clamped
-        # in-tree sample point transformed back to world space
-        # (rt_kernel.cu:756-761); we record the unclamped sample position,
-        # identical for points inside the volume.
+        # NOTE (deliberate divergence, like K14): the reference's
+        # query_single_from_root destructively rewrites `pos` to the
+        # in-leaf FRACTIONAL coordinate (common.cuh:77-87) before
+        # rt_kernel.cu:756-774 world-transforms it, so the reference's
+        # hit_point (and the joint distances derived from it) are
+        # computed from leaf-local fractions, not the sample point.
+        # We record the actual in-tree sample position — the sensible
+        # semantics — so outputs systematically differ from the CUDA
+        # build on hit rays.
         pos_hit = jnp.where(
             found[:, None], o + t_hit[:, None] * d, 0.0
         )
@@ -357,13 +372,15 @@ def motion_render(
 def _mf_blend(spec, joint_features, idx, valid, out_dim):
     """Per-sample LBS blend of joint features (rt_kernel.cu:953-959).
 
-    :return: (B, out_dim) pre-sigmoid blended features.
+    :return: (blended (B, out_dim) pre-sigmoid, sw (B, n_bones),
+              jidx (B, n_bones)) — the per-sample skinning tables are
+    returned so callers in march loops never gather them twice.
     """
     sw = spec.skinning_weights[idx]        # (B, n_bones)
     jidx = spec.joint_index[idx]           # (B, n_bones)
     jf = joint_features[jidx][..., :out_dim]  # (B, n_bones, out_dim)
     w = jnp.where(jnp.logical_and(sw > 0, valid[:, None]), sw, 0.0)
-    return jnp.einsum("bn,bnk->bk", w, jf, precision=_PREC)
+    return jnp.einsum("bn,bnk->bk", w, jf, precision=_PREC), sw, jidx
 
 
 def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt):
@@ -436,7 +453,7 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
             )
             weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
 
-            blended = _mf_blend(
+            blended, _, _ = _mf_blend(
                 spec, joint_features, gi_flat, (idx < M).reshape(-1), out_dim
             )
             s = jax.nn.sigmoid(blended).reshape(K, B, out_dim)
@@ -531,7 +548,10 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             # empty-boundary interp samples, but they have no per-point
             # LBS data, contribute nothing in the forward, and must
             # receive no gradient rows here. (sigma > 0 rather than
-            # sigma_thresh: the reference's backward convention.)
+            # sigma_thresh, and NO early-stop handling — both are the
+            # reference backward's conventions (rt_kernel.cu:1015-1065);
+            # exact for stop_thresh == 0, approximate under fast
+            # options. See the module docstring.)
             att_gate = jnp.logical_and(valid, sigma > 0.0)
             contrib = jnp.logical_and(att_gate, idx < M)
             att = jnp.exp(-dt * sigma * delta_scale[None])
@@ -542,7 +562,7 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
             )
             weight = L_before * (1.0 - att)
 
-            blended = _mf_blend(
+            blended, sw, jidx = _mf_blend(
                 spec, joint_features, gi_flat, (idx < M).reshape(-1), Kd
             )
             s = jax.nn.sigmoid(blended)  # (K*B, Kd)
@@ -550,9 +570,6 @@ def _motion_feature_bwd_impl(spec, joint_features, features, origins, dirs, grad
                 weight.reshape(-1)[:, None] * s * (1.0 - s)
                 * jnp.tile(grad_out_, (K, 1))
             )
-
-            sw = spec.skinning_weights[gi_flat]     # (K*B, n_bones)
-            jidx = spec.joint_index[gi_flat]        # (K*B, n_bones)
             bone_ok = jnp.logical_and(sw > 0, contrib.reshape(-1)[:, None])
             rows = (sw[:, :, None] * g_blend[:, None, :]).reshape(-1, Kd)
             scat = jnp.where(bone_ok, jidx, J).reshape(-1)
