@@ -49,7 +49,10 @@ def main():
     bake_s = time.time() - t0
 
     r = st.VolumeRenderer(tree, step_size=1e-3)
-    opt = r._get_options(False)
+    # Cost-schedule chunk design point: C=2048 forward chunks (the
+    # cost-homogeneous-chunk win, probe_chunk_sched.py) with the
+    # backward march kept at 1024 (probe_bwd_sched.py).
+    opt = r._sched_options(r._get_options(False))
     c2w = orbit_camera()
     origins, dirs = cam2world_rays(c2w, W, H, fx=W * 1.1, fy=W * 1.1)
     # Tile-coherent ray order (what render_persp uses internally).
@@ -99,9 +102,12 @@ def main():
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def fwd_sustained(sp, f, o, d, v, opt_):
         def one(i, acc):
-            # Quantized pools (NamedTuple) can't be scalar-perturbed
-            # in-loop; their outer iterations re-quantize instead.
-            ff = f if isinstance(f, tuple) else f * (1.0 + 1e-7 * i)
+            # Quantized pools: perturb the dequant scale so the loop body
+            # stays loop-variant (XLA must not hoist the render).
+            ff = (
+                f._replace(scale=f.scale * (1.0 + 1e-7 * i))
+                if isinstance(f, tuple) else f * (1.0 + 1e-7 * i)
+            )
             out = volume_render(sp, ff, o, d, v, opt_)
             return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
@@ -151,7 +157,7 @@ def main():
     # "fast" mode (sigma_thresh = stop_thresh = 1e-2): the reference's
     # accelerated configuration and the setting PlenOctrees-class FPS
     # numbers are quoted in (early ray termination).
-    opt_fast = r._get_options(True)
+    opt_fast = r._sched_options(r._get_options(True))
     o_f, d_f, plan_fast_s = plan(baked, origins, dirs, opt_fast, feats)
     out = fwd(baked, feats, o_f, d_f, d_f, opt_fast)
     out.block_until_ready()
@@ -199,7 +205,7 @@ def main():
     dfeats = dfeats.astype(jnp.bfloat16)
     deep_build_s = time.time() - t0
     rd = st.VolumeRenderer(dtree, step_size=1e-3)
-    opt_deep = rd._get_options(False)
+    opt_deep = rd._sched_options(rd._get_options(False))
     o_d, d_d, plan_deep_s = plan(dbaked, origins, dirs, opt_deep, dfeats)
     _ = float(fwd_sustained(dbaked, dfeats, o_d, d_d, d_d, opt_deep))
     times = []

@@ -410,8 +410,11 @@ class VolumeRenderer:
         changes. Pays when rays are HELD in plan order across the hot
         loop (training steps — reductions are order-invariant — or a
         raw-ray serving batch): measured on the 800^2 headline scenes
-        fast 20.0 ms (32.0 Mrays/s vs 27.6 tile), opaque-fast 12.7
-        (50.3), exact 29.2 (21.9), fwd+bwd 197 (3.25) — bench.py.
+        fast 18.3 ms (34.9 Mrays/s vs 27.6 tile), opaque-fast 11.4
+        (56.4), exact 27.4 (23.4), fwd+bwd 196 (3.27) — bench.py.
+        Render plan-ordered batches with `_sched_options(opt)` (forward
+        chunks 2048, backward kept at 1024 — the measured design point
+        for cost-homogeneous chunks).
 
         :param n_rows: occupied-row bound for the cost pre-march
             (default: from `features`, else this tree's feature pool).
@@ -516,6 +519,7 @@ class VolumeRenderer:
         if schedule == "cost":
             perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast,
                                         features=features)
+            opt = self._sched_options(opt)
         elif opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
@@ -595,6 +599,7 @@ class VolumeRenderer:
             f0 = f0[0] if f0.ndim == 3 else f0
             perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast,
                                         features=f0)
+            opt = self._sched_options(opt)
         elif opt.chunk_size > 0:
             tile = max(8, int(np.sqrt(opt.chunk_size)))
             perm, inv = _tile_perm(width, height, tile)
@@ -692,6 +697,7 @@ class VolumeRenderer:
                 f0 = features[0] if features.ndim == 3 else features
                 perm, inv = self.plan_persp(c2w, width, height, fx, fy,
                                             fast, features=f0)
+                opt = self._sched_options(opt)
             elif opt.chunk_size > 0:
                 tile = max(8, int(np.sqrt(opt.chunk_size)))
                 perm, inv = _tile_perm(width, height, tile)
@@ -814,6 +820,27 @@ class VolumeRenderer:
             )
         return self.tree._spec(
             None, transformation_matrices=transformation_matrices
+        )
+
+    def _sched_options(self, opt: RenderOptions) -> RenderOptions:
+        """The cost-schedule chunk design point (semantics-free).
+
+        Cost-homogeneous chunks shift the straggler/plumbing balance:
+        under a cost-ordered plan C=2048 beats C=1024 in every forward
+        mode (exact 21.9 -> 23.4, fast 31.8 -> 34.9, opaque-fast
+        50.5 -> 56.4 Mrays/s; benchmarks/probe_chunk_sched.py) while the
+        BACKWARD march must stay at 1024 (its scatter tiers grow with
+        the chunk: fwd+bwd 281 ms at C=2048 vs 196 with bwd_chunk_size=
+        1024 — benchmarks/probe_bwd_sched.py). Applied only when the
+        user left chunk_size at the default; outputs are bit-identical
+        (chunk membership never changes per-ray math)."""
+        if self.chunk_size != 1024 or opt.chunk_size <= 0:
+            return opt
+        import dataclasses
+
+        return dataclasses.replace(
+            opt, chunk_size=2048,
+            bwd_chunk_size=opt.bwd_chunk_size or 1024,
         )
 
     def _get_options(self, fast=False) -> RenderOptions:
