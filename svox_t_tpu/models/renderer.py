@@ -58,6 +58,18 @@ def _tile_perm(width: int, height: int, tile: int):
 __all__ = ["VolumeRenderer", "Rays", "NDCConfig", "convert_to_ndc"]
 
 
+def _tile_order(opt, width, height):
+    """Tile-coherent ray permutation sized to the chunk: (perm, inv),
+    or (None, None) when chunking is off. The single derivation every
+    perspective entry point (and plan_persp) must share — the cost
+    schedule's bit-exactness relies on the plan and the render paths
+    composing the SAME tile permutation."""
+    if opt.chunk_size <= 0:
+        return None, None
+    tile = max(8, int(np.sqrt(opt.chunk_size)))
+    return _tile_perm(width, height, tile)
+
+
 def convert_to_ndc(origins, directions, focal, w, h, near=1.0):
     """Convert rays to NDC coordinates (the standard NeRF NDC projection;
     capability parity: renderer.py:140-160 — kept for gradcheck parity;
@@ -476,10 +488,8 @@ class VolumeRenderer:
             # Cost the rays the march actually walks (same order as
             # _persp_jit: NDC warp, then permutation).
             dirs, origins = render_ops.world2ndc(opt, dirs, origins)
-        tperm = None
-        if opt.chunk_size > 0:
-            tile = max(8, int(np.sqrt(opt.chunk_size)))
-            tperm, _ = _tile_perm(width, height, tile)
+        tperm, _ = _tile_order(opt, width, height)
+        if tperm is not None:
             origins, dirs = origins[tperm], dirs[tperm]
         rays = Rays(origins, dirs, dirs)
         order, _ = self.plan_rays(rays, fast=fast, n_rows=n_rows,
@@ -488,8 +498,11 @@ class VolumeRenderer:
             np.asarray(tperm)[order] if tperm is not None else order
         ).astype(np.int32)
         inv = np.argsort(perm).astype(np.int32)
-        if len(self._plan_cache) > 32:
-            self._plan_cache.clear()
+        while len(self._plan_cache) > 32:
+            # FIFO-evict the oldest plan: a camera path cycling through
+            # >32 poses must not wipe the whole cache on every insert
+            # (each rebuild costs a pre-march dispatch + host argsort).
+            self._plan_cache.pop(next(iter(self._plan_cache)))
         self._plan_cache[key] = (perm, inv)
         return perm, inv
 
@@ -520,9 +533,8 @@ class VolumeRenderer:
             perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast,
                                         features=features)
             opt = self._sched_options(opt)
-        elif opt.chunk_size > 0:
-            tile = max(8, int(np.sqrt(opt.chunk_size)))
-            perm, inv = _tile_perm(width, height, tile)
+        else:
+            perm, inv = _tile_order(opt, width, height)
         spec = self._render_spec()
         features = _as_features(features)
         c2w = jnp.asarray(c2w, jnp.float32)
@@ -582,10 +594,16 @@ class VolumeRenderer:
         `render_frames`). `c2w` may be a single (3|4, 4) camera shared
         by every frame or a (T, 3|4, 4) per-frame path (orbit videos).
 
-        `schedule="cost"` uses the cached cost-ordered plan (the best
-        case for it: one plan serves the whole feature stream; only
-        supported for a single shared camera — per-frame paths keep
-        tile order).
+        `schedule="cost"` uses the cached cost-ordered plan (one plan
+        serves the whole feature stream; only supported for a single
+        shared camera — per-frame paths keep tile order). CAVEAT: the
+        plan amortizes, but the in-graph permutation + per-frame
+        inverse gather do NOT — measured more expensive than the march
+        saving at 800x800 (docs/PERFORMANCE.md "In-graph permutation
+        does not pay") — so prefer the default tile order here unless
+        the scene's march savings are known to be large; the schedule
+        pays on raw ray batches HELD in plan order (plan_rays +
+        render_frames/forward).
 
         :return: (T, height, width, n_color + 1)
         """
@@ -600,9 +618,8 @@ class VolumeRenderer:
             perm, inv = self.plan_persp(c2w, width, height, fx, fy, fast,
                                         features=f0)
             opt = self._sched_options(opt)
-        elif opt.chunk_size > 0:
-            tile = max(8, int(np.sqrt(opt.chunk_size)))
-            perm, inv = _tile_perm(width, height, tile)
+        else:
+            perm, inv = _tile_order(opt, width, height)
         spec = self._render_spec()
         assert self.tree._weight_accum is None, (
             "weight accumulation is per-render; use render_persp() inside "
@@ -660,6 +677,15 @@ class VolumeRenderer:
         """
         assert (rays is None) != (c2w is None), "pass exactly one of rays/c2w"
         assert schedule in ("tile", "cost"), schedule
+        if rays is not None and schedule == "cost":
+            # No silent no-op: a raw ray batch has no camera to plan
+            # against here — order the rays yourself with plan_rays()
+            # (the plan-order permutation then lives OUTSIDE the
+            # dispatch, which is also the only regime where it pays).
+            raise ValueError(
+                "schedule='cost' requires c2w; for raw rays, reorder "
+                "them with plan_rays() and pass schedule='tile'"
+            )
         assert self.tree._weight_accum is None, (
             "weight accumulation is per-render; use the eager loop inside "
             "the accumulator context"
@@ -698,9 +724,8 @@ class VolumeRenderer:
                 perm, inv = self.plan_persp(c2w, width, height, fx, fy,
                                             fast, features=f0)
                 opt = self._sched_options(opt)
-            elif opt.chunk_size > 0:
-                tile = max(8, int(np.sqrt(opt.chunk_size)))
-                perm, inv = _tile_perm(width, height, tile)
+            else:
+                perm, inv = _tile_order(opt, width, height)
             c2w = jnp.asarray(c2w, jnp.float32)
 
             def rays_of(cam):

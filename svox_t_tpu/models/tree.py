@@ -996,6 +996,10 @@ class N3Tree:
     def values(self):
         return self[:].values
 
+    @property
+    def values_local(self):
+        return self[:].values_local
+
     def sample(self, n_samples, device=None):
         return self[:].sample(n_samples, device=device)
 

@@ -116,6 +116,15 @@ class N3TreeView:
         return jax.lax.stop_gradient(self.values)
 
     @property
+    def values_local(self):
+        """Reference-parity alias of `values`: feature rows have no
+        world/tree-frame distinction. (The reference redirects
+        `tree.values_local` to a view attribute it never defines —
+        svox.py:931 vs helpers.py:36-337 — so there the alias raises;
+        here it works.)"""
+        return self.values
+
+    @property
     def data_values(self):
         """Raw int32 index-table entries for the selected leaves."""
         return self._data_ids()
@@ -280,6 +289,39 @@ class N3TreeView:
     def __len__(self):
         return self._leaf_node.shape[0]
 
+    # -- tensor-convenience methods (parity: helpers.py:340-360 redirects
+    # these to the underlying values; non-mutating counterparts of the
+    # in-place helpers above) --------------------------------------------
+
+    def size(self, dim=None):
+        self._check_ver()
+        return self.shape if dim is None else self.shape[dim]
+
+    def dim(self):
+        return self.ndim
+
+    def numel(self):
+        sh = self.shape
+        return int(sh[0]) * int(sh[1])
+
+    def item(self):
+        return self.values.item()
+
+    def clamp(self, min=None, max=None):
+        return jnp.clip(self.values, min, max)
+
+    def clamp_min(self, min):
+        return jnp.maximum(self.values, min)
+
+    def clamp_max(self, max):
+        return jnp.minimum(self.values, max)
+
+    def relu(self):
+        return jax.nn.relu(self.values)
+
+    def sigmoid(self):
+        return jax.nn.sigmoid(self.values)
+
 
 def _redirect_funcs():
     redir_grad_funcs = [
@@ -287,6 +329,7 @@ def _redirect_funcs():
         "__radd__", "__rsub__", "__rmul__", "__abs__", "__pos__",
         "__neg__", "__eq__", "__ne__", "__ge__", "__gt__", "__le__",
         "__lt__", "clip", "max", "min", "mean", "sum", "__getitem__",
+        "__floordiv__",
     ]
 
     def redirect_func(name):

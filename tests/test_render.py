@@ -856,3 +856,37 @@ def test_cost_plan_invalidated_by_repointing(rng):
     img0 = r.render_persp(feats, c2w, 32, 24, 40.0)
     img1 = r.render_persp(feats, c2w, 32, 24, 40.0, schedule="cost")
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+
+
+def test_cost_plan_cache_fifo_eviction(rng):
+    """The plan cache evicts its OLDEST entry past the cap instead of
+    clearing wholesale — a >32-pose camera orbit must keep recent plans
+    cached (each rebuild costs a pre-march dispatch + host argsort)."""
+    t, feats, r = _setup(rng, "RGBA", 4)
+    c2w = np.eye(4, dtype=np.float32)
+    keys = []
+    for i in range(35):
+        c2w_i = c2w.copy()
+        c2w_i[2, 3] = 2.0 + 0.01 * i
+        r.plan_persp(c2w_i, 16, 12, 20.0)
+        keys.append(next(reversed(r._plan_cache)))
+    assert len(r._plan_cache) == 33  # cap + the latest insert
+    assert keys[-1] in r._plan_cache       # newest retained
+    assert keys[-2] in r._plan_cache       # recent neighbors retained
+    assert keys[0] not in r._plan_cache    # oldest evicted
+    assert keys[1] not in r._plan_cache
+
+
+def test_dynamic_frames_rejects_cost_schedule_with_rays(rng):
+    """schedule='cost' with a raw ray batch has no camera to plan
+    against; the API must refuse rather than silently render in caller
+    order (use plan_rays + schedule='tile' instead)."""
+    t, feats, r = _setup(rng, "RGBA", 4)
+    rays = make_rays(rng, 64)
+    dummy_pose = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1))
+    with pytest.raises(ValueError, match="plan_rays"):
+        r.render_dynamic_frames(
+            feats, dummy_pose, dummy_pose[0],
+            np.zeros((4, 3), np.float32), np.ones((4, 1), np.float32),
+            np.zeros((4, 1), np.int32), rays=rays, schedule="cost",
+        )

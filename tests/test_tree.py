@@ -378,3 +378,41 @@ def test_refine_invalidates_on_partial_repeats(rng):
     assert t.n_leaves > n0
     spec = t._spec()
     assert int(spec.n_internal) == t.n_internal
+
+
+def test_view_tensor_conveniences(rng):
+    """Tensor-style conveniences on the view (parity: the reference
+    redirects item/size/dim/numel and clamp/relu/sigmoid etc. to the
+    underlying values — helpers.py:340-360)."""
+    t, feats, _ = build_tree(rng, data_dim=4)
+    t.features = feats
+    v = t[:]
+    n = len(v)
+    assert v.size() == (n, 4) and v.size(0) == n and v.size(1) == 4
+    assert v.dim() == 2 and v.numel() == n * 4
+    vals = np.asarray(jax.device_get(v.values))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(v.clamp(-0.1, 0.1))),
+        np.clip(vals, -0.1, 0.1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(v.clamp_min(0.0))),
+        np.maximum(vals, 0.0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(v.clamp_max(0.0))),
+        np.minimum(vals, 0.0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(v.relu())), np.maximum(vals, 0.0),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(v.sigmoid())), 1 / (1 + np.exp(-vals)),
+        rtol=1e-5)
+    # values_local: working alias (the reference's own tree.values_local
+    # redirect targets a view attribute that does not exist there)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(t.values_local)), vals)
+    # non-mutating: the pool is untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(t[:].values)), vals)
+    # item() on a single scalar selection
+    one = t[0, 0]
+    assert isinstance(one.item(), float)
