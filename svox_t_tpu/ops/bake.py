@@ -665,6 +665,10 @@ def refresh(baked: BakedTree, data_flat: jax.Array,
     new_top = jnp.where(
         baked.top < 0, baked.top, packed[:n_top].reshape(baked.top.shape)
     )
+    if (aabb_lo is None) != (aabb_hi is None):
+        # A half-specified box would either crash (lo without hi:
+        # jnp.asarray(None)) or silently discard the caller's hi.
+        raise ValueError("pass both aabb_lo and aabb_hi, or neither")
     if aabb_lo is None:
         aabb_lo = jnp.zeros(3, jnp.float32)
         aabb_hi = jnp.ones(3, jnp.float32)
@@ -790,6 +794,15 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
 
     :return: (data_idx, cube_sz, fx, fy, fz, cell_id) — per-axis in-leaf
         fractions instead of the stacked `frac`.
+
+    The fractions come from an independent float product (p * cube_sz),
+    NOT from the structure floor g: within ~1 ulp of a cell boundary
+    they may anchor to the adjacent cell (frac ~1 where g says ~0).
+    Benign by design — interp corner weights are derived directly from
+    position (`render._interp_corners`), never from these fractions, and
+    the march's in-cell DDA at worst advances one near-zero step at a
+    measure-zero set of sample positions. Deriving frac from g would add
+    integer div/cast ops to every march round for no observable change.
     """
     N = baked.N
     R = baked.R
@@ -800,32 +813,45 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
     py = jnp.clip(py, 0.0, one)
     pz = jnp.clip(pz, 0.0, one)
 
-    cx = jnp.minimum((px * R).astype(jnp.int32), R - 1)
-    cy = jnp.minimum((py * R).astype(jnp.int32), R - 1)
-    cz = jnp.minimum((pz * R).astype(jnp.int32), R - 1)
+    # All stage indices derive from ONE finest-grid floor per axis
+    # (integer division up the stages). Independent per-stage float
+    # products can disagree at cell boundaries for non-power-of-two N
+    # (px*R rounding up across a cell while px*R*Bk rounds down), which
+    # would wrap the subcell (mod Bk) into the WRONG end of a brick —
+    # the same one-shot-float hazard ops/query.py avoids for N != 2.
+    if baked.mid_levels > 0:
+        M1 = baked.M1
+        G = R * M1 * Bk
+        gx = jnp.minimum((px * G).astype(jnp.int32), G - 1)
+        gy = jnp.minimum((py * G).astype(jnp.int32), G - 1)
+        gz = jnp.minimum((pz * G).astype(jnp.int32), G - 1)
+        cx, cy, cz = gx // (M1 * Bk), gy // (M1 * Bk), gz // (M1 * Bk)
+    elif baked.brick_levels > 0:
+        G = R * Bk
+        gx = jnp.minimum((px * G).astype(jnp.int32), G - 1)
+        gy = jnp.minimum((py * G).astype(jnp.int32), G - 1)
+        gz = jnp.minimum((pz * G).astype(jnp.int32), G - 1)
+        cx, cy, cz = gx // Bk, gy // Bk, gz // Bk
+    else:
+        cx = jnp.minimum((px * R).astype(jnp.int32), R - 1)
+        cy = jnp.minimum((py * R).astype(jnp.int32), R - 1)
+        cz = jnp.minimum((pz * R).astype(jnp.int32), R - 1)
     top_idx = (cx * R + cy) * R + cz
     e = _row_gather(baked.top, top_idx)
 
     if baked.mid_levels > 0:
         # Three-stage: top < 0 -> mid brick; mid < 0 -> fine brick.
-        M1 = baked.M1
         n_mid = baked.mid.size
         in_mid = e < 0
         mbid = -e - 1
-        RM = R * M1
-        mx = jnp.minimum((px * RM).astype(jnp.int32), RM - 1) % M1
-        my = jnp.minimum((py * RM).astype(jnp.int32), RM - 1) % M1
-        mz = jnp.minimum((pz * RM).astype(jnp.int32), RM - 1) % M1
+        mx, my, mz = (gx // Bk) % M1, (gy // Bk) % M1, (gz // Bk) % M1
         m_idx = ((jnp.maximum(mbid, 0) * M1 + mx) * M1 + my) * M1 + mz
         me = _row_gather(baked.mid, m_idx)
         e = jnp.where(in_mid, me, e)
         cell_id = jnp.where(in_mid, n_top + m_idx, top_idx)
         in_fine = e < 0  # only reachable through a mid pointer
         fbid = -e - 1
-        RMB = RM * Bk
-        fx = jnp.minimum((px * RMB).astype(jnp.int32), RMB - 1) % Bk
-        fy = jnp.minimum((py * RMB).astype(jnp.int32), RMB - 1) % Bk
-        fz = jnp.minimum((pz * RMB).astype(jnp.int32), RMB - 1) % Bk
+        fx, fy, fz = gx % Bk, gy % Bk, gz % Bk
         f_idx = ((jnp.maximum(fbid, 0) * Bk + fx) * Bk + fy) * Bk + fz
         fe = _brick_gather(baked, f_idx)
         e = jnp.where(in_fine, fe, e)
@@ -833,10 +859,7 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
     elif baked.brick_levels > 0:
         in_brick = e < 0
         bid = -e - 1
-        RB = R * Bk
-        sx = jnp.minimum((px * RB).astype(jnp.int32), RB - 1) % Bk
-        sy = jnp.minimum((py * RB).astype(jnp.int32), RB - 1) % Bk
-        sz = jnp.minimum((pz * RB).astype(jnp.int32), RB - 1) % Bk
+        sx, sy, sz = gx % Bk, gy % Bk, gz % Bk
         b_idx = ((jnp.maximum(bid, 0) * Bk + sx) * Bk + sy) * Bk + sz
         be = _brick_gather(baked, b_idx)
         e = jnp.where(in_brick, be, e)
@@ -877,8 +900,17 @@ def lookup(baked: BakedTree, pos: jax.Array):
     n_top = baked.top.size
     pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
 
-    pf = pos * R
-    cell = jnp.minimum(pf.astype(jnp.int32), R - 1)
+    # One finest-grid floor per axis; stage indices by integer division
+    # (see lookup_xyz: independent per-stage float products can wrap the
+    # brick subcell at cell boundaries for non-power-of-two N).
+    if baked.mid_levels > 0:
+        G = R * baked.M1 * Bk
+    elif baked.brick_levels > 0:
+        G = R * Bk
+    else:
+        G = R
+    g = jnp.minimum((pos * G).astype(jnp.int32), G - 1)
+    cell = g // (G // R)
     top_idx = (cell[:, 0] * R + cell[:, 1]) * R + cell[:, 2]
     e = _row_gather(baked.top, top_idx)
 
@@ -887,8 +919,7 @@ def lookup(baked: BakedTree, pos: jax.Array):
         n_mid = baked.mid.size
         in_mid = e < 0
         mbid = -e - 1
-        pm = pos * (R * M1)
-        msub = jnp.minimum(pm.astype(jnp.int32), R * M1 - 1) % M1
+        msub = (g // Bk) % M1
         m_idx = (
             (jnp.maximum(mbid, 0) * M1 + msub[:, 0]) * M1 + msub[:, 1]
         ) * M1 + msub[:, 2]
@@ -897,8 +928,7 @@ def lookup(baked: BakedTree, pos: jax.Array):
         cell_id = jnp.where(in_mid, n_top + m_idx, top_idx)
         in_fine = e < 0
         fbid = -e - 1
-        pb = pos * (R * M1 * Bk)
-        fsub = jnp.minimum(pb.astype(jnp.int32), R * M1 * Bk - 1) % Bk
+        fsub = g % Bk
         f_idx = (
             (jnp.maximum(fbid, 0) * Bk + fsub[:, 0]) * Bk + fsub[:, 1]
         ) * Bk + fsub[:, 2]
@@ -908,8 +938,7 @@ def lookup(baked: BakedTree, pos: jax.Array):
     elif baked.brick_levels > 0:
         in_brick = e < 0
         bid = -e - 1
-        pb = pos * (R * Bk)
-        sub = jnp.minimum(pb.astype(jnp.int32), R * Bk - 1) % Bk
+        sub = g % Bk
         b_idx = (
             (jnp.maximum(bid, 0) * Bk + sub[:, 0]) * Bk + sub[:, 1]
         ) * Bk + sub[:, 2]

@@ -493,6 +493,18 @@ def _chunked_carry(single_fn, opt, ray_arrays, carry_init, fills=_RAY_FILLS):
 # ---------------------------------------------------------------------------
 
 
+def effective_skip_base(spec, opt) -> int:
+    """The skip-box sentinel base the march actually honors: FAST-mode
+    directed empty-space skip (RenderOptions.skip_boxes), OFF under
+    interp (boxes are not eroded for the trilinear interpolation skin).
+    THE single definition of this gate — the cost scheduler
+    (ops/schedule.py) must walk exactly the structure the production
+    march walks, and the two once drifted when the rule was hand-copied."""
+    if opt.skip_boxes and not opt.interp:
+        return int(getattr(spec, "skip_base", 0) or 0)
+    return 0
+
+
 def _lookup_leaf_xyz(spec, oxyz, dxyz, ivxyz, t, step_size, skip_base=0):
     """Structure-only march step on unstacked per-axis coordinates — the
     whole step is elementwise math around the structure gather, fusing
@@ -585,13 +597,7 @@ def _march_round(spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
     K = max(1, opt.round_size)
     if want_pos is None:
         want_pos = bool(opt.interp)
-    # FAST-mode directed empty-space skip (see RenderOptions.skip_boxes);
-    # off under interp (boxes are not eroded for the interpolation skin).
-    skip_base = (
-        getattr(spec, "skip_base", 0)
-        if (opt.skip_boxes and not opt.interp)
-        else 0
-    )
+    skip_base = effective_skip_base(spec, opt)
     cap_ragged = (opt.max_steps % K) != 0
     idx_k, dt_k, val_k, cell_k, t_k, cube_k = [], [], [], [], [], []
     tt, act = t, active

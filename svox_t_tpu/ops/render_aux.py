@@ -435,6 +435,12 @@ def _motion_feature_fwd_impl(spec, joint_features, features, origins, dirs, opt)
             # gate it would composite a phantom sigmoid(0) = 0.5. Both
             # gates coincide in nearest mode (empty-leaf sigma is
             # already masked to 0).
+            # PARITY-CRITICAL duplicate of the render.py phase-2
+            # compositing chain (att/cumprod/stop_first/renorm), with
+            # only the resident gate added. Any change to the stop
+            # semantics there MUST be mirrored here and in the two
+            # backward chains (_opacity_bwd_impl, _motion_feature_bwd) —
+            # the cross-pass equality tests are the tripwire.
             att_gate = jnp.logical_and(valid, sigma > opt.sigma_thresh)
             contrib0 = jnp.logical_and(att_gate, idx < M)
             att = jnp.exp(-dt * delta_scale[None] * sigma)

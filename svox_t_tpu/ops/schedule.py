@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.spec import RenderOptions
+from .render import effective_skip_base
 
 
 @functools.partial(
@@ -115,13 +116,9 @@ def cost_order(spec, origins, dirs, opt: RenderOptions, n_rows: int,
     equal-cost classes, keeping spatial gather locality. Pass `sigmas`
     (the feature pool's density column, (n_rows,)) so plans under
     early-termination options predict where rays retire."""
-    # Same gate as the production march (render.py): skip boxes are not
-    # skin-eroded for trilinear interp, so the real walk ignores them —
-    # the cost walk must too.
-    skip_base = (
-        int(getattr(spec, "skip_base", 0) or 0)
-        if (opt.skip_boxes and not opt.interp) else 0
-    )
+    # The cost walk must honor exactly the skip boxes the production
+    # march honors — shared gate, single definition (render.py).
+    skip_base = effective_skip_base(spec, opt)
     if sigmas is not None:
         sigmas = jnp.asarray(sigmas, jnp.float32)
     n = np.asarray(

@@ -591,3 +591,80 @@ def test_auto_mid_levels_for_very_deep_tree(rng):
         baked, feats, rays.origins, rays.dirs, rays.viewdirs, opt
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_baked_brick_boundary_nonpow2():
+    """Cell-boundary-ulp points on an N=3 bricked bake: every stage index
+    must derive from ONE finest-grid floor (lookup/lookup_xyz in
+    ops/bake.py). Independent per-stage float products can round to
+    different sides of a boundary for non-power-of-two N (e.g.
+    float32(0.18518518) * 81 floors one cell while * 2187 floors the
+    other), so the subcell (mod Bk) wraps into the wrong end of a brick
+    and the returned row belongs to a NON-adjacent leaf (measured: 29/324
+    trigger points on the pre-fix code, rows a full coarse cell away).
+
+    The contract checked is SELF-consistency, not side-choice: whichever
+    finest-grid cell the lookup's own floor g picks (either side of a
+    boundary ulp is legitimate), the returned data_idx must be the
+    tree's content at exactly that cell.
+
+    Trigger values are float32 lattice points k/3^d whose products
+    against two stage resolutions round to different sides — found by
+    exhaustive scan; plain k/G boundary sweeps at R=9/G=243 have NO such
+    values, which is why a generic sweep cannot catch this."""
+    from svox_t_tpu.ops.traversal import descend
+
+    triggers = np.array(
+        [0.18518518, 0.37037036, 0.38271603, 0.7407407,
+         0.48148146, 0.9629629], np.float32
+    )
+    t = st.N3Tree(N=3, data_dim=4, depth_limit=6)
+    t.refine(repeats=2)  # full depth 2
+    prng = np.random.RandomState(3)
+    pts = []
+    for v in triggers:
+        for ulp in (np.nextafter(v, 0), v, np.nextafter(v, 1)):
+            for axis in range(3):
+                for _ in range(2):
+                    q = prng.rand(3).astype(np.float32) * 0.8 + 0.1
+                    q[axis] = ulp
+                    pts.append(q)
+    pts = np.array(pts, np.float32)
+    # refine both neighbor regions of each trigger plane to depth 6
+    shifted = [pts + d / 2187.0 for d in (-1.0, 1.0)]
+    refine_at = np.clip(np.concatenate([pts] + shifted), 1e-4, 1 - 1e-4)
+    feats0 = jnp.zeros((1, 4), jnp.float32)
+    for _ in range(4):  # depth 2 -> 6
+        leaf = np.asarray(t.forward(
+            feats0, jnp.asarray(refine_at), world=False, want_leaf_node=True
+        )[-1])
+        t.refine(sel=tuple(leaf.T), leaf_node=leaf)
+    centers_local = t[:].corners_local + 0.5 * t[:].lengths_local[:, None]
+    t.construct_tree(np.asarray(jax.device_get(
+        t.tree2world(jnp.asarray(centers_local)))))
+    spec = t._spec()
+
+    for top_levels, mid_levels in [(3, 0), (2, 2)]:
+        baked = bake_ops.bake(spec, top_levels=top_levels,
+                              mid_levels=mid_levels or None)
+        assert baked.brick_levels > 0
+        R, Bk = baked.R, baked.B
+        G = R * (baked.M1 if baked.mid_levels else 1) * Bk
+
+        di, cube, frac, cell = bake_ops.lookup(baked, jnp.asarray(pts))
+        di2 = bake_ops.lookup_xyz(
+            baked, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+            jnp.asarray(pts[:, 2])
+        )[0]
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(di2))
+
+        # Reproduce the lookup's own single floor in numpy, then ask the
+        # tree what lives at that cell (center query through descend).
+        p = np.clip(pts, 0.0, 1.0 - 1e-6).astype(np.float32)
+        g = np.minimum((p * np.float32(G)).astype(np.int32), G - 1)
+        cb = np.asarray(cube)
+        step = np.rint(G / cb).astype(np.int64)  # cube divides G exactly
+        cell_g = g // step[:, None]
+        center = ((cell_g + 0.5) / cb[:, None]).astype(np.float32)
+        want = np.asarray(descend(spec, jnp.asarray(center)).data_idx)
+        np.testing.assert_array_equal(np.asarray(di), want)
