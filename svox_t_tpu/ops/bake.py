@@ -786,6 +786,50 @@ def _brick_gather(baked: BakedTree, idx: jax.Array) -> jax.Array:
     return jax.lax.psum(jnp.where(own, v, 0), baked.brick_axis)
 
 
+def _descend_chain(p, N: int, D: int):
+    """Iterated per-level descent arithmetic, bit-parity with
+    ``ops.traversal.descend``: scale by N, floor, keep the remainder, D
+    times. Returns ``(g, fracs)`` — the finest-grid cell index (int32,
+    exactly the cell descend's per-level floors select) and the list of
+    in-leaf fractions ``fracs[d]`` for a leaf at depth ``d`` (d+1 levels
+    applied). Elementwise over any shape.
+
+    Needed when N is NOT a power of two: a one-shot float product
+    ``p * N**k`` rounds ONCE where the reference's chain (common.cuh:
+    76-97) rounds per level, so fractions differ by ~1 ulp almost
+    everywhere (measured 89% of uniform points at N=3, depth 4) and the
+    march's sequential t-chain amplifies that into visible radiometric
+    drift. For power-of-two N every step is exact and the one-shot form
+    is bit-identical — callers keep the cheaper path there.
+    """
+    x = p
+    g = jnp.zeros(jnp.shape(p), jnp.int32)
+    fracs = []
+    for _ in range(D):
+        xs = x * N
+        u = jnp.minimum(jnp.floor(xs), N - 1).astype(jnp.int32)
+        x = xs - u
+        g = g * N + u
+        fracs.append(x)
+    return g, fracs
+
+
+def _select_by_depth(vals, depth_eq):
+    """``vals[d]`` per element, as a where-chain (no gather): ``vals`` is
+    a static list indexed by depth, ``depth_eq(i)`` a broadcastable
+    boolean mask for depth == i."""
+    acc = vals[0]
+    for i in range(1, len(vals)):
+        acc = jnp.where(depth_eq(i), vals[i], acc)
+    return acc
+
+
+def _cube_consts(N: int, D: int, dtype):
+    """Static ``N**(d+1)`` leaf resolutions for depths 0..D-1. Exact (and
+    equal to descend's iterated float product) while N**D < 2**24."""
+    return [jnp.asarray(float(N ** (d + 1)), dtype) for d in range(D)]
+
+
 def lookup_xyz(baked: BakedTree, px, py, pz):
     """`lookup` on unstacked per-axis coordinates — pure elementwise math
     around the row gathers, so XLA fuses each march step into a couple of
@@ -795,14 +839,12 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
     :return: (data_idx, cube_sz, fx, fy, fz, cell_id) — per-axis in-leaf
         fractions instead of the stacked `frac`.
 
-    The fractions come from an independent float product (p * cube_sz),
-    NOT from the structure floor g: within ~1 ulp of a cell boundary
-    they may anchor to the adjacent cell (frac ~1 where g says ~0).
-    Benign by design — interp corner weights are derived directly from
-    position (`render._interp_corners`), never from these fractions, and
-    the march's in-cell DDA at worst advances one near-zero step at a
-    measure-zero set of sample positions. Deriving frac from g would add
-    integer div/cast ops to every march round for no observable change.
+    For power-of-two N the fractions come from a one-shot float product
+    (p * cube_sz) — bit-identical to descend's per-level chain because
+    scaling by 2**k and subtracting the integer part are exact. For any
+    other N the one-shot product rounds differently than the chain, so
+    fractions, cube sizes, and the structure floor all come from
+    ``_descend_chain`` — bit-parity with the tree backend everywhere.
     """
     N = baked.N
     R = baked.R
@@ -821,21 +863,25 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
     # the same one-shot-float hazard ops/query.py avoids for N != 2.
     if baked.mid_levels > 0:
         M1 = baked.M1
-        G = R * M1 * Bk
-        gx = jnp.minimum((px * G).astype(jnp.int32), G - 1)
-        gy = jnp.minimum((py * G).astype(jnp.int32), G - 1)
-        gz = jnp.minimum((pz * G).astype(jnp.int32), G - 1)
-        cx, cy, cz = gx // (M1 * Bk), gy // (M1 * Bk), gz // (M1 * Bk)
+        G, stage1 = R * M1 * Bk, M1 * Bk
     elif baked.brick_levels > 0:
-        G = R * Bk
+        G, stage1 = R * Bk, Bk
+    else:
+        G, stage1 = R, 1
+    D = baked.top_levels + baked.mid_levels + baked.brick_levels
+    if N & (N - 1):  # non-power-of-two: exact per-level chain
+        gx, frx = _descend_chain(px, N, D)
+        gy, fry = _descend_chain(py, N, D)
+        gz, frz = _descend_chain(pz, N, D)
+    else:
+        frx = fry = frz = None
         gx = jnp.minimum((px * G).astype(jnp.int32), G - 1)
         gy = jnp.minimum((py * G).astype(jnp.int32), G - 1)
         gz = jnp.minimum((pz * G).astype(jnp.int32), G - 1)
-        cx, cy, cz = gx // Bk, gy // Bk, gz // Bk
+    if stage1 > 1:
+        cx, cy, cz = gx // stage1, gy // stage1, gz // stage1
     else:
-        cx = jnp.minimum((px * R).astype(jnp.int32), R - 1)
-        cy = jnp.minimum((py * R).astype(jnp.int32), R - 1)
-        cz = jnp.minimum((pz * R).astype(jnp.int32), R - 1)
+        cx, cy, cz = gx, gy, gz
     top_idx = (cx * R + cy) * R + cz
     e = _row_gather(baked.top, top_idx)
 
@@ -870,9 +916,22 @@ def lookup_xyz(baked: BakedTree, px, py, pz):
     depth = jax.lax.shift_right_logical(e, ROW_BITS)
     data_idx = jax.lax.bitwise_and(e, ROW_MASK)
     dtype = px.dtype
-    cube_sz = jnp.exp2((depth + 1).astype(dtype)) if N == 2 else (
-        jnp.asarray(float(N)) ** (depth + 1).astype(dtype)
-    )
+    if frx is not None:
+        eq = lambda i: depth == i
+        cube_sz = jnp.broadcast_to(
+            _select_by_depth(_cube_consts(N, D, dtype), eq), depth.shape
+        )
+        return (
+            data_idx,
+            cube_sz,
+            _select_by_depth(frx, eq),
+            _select_by_depth(fry, eq),
+            _select_by_depth(frz, eq),
+            cell_id,
+        )
+    # N is a power of two here: exp2 of an integer exponent is exact
+    # (float pow is not guaranteed to be, even for exact results).
+    cube_sz = jnp.exp2(((depth + 1) * (N.bit_length() - 1)).astype(dtype))
     sx = px * cube_sz
     sy = py * cube_sz
     sz = pz * cube_sz
@@ -909,7 +968,12 @@ def lookup(baked: BakedTree, pos: jax.Array):
         G = R * Bk
     else:
         G = R
-    g = jnp.minimum((pos * G).astype(jnp.int32), G - 1)
+    D = baked.top_levels + baked.mid_levels + baked.brick_levels
+    if N & (N - 1):  # non-power-of-two: exact per-level chain (lookup_xyz)
+        g, fracs = _descend_chain(pos, N, D)
+    else:
+        fracs = None
+        g = jnp.minimum((pos * G).astype(jnp.int32), G - 1)
     cell = g // (G // R)
     top_idx = (cell[:, 0] * R + cell[:, 1]) * R + cell[:, 2]
     e = _row_gather(baked.top, top_idx)
@@ -950,9 +1014,14 @@ def lookup(baked: BakedTree, pos: jax.Array):
 
     depth = jax.lax.shift_right_logical(e, ROW_BITS)
     data_idx = jax.lax.bitwise_and(e, ROW_MASK)
-    cube_sz = jnp.exp2((depth + 1).astype(pos.dtype)) if N == 2 else (
-        jnp.asarray(float(N)) ** (depth + 1).astype(pos.dtype)
-    )
+    if fracs is not None:
+        cube_sz = jnp.broadcast_to(
+            _select_by_depth(_cube_consts(N, D, pos.dtype), lambda i: depth == i),
+            depth.shape,
+        )
+        frac = _select_by_depth(fracs, lambda i: (depth == i)[:, None])
+        return data_idx, cube_sz, frac, cell_id
+    cube_sz = jnp.exp2(((depth + 1) * (N.bit_length() - 1)).astype(pos.dtype))
     scaled = pos * cube_sz[:, None]
     frac = scaled - jnp.floor(scaled)
     return data_idx, cube_sz, frac, cell_id

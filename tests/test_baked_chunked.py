@@ -603,10 +603,11 @@ def test_baked_brick_boundary_nonpow2():
     and the returned row belongs to a NON-adjacent leaf (measured: 29/324
     trigger points on the pre-fix code, rows a full coarse cell away).
 
-    The contract checked is SELF-consistency, not side-choice: whichever
-    finest-grid cell the lookup's own floor g picks (either side of a
-    boundary ulp is legitimate), the returned data_idx must be the
-    tree's content at exactly that cell.
+    Since the non-pow2 lookup now derives its floors from the SAME
+    per-level chain as ops.traversal.descend (_descend_chain), the
+    contract is full bit-parity: data_idx must equal descend's on the
+    trigger points themselves, and the in-leaf fractions/cube sizes must
+    match descend's remainders exactly.
 
     Trigger values are float32 lattice points k/3^d whose products
     against two stage resolutions round to different sides — found by
@@ -648,23 +649,50 @@ def test_baked_brick_boundary_nonpow2():
         baked = bake_ops.bake(spec, top_levels=top_levels,
                               mid_levels=mid_levels or None)
         assert baked.brick_levels > 0
-        R, Bk = baked.R, baked.B
-        G = R * (baked.M1 if baked.mid_levels else 1) * Bk
 
         di, cube, frac, cell = bake_ops.lookup(baked, jnp.asarray(pts))
-        di2 = bake_ops.lookup_xyz(
+        di2, cube2, fx2, fy2, fz2, _ = bake_ops.lookup_xyz(
             baked, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
             jnp.asarray(pts[:, 2])
-        )[0]
+        )
         np.testing.assert_array_equal(np.asarray(di), np.asarray(di2))
+        np.testing.assert_array_equal(np.asarray(cube), np.asarray(cube2))
+        np.testing.assert_array_equal(
+            np.asarray(frac), np.stack(
+                [np.asarray(fx2), np.asarray(fy2), np.asarray(fz2)], axis=-1
+            )
+        )
 
-        # Reproduce the lookup's own single floor in numpy, then ask the
-        # tree what lives at that cell (center query through descend).
-        p = np.clip(pts, 0.0, 1.0 - 1e-6).astype(np.float32)
-        g = np.minimum((p * np.float32(G)).astype(np.int32), G - 1)
-        cb = np.asarray(cube)
-        step = np.rint(G / cb).astype(np.int64)  # cube divides G exactly
-        cell_g = g // step[:, None]
-        center = ((cell_g + 0.5) / cb[:, None]).astype(np.float32)
-        want = np.asarray(descend(spec, jnp.asarray(center)).data_idx)
-        np.testing.assert_array_equal(np.asarray(di), want)
+        # Full bit-parity with the tree walk ON the boundary points.
+        ref = descend(spec, jnp.asarray(pts))
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(ref.data_idx))
+        np.testing.assert_array_equal(
+            np.asarray(cube), np.asarray(ref.cube_sz))
+        np.testing.assert_array_equal(np.asarray(frac), np.asarray(ref.frac))
+
+
+def test_nonpow2_render_backend_bitparity():
+    """End-to-end render parity for N=3: baked backend must equal the
+    tree walk EXACTLY (bitwise), not just to tolerance. The one-shot
+    `p * cube_sz` fraction rounds differently than descend's per-level
+    chain for non-power-of-two N (~1 ulp on 89% of positions), and the
+    march's sequential t-chain amplifies those ulps into ~7e-3 output
+    drift — caught live by the verify drive, invisible to atol tests."""
+    rng = np.random.RandomState(11)
+    t, feats, centers = build_tree(rng, N=3, data_dim=4, depth_limit=4,
+                                   n_random_refines=2)
+    rays = make_rays(rng, 96)
+    a = st.VolumeRenderer(t, backend="baked")(feats, rays)
+    b = st.VolumeRenderer(t, backend="tree")(feats, rays)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # gradients through both backends agree too
+    spec, baked = t._spec(), t._baked_spec()
+    opt = _opts(t)
+
+    def loss(f, sp):
+        out = volume_render(sp, f, rays.origins, rays.dirs, rays.viewdirs, opt)
+        return jnp.sum(out ** 2)
+
+    g_t = np.asarray(jax.grad(loss)(feats, spec))
+    g_b = np.asarray(jax.grad(loss)(feats, baked))
+    np.testing.assert_allclose(g_t, g_b, atol=3e-5)
