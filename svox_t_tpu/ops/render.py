@@ -770,6 +770,84 @@ def _round_colors(spec, opt, vdirs, gi_flat, feat, base_basis, window,
     return jax.nn.sigmoid(tmp)
 
 
+def _phase2_radiometry(spec, features_t, opt, oxyz, dxyz, vdirs, base_basis,
+                       window, delta_scale, n_color, K, dtype, can_stop,
+                       idx, dt, valid, t_at, cube, node_flat,
+                       L, out_c, alpha, active, stopped, waccum,
+                       want_weight_accum=False, n_cells=0):
+    """Phase 2: radiometry for one stacked (K, B) round — feature gather,
+    attenuation prefix, early-stop masks, color accumulation, optional
+    weight accumulation. The SINGLE definition of in-round radiometry:
+    shared by the march loop (`_volume_render_fwd_impl`) and the recorded
+    sample-tape replay (`ops/tape.py`) so the two can never drift.
+
+    `active` enters as the post-round activity (march: act_end = still
+    inside tmax; replay: more tape samples remain) and leaves ANDed with
+    the early-stop. `node_flat` is the flat (K*B,) tree-cell id used only
+    when `want_weight_accum` (march: spec cell via src_map; replay: node
+    ids recorded in the tape)."""
+    B = L.shape[0]
+    M = features_t.M
+    feat, sigma, _ = _round_sigma(
+        spec, features_t, opt, oxyz, dxyz, t_at, cube, idx, dtype,
+    )
+    contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
+    att = jnp.exp(-dt * delta_scale[None] * sigma)
+    att_eff = jnp.where(contrib0, att, 1.0)
+    cp = jnp.cumprod(att_eff, axis=0)  # L_after_k / L_in
+    L_after = L[None] * cp
+    if can_stop:
+        stop0 = jnp.logical_and(
+            contrib0, L_after <= opt.stop_thresh
+        )
+        # no stop strictly before k (the stop sample counts)
+        before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
+        contrib = jnp.logical_and(contrib0, before)
+        stop_first = jnp.logical_and(stop0, before)  # one-hot
+    else:
+        contrib = contrib0
+    L_before = L[None] * jnp.concatenate(
+        [jnp.ones((1, B), dtype), cp[:-1]], axis=0
+    )
+    weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
+
+    gi_flat = (
+        jnp.where(idx < M, idx, 0) if M else idx
+    ).reshape(-1)
+    s = _round_colors(
+        spec, opt, vdirs, gi_flat, feat, base_basis, window,
+        n_color, K,
+    )
+    out_c = out_c + jnp.sum(weight[:, :, None] * s, axis=0)
+
+    if want_weight_accum:
+        w_idx = jnp.where(
+            contrib.reshape(-1), node_flat, n_cells
+        )
+        waccum = waccum.at[w_idx].add(
+            weight.reshape(-1), mode="drop"
+        )
+
+    if can_stop:
+        stop_any = jnp.any(stop_first, axis=0)
+        L_stop = jnp.sum(
+            jnp.where(stop_first, L_after, 0.0), axis=0
+        )
+        newL = jnp.where(stop_any, L_stop, L * cp[-1])
+        scale = 1.0 / (1.0 - L_stop)
+        out_c = jnp.where(
+            stop_any[:, None], out_c * scale[:, None], out_c
+        )
+        alpha = jnp.where(stop_any, 1.0 - L_stop, alpha)
+        stopped = jnp.logical_or(stopped, stop_any)
+        active = jnp.logical_and(
+            active, jnp.logical_not(stop_any)
+        )
+    else:
+        newL = L * cp[-1]
+    return newL, out_c, alpha, active, stopped, waccum
+
+
 def _volume_render_fwd_impl(
     spec: TreeSpec,
     features: jax.Array,
@@ -857,75 +935,22 @@ def _volume_render_fwd_impl(
             # Runs unconditionally: skipping all-empty rounds via
             # lax.cond measured 1.6x SLOWER end-to-end (cond boundaries
             # copy carried buffers and break fusion on this stack).
-            def phase2(ops):
-                L, out_c, alpha, active, stopped, waccum = ops
-                feat, sigma, _ = _round_sigma(
-                    spec, features_t, opt, oxyz, dxyz, t_at, cube, idx,
-                    dtype,
+            # The radiometry body lives in `_phase2_radiometry` (shared
+            # verbatim with the tape replay, ops/tape.py).
+            if want_weight_accum:
+                node_flat = (
+                    spec.src_map[cell.reshape(-1)]
+                    if is_baked
+                    else cell.reshape(-1)
                 )
-                contrib0 = jnp.logical_and(valid, sigma > opt.sigma_thresh)
-                att = jnp.exp(-dt * delta_scale[None] * sigma)
-                att_eff = jnp.where(contrib0, att, 1.0)
-                cp = jnp.cumprod(att_eff, axis=0)  # L_after_k / L_in
-                L_after = L[None] * cp
-                if can_stop:
-                    stop0 = jnp.logical_and(
-                        contrib0, L_after <= opt.stop_thresh
-                    )
-                    # no stop strictly before k (the stop sample counts)
-                    before = (jnp.cumsum(stop0, axis=0) - stop0) == 0
-                    contrib = jnp.logical_and(contrib0, before)
-                    stop_first = jnp.logical_and(stop0, before)  # one-hot
-                else:
-                    contrib = contrib0
-                L_before = L[None] * jnp.concatenate(
-                    [jnp.ones((1, B), dtype), cp[:-1]], axis=0
-                )
-                weight = jnp.where(contrib, L_before * (1.0 - att), 0.0)
-
-                gi_flat = (
-                    jnp.where(idx < M, idx, 0) if M else idx
-                ).reshape(-1)
-                s = _round_colors(
-                    spec, opt, vdirs_, gi_flat, feat, base_basis, window,
-                    n_color, K,
-                )
-                out_c = out_c + jnp.sum(weight[:, :, None] * s, axis=0)
-
-                if want_weight_accum:
-                    node_flat = (
-                        spec.src_map[cell.reshape(-1)]
-                        if is_baked
-                        else cell.reshape(-1)
-                    )
-                    w_idx = jnp.where(
-                        contrib.reshape(-1), node_flat, n_cells
-                    )
-                    waccum = waccum.at[w_idx].add(
-                        weight.reshape(-1), mode="drop"
-                    )
-
-                if can_stop:
-                    stop_any = jnp.any(stop_first, axis=0)
-                    L_stop = jnp.sum(
-                        jnp.where(stop_first, L_after, 0.0), axis=0
-                    )
-                    newL = jnp.where(stop_any, L_stop, L * cp[-1])
-                    scale = 1.0 / (1.0 - L_stop)
-                    out_c = jnp.where(
-                        stop_any[:, None], out_c * scale[:, None], out_c
-                    )
-                    alpha = jnp.where(stop_any, 1.0 - L_stop, alpha)
-                    stopped = jnp.logical_or(stopped, stop_any)
-                    active = jnp.logical_and(
-                        active, jnp.logical_not(stop_any)
-                    )
-                else:
-                    newL = L * cp[-1]
-                return newL, out_c, alpha, active, stopped, waccum
-
-            L, out_c, alpha, active, stopped, waccum = phase2(
-                (L, out_c, alpha, act_end, stopped, waccum)
+            else:
+                node_flat = None
+            L, out_c, alpha, active, stopped, waccum = _phase2_radiometry(
+                spec, features_t, opt, oxyz, dxyz, vdirs_, base_basis,
+                window, delta_scale, n_color, K, dtype, can_stop,
+                idx, dt, valid, t_at, cube, node_flat,
+                L, out_c, alpha, act_end, stopped, waccum,
+                want_weight_accum=want_weight_accum, n_cells=n_cells,
             )
             return step0 + K, t_end, L, out_c, alpha, active, stopped, waccum
 

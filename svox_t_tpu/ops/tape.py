@@ -1,0 +1,655 @@
+"""Recorded sample tapes — structure-walk caching for repeated renders.
+
+Per-ray sample sequences (data_idx, delta_t) depend only on the rays,
+the tree STRUCTURE, and the march-geometry options — not on the feature
+values. Like the cost plan (ops/schedule.py) they are therefore a
+per-(rays x structure version x geometry-options) artifact: record them
+once, then render any number of frames (training steps, animated
+features, quantized pools) by REPLAYING only the radiometry — no
+structure gathers, no lane selects, no DDA in the hot loop; the tape is
+read back with contiguous dynamic slices and the feature gather is the
+only gather left per round.
+
+This is the TPU analogue of a display list. The reference re-walks the
+octree every frame because a CUDA SIMT walk is nearly free per thread;
+on this stack the walk is ~60% of the exact forward (docs/
+PERFORMANCE.md "Forward budget"), and the march's chunk-straggler waste
+adds another ~1.6x — both of which the tape removes (rays are re-chunked
+sorted by sample count, so chunks are length-homogeneous).
+
+Two tape layouts, chosen at record time:
+
+  * ``compact=False`` — every sample the march takes (empty-leaf
+    crossings included), preserving the march's round boundaries.
+    Replay is **bit-identical** to `volume_render`: the per-slot values
+    entering the radiometry are equal, and slots the march processes
+    but the replay skips are all-empty rounds whose updates are exact
+    no-ops (att == 1.0 exactly, out_c += 0.0).
+  * ``compact=True`` (default) — empty crossings are dropped. An empty
+    slot contributes att == exp(-dt*ds*0) == 1.0 EXACTLY, and removing
+    an exact 1.0 factor from the attenuation chain preserves every
+    product value; what changes is only how the remaining samples group
+    into rounds — the same float-regrouping license as changing
+    `RenderOptions.round_size` (outputs agree to ~1e-6, tested). The
+    sample POSITIONS never move (the t-chain was recorded), so this
+    stays inside the CLAUDE.md exact-path rules.
+
+Radiometry parity is structural: the replay round body calls the SAME
+`_phase2_radiometry` as the march (ops/render.py), so the two cannot
+drift. Trilinear interpolation (`opt.interp`) is not supported on tapes
+(interp re-derives 8 corner cells per sample from positions — a
+structure walk); record/replay assert it off.
+
+Reference bar: the reference has no equivalent (it re-marches in
+rt_kernel.cu:221-328 every call); the tape is how the same workload is
+made TPU-shaped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.spec import DATA_SENTINEL, FORMAT_RGBA, RenderOptions
+from .bake import BakedTree
+from .render import (QuantizedFeatures, _basis_window, _clip_to_occupied,
+                     _march_round, _phase2_radiometry, _pool_view,
+                     _ray_setup, _round_grad_rows, _round_sigma,
+                     _scatter_add_compact, _scatter_to_local,
+                     effective_skip_base, get_out_data_dim)
+from .sh import eval_basis
+
+
+class _NoSpec:
+    """Stand-in when no spec is supplied at replay: no per-voxel
+    transformation matrices, no SG/ASG extra data."""
+
+    transformation_matrices = None
+    extra_data = None
+
+
+_NOSPEC = _NoSpec()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RayTape:
+    """A recorded march: per-chunk (S, C) sample tables + per-ray ray
+    constants, rays sorted by sample count (length-homogeneous chunks).
+
+    Data fields (leaves):
+      idx:    (n_chunks, S, C) int32 — feature-row index per sample;
+              values >= n_features (incl. DATA_SENTINEL padding) are
+              empty space, exactly as in the march.
+      dt:     (n_chunks, S, C) f32 — per-sample step length (recorded
+              t-chain; never recomputed).
+      cell:   (n_chunks, S, C) int32 or None — flat TREE-CELL id per
+              sample (src_map-resolved for baked specs) for weight
+              accumulation.
+      counts: (n_chunks, C) int32 — valid samples per ray (replay loop
+              bound).
+      origins/dirs/vdirs: (n_chunks, C, 3) f32 — the permuted rays (for
+              basis evaluation and the backward fallback).
+      dscale: (n_chunks, C) f32 — per-ray delta_scale.
+      inv_pos:(n_rays,) int32 — position of original ray i in the
+              sorted+padded layout (output unsort gather).
+
+    Meta (static): n_rays, chunk size C, tape width S, compact flag,
+    n_features bound at record time, n_cells (weight-accum table size),
+    record round size.
+    """
+
+    idx: jax.Array
+    dt: jax.Array
+    cell: Optional[jax.Array]
+    counts: jax.Array
+    origins: jax.Array
+    dirs: jax.Array
+    vdirs: jax.Array
+    dscale: jax.Array
+    inv_pos: jax.Array
+    n_rays: int = dataclasses.field(metadata=dict(static=True))
+    C: int = dataclasses.field(metadata=dict(static=True))
+    S: int = dataclasses.field(metadata=dict(static=True))
+    compact: bool = dataclasses.field(metadata=dict(static=True))
+    n_features: int = dataclasses.field(metadata=dict(static=True))
+    n_cells: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_chunks(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def n_samples(self) -> int:
+        """Live samples recorded (host sum of counts)."""
+        return int(np.asarray(jnp.sum(self.counts)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("skip_base", "n_rows", "step_size", "max_steps",
+                     "box_advance"),
+)
+def _count_samples(spec, origins, dirs, skip_base, n_rows, step_size,
+                   max_steps, box_advance):
+    """Per-ray (occupied, total) sample counts — the tape-ordering walk.
+    Mirrors the march's phase-1 chain (same lookup, same cull/advance)."""
+    from .render import _lookup_leaf_xyz
+
+    o, d, invdir, dscale, tmin, tmax, hit = _ray_setup(spec, origins, dirs)
+    tmin, tmax, hit = _clip_to_occupied(
+        spec, o, invdir, tmin, tmax, hit, 0, box_advance
+    )
+    oxyz = (o[:, 0], o[:, 1], o[:, 2])
+    dxyz = (d[:, 0], d[:, 1], d[:, 2])
+    ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
+
+    def body(carry):
+        t, act, n_occ, n_tot = carry
+        didx, dt, _, _ = _lookup_leaf_xyz(
+            spec, oxyz, dxyz, ivxyz, t, step_size, skip_base
+        )
+        occ = jnp.logical_and(act, didx < n_rows)
+        n_occ = n_occ + occ.astype(jnp.int32)
+        n_tot = n_tot + act.astype(jnp.int32)
+        t = jnp.where(act, t + dt, t)
+        act = jnp.logical_and(act, t < tmax)
+        return t, act, n_occ, n_tot
+
+    t0 = jnp.where(hit, tmin, jnp.inf)
+    act0 = jnp.logical_and(hit, t0 < tmax)
+    z = jnp.zeros_like(t0, jnp.int32)
+    _, _, n_occ, n_tot = jax.lax.while_loop(
+        lambda c: jnp.logical_and(jnp.any(c[1]), jnp.max(c[3]) < max_steps),
+        body,
+        (t0, act0, z, z),
+    )
+    return n_occ, n_tot
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "S_rec", "S_out", "n_features", "record_cells",
+                     "compact"),
+)
+def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
+                   S_out: int, n_features: int, record_cells: bool,
+                   compact: bool):
+    """Record march: scan chunks, run the EXACT march chain
+    (`_march_round` — the same function the renderer marches with), and
+    write each round's (K, C) sample block into the chunk's (S_rec, C)
+    buffers; compaction (if requested) is a stable per-column sort that
+    brings occupied samples to the front in order."""
+    K = max(1, opt.round_size)
+    is_baked = isinstance(spec, BakedTree)
+
+    def chunk(_, xs):
+        origins_, dirs_ = xs
+        C = origins_.shape[0]
+        o, d, invdir, dscale, tmin, tmax, hit = _ray_setup(
+            spec, origins_, dirs_
+        )
+        tmin, tmax, hit = _clip_to_occupied(
+            spec, o, invdir, tmin, tmax, hit, opt.interp, opt.box_advance
+        )
+        oxyz = (o[:, 0], o[:, 1], o[:, 2])
+        dxyz = (d[:, 0], d[:, 1], d[:, 2])
+        ivxyz = (invdir[:, 0], invdir[:, 1], invdir[:, 2])
+
+        idx_b = jnp.full((S_rec, C), DATA_SENTINEL, jnp.int32)
+        dt_b = jnp.zeros((S_rec, C), origins_.dtype)
+        cell_b = jnp.zeros((S_rec, C), jnp.int32)
+
+        def cond(carry):
+            step0, t, active = carry[0], carry[1], carry[2]
+            return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
+
+        def body(carry):
+            step0, t, active, idx_b, dt_b, cell_b, n_valid = carry
+            idx, dt, valid, cell, _, _, t_end, act_end = _march_round(
+                spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
+                want_pos=False,
+            )
+            node = (
+                spec.src_map[cell.reshape(-1)].reshape(cell.shape)
+                if is_baked else cell
+            )
+            idx_b = jax.lax.dynamic_update_slice(
+                idx_b, jnp.where(valid, idx, DATA_SENTINEL), (step0, 0)
+            )
+            dt_b = jax.lax.dynamic_update_slice(dt_b, dt, (step0, 0))
+            if record_cells:
+                cell_b = jax.lax.dynamic_update_slice(
+                    cell_b, jnp.where(valid, node, 0), (step0, 0)
+                )
+            n_valid = n_valid + jnp.sum(valid, axis=0, dtype=jnp.int32)
+            return step0 + K, t_end, act_end, idx_b, dt_b, cell_b, n_valid
+
+        init = (
+            jnp.zeros((), jnp.int32), tmin, hit, idx_b, dt_b, cell_b,
+            jnp.zeros((C,), jnp.int32),
+        )
+        _, _, _, idx_b, dt_b, cell_b, n_valid = jax.lax.while_loop(
+            cond, body, init
+        )
+
+        if compact and n_features:
+            # compact: stable per-column sort brings occupied samples to
+            # the front in order; the tail (and dropped empties) stays
+            # DATA_SENTINEL. One-off record cost.
+            occ = idx_b < n_features
+            perm = jnp.argsort(
+                jnp.logical_not(occ), axis=0, stable=True
+            ).astype(jnp.int32)
+            idx_o = jnp.take_along_axis(
+                jnp.where(occ, idx_b, DATA_SENTINEL), perm, axis=0
+            )[:S_out]
+            dt_o = jnp.take_along_axis(dt_b, perm, axis=0)[:S_out]
+            cell_o = (
+                jnp.take_along_axis(cell_b, perm, axis=0)[:S_out]
+                if record_cells else cell_b[:S_out]
+            )
+            counts = jnp.sum(occ, axis=0, dtype=jnp.int32)
+        else:
+            idx_o, dt_o, cell_o = (
+                idx_b[:S_out], dt_b[:S_out], cell_b[:S_out]
+            )
+            # S_out == S_rec >= every n_valid on the true uncompacted
+            # path; the clamp only bites on the degenerate compact
+            # empty-pool route (all samples empty — harmless no-ops).
+            counts = jnp.minimum(n_valid, S_out)
+        if not record_cells:
+            cell_o = jnp.zeros((0, C), jnp.int32)
+        return 0, (idx_o, dt_o, cell_o, counts, dscale)
+
+    _, ys = jax.lax.scan(chunk, 0, (origins_c, dirs_c))
+    return ys
+
+
+def record_tape(spec, n_features: int, origins, dirs, vdirs,
+                opt: RenderOptions, *, compact: bool = True,
+                record_cells: bool = True,
+                chunk_size: int = 0) -> RayTape:
+    """Record a :class:`RayTape` for these rays against this structure.
+
+    The tape is valid while the tree STRUCTURE and the march-geometry
+    options (step_size, max_steps, box_advance, skip boxes, cull box)
+    are unchanged; feature VALUES are free to change between replays
+    (that is the point). `n_features` is the feature-pool row bound
+    (the occupied/empty split). `chunk_size` defaults to
+    ``opt.chunk_size``.
+
+    Cost: two march-speed dispatches (count walk + record walk) plus a
+    host argsort — the same amortization class as ``plan_rays``.
+    """
+    if opt.interp:
+        raise ValueError("tapes do not support opt.interp (corner cells "
+                         "would need a structure walk at replay)")
+    origins = jnp.asarray(origins)
+    dirs = jnp.asarray(dirs)
+    vdirs = jnp.asarray(vdirs)
+    B = origins.shape[0]
+    K = max(1, opt.round_size)
+    C = int(chunk_size) if chunk_size else int(opt.chunk_size)
+    C = max(1, min(C, B))
+
+    skip_base = effective_skip_base(spec, opt)
+    n_occ, n_tot = _count_samples(
+        spec, origins, dirs, skip_base, int(n_features),
+        float(opt.step_size), int(opt.max_steps), int(opt.box_advance),
+    )
+    n_occ = np.asarray(n_occ)
+    n_tot = np.asarray(n_tot)
+    counts_host = n_occ if compact else n_tot
+
+    order = np.argsort(counts_host, kind="stable").astype(np.int64)
+    Bp = ((B + C - 1) // C) * C
+    pad = Bp - B
+    # Padding rays duplicate the cheapest real ray; their counts are
+    # whatever that ray's count is — harmless (extra masked-out slots).
+    order_p = np.concatenate([order[:1].repeat(pad), order])
+    n_chunks = Bp // C
+
+    S_rec = int(max(K, int(-(-int(n_tot.max()) // K)) * K))
+    cap = int(counts_host.max())
+    S_out = int(max(K, -(-max(cap, 1) // K) * K))
+    if not compact:
+        S_out = S_rec
+
+    o_p = origins[jnp.asarray(order_p)]
+    d_p = dirs[jnp.asarray(order_p)]
+    v_p = vdirs[jnp.asarray(order_p)]
+    o_c = o_p.reshape(n_chunks, C, 3)
+    d_c = d_p.reshape(n_chunks, C, 3)
+
+    idx, dt, cell, counts, dscale = _record_chunks(
+        spec, o_c, d_c, opt, S_rec, S_out, int(n_features),
+        bool(record_cells), bool(compact),
+    )
+
+    # position of original ray i in the sorted+padded layout (pad
+    # duplicates occupy rows [0, pad) and are never addressed: every
+    # original ray appears exactly once in order_p[pad:])
+    inv = np.empty(B, np.int64)
+    inv[order_p[pad:]] = np.arange(pad, Bp)
+
+    is_baked = isinstance(spec, BakedTree)
+    n_cells = int(
+        spec.n_tree_cells if is_baked else spec.child_flat.shape[0]
+    )
+    return RayTape(
+        idx=idx, dt=dt, cell=(cell if record_cells else None),
+        counts=counts,
+        origins=o_c, dirs=d_c, vdirs=v_p.reshape(n_chunks, C, 3),
+        dscale=dscale, inv_pos=jnp.asarray(inv.astype(np.int32)),
+        n_rays=int(B), C=int(C), S=int(S_out), compact=bool(compact),
+        n_features=int(n_features), n_cells=n_cells,
+    )
+
+
+def _pad_tape_to_round(tape: RayTape, K: int):
+    """Pad the sample axis to a multiple of K so every dynamic slice is
+    in-bounds (a clamped out-of-bounds slice would re-read earlier
+    rows). One cheap pad per dispatch, usually compiled away."""
+    S = tape.S
+    Sp = max(K, -(-S // K) * K)
+    if Sp == S:
+        return tape.idx, tape.dt, tape.cell, Sp
+    padw = ((0, 0), (0, Sp - S), (0, 0))
+    idx = jnp.pad(tape.idx, padw, constant_values=int(DATA_SENTINEL))
+    dt = jnp.pad(tape.dt, padw)
+    cell = jnp.pad(tape.cell, padw) if tape.cell is not None else None
+    return idx, dt, cell, Sp
+
+
+def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
+                     spec=None, want_weight_accum: bool = False):
+    """Replay radiometry over a recorded tape. Returns ((Bp, n_color+1)
+    outputs in TAPE order, waccum or None). `spec` is only needed for
+    per-voxel transformation matrices / SG-ASG extra_data."""
+    if opt.interp:
+        raise ValueError("tapes do not support opt.interp")
+    if (opt.pool_axis is None
+            and not isinstance(features, QuantizedFeatures)
+            and features.shape[0] != tape.n_features):
+        raise ValueError(
+            f"feature pool has {features.shape[0]} rows but the tape was "
+            f"recorded against {tape.n_features} — the structure changed; "
+            "re-record the tape"
+        )
+    D = (
+        features.q.shape[1]
+        if isinstance(features, QuantizedFeatures) else features.shape[1]
+    )
+    n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
+    K = max(1, opt.round_size)
+    C = tape.C
+    spec_v = spec if spec is not None else _NOSPEC
+    features_t = _pool_view(features, opt, spec)
+    dtype = tape.dt.dtype
+    can_stop = opt.stop_thresh > 0.0
+    idx_t, dt_t, cell_t, Sp = _pad_tape_to_round(tape, K)
+    if want_weight_accum:
+        if tape.cell is None:
+            raise ValueError("tape recorded with record_cells=False")
+        waccum0 = jnp.zeros((tape.n_cells,), dtype)
+    else:
+        waccum0 = jnp.zeros((1,), dtype)
+    slot_k = jnp.arange(K, dtype=jnp.int32)
+
+    def chunk(waccum, xs):
+        tidx, tdt, tcell, counts, vd, ds = xs
+        if opt.format != FORMAT_RGBA:
+            window = jnp.asarray(_basis_window(opt))
+            base_basis = (
+                eval_basis(opt.format, opt.basis_dim, vd,
+                           spec_v.extra_data) * window
+            )
+        else:
+            window = None
+            base_basis = None
+        cap = jnp.max(counts)
+
+        def cond(carry):
+            s0, L, out_c, alpha, stopped, waccum = carry
+            more = s0 < cap
+            if can_stop:
+                more = jnp.logical_and(
+                    more,
+                    jnp.any(jnp.logical_and(
+                        jnp.logical_not(stopped), counts > s0)),
+                )
+            return more
+
+        def body(carry):
+            s0, L, out_c, alpha, stopped, waccum = carry
+            idx = jax.lax.dynamic_slice(tidx, (s0, 0), (K, C))
+            dt = jax.lax.dynamic_slice(tdt, (s0, 0), (K, C))
+            valid = (s0 + slot_k)[:, None] < counts[None]
+            if can_stop:
+                valid = jnp.logical_and(
+                    valid, jnp.logical_not(stopped)[None]
+                )
+            if want_weight_accum:
+                node_flat = jax.lax.dynamic_slice(
+                    tcell, (s0, 0), (K, C)
+                ).reshape(-1)
+            else:
+                node_flat = None
+            act_end = counts > (s0 + K)
+            L, out_c, alpha, _, stopped, waccum = _phase2_radiometry(
+                spec_v, features_t, opt, None, None, vd, base_basis,
+                window, ds, n_color, K, dtype, can_stop,
+                idx, dt, valid, None, None, node_flat,
+                L, out_c, alpha, act_end, stopped, waccum,
+                want_weight_accum=want_weight_accum,
+                n_cells=tape.n_cells,
+            )
+            return s0 + K, L, out_c, alpha, stopped, waccum
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.ones((C,), dtype),
+            jnp.zeros((C, n_color), dtype),
+            jnp.zeros((C,) if can_stop else (1,), dtype),
+            jnp.zeros((C,) if can_stop else (1,), bool),
+            waccum,
+        )
+        _, L, out_c, alpha, stopped, waccum = jax.lax.while_loop(
+            cond, body, init
+        )
+        # Finalize (identical to the march's: rays with no contributions
+        # have L == 1 and stopped == False, so the hit/miss branches of
+        # the march's finalize agree and no hit flag is needed).
+        bg = opt.background_brightness
+        if can_stop:
+            out = jnp.where(
+                stopped[:, None], out_c, out_c + (L * bg)[:, None]
+            )
+            alpha_f = jnp.where(stopped, alpha, 1.0 - L)
+        else:
+            out = out_c + (L * bg)[:, None]
+            alpha_f = 1.0 - L
+        return waccum, jnp.concatenate([out, alpha_f[:, None]], axis=-1)
+
+    xs = (idx_t, dt_t,
+          cell_t if want_weight_accum else jnp.zeros(
+              (tape.n_chunks, 1, C), jnp.int32),
+          tape.counts, tape.vdirs, tape.dscale)
+    waccum, outs = jax.lax.scan(chunk, waccum0, xs)
+    out_flat = outs.reshape(tape.n_chunks * C, n_color + 1)
+    return out_flat, (waccum if want_weight_accum else None)
+
+
+def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
+                     grad_out_sorted, out_sorted, spec=None):
+    """Gradient of the replay wrt the feature pool (dense (M, D)).
+
+    Exact mode (sigma_thresh == 0, stop_thresh <= 0): single-pass tape
+    replay — ray totals recovered from the saved outputs exactly as the
+    march backward does (`_volume_render_bwd_impl`), gradient rows
+    scattered with the shared tiered compact scatter. Thresholded modes
+    fall back to the march backward over the tape's stored rays (same
+    grads, structure re-march cost)."""
+    Mloc, D = features.shape
+    n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
+    K = max(1, opt.round_size)
+    C = tape.C
+    spec_v = spec if spec is not None else _NOSPEC
+    features_t = _pool_view(features, opt, spec)
+    M = features_t.M
+    dtype = tape.dt.dtype
+
+    single_pass = opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
+    if not single_pass:
+        from .render import _volume_render_bwd_impl
+
+        if spec is None:
+            raise ValueError(
+                "thresholded tape gradients need `spec` (march-backward "
+                "fallback)"
+            )
+        Bp = tape.n_chunks * C
+        return _volume_render_bwd_impl(
+            spec, features,
+            tape.origins.reshape(Bp, 3), tape.dirs.reshape(Bp, 3),
+            tape.vdirs.reshape(Bp, 3), grad_out_sorted, opt,
+            out_res=out_sorted,
+        )
+
+    idx_t, dt_t, _, Sp = _pad_tape_to_round(tape, K)
+    slot_k = jnp.arange(K, dtype=jnp.int32)
+
+    def _to_local(sidx):
+        return _scatter_to_local(sidx, features_t, Mloc, opt)
+
+    def chunk(grad, xs):
+        tidx, tdt, counts, vd, ds, g_out, out_res = xs
+        if opt.format != FORMAT_RGBA:
+            window = jnp.asarray(_basis_window(opt))
+            base_basis = (
+                eval_basis(opt.format, opt.basis_dim, vd,
+                           spec_v.extra_data) * window
+            )
+        else:
+            window = None
+            base_basis = None
+        g_color = g_out[:, :n_color]
+        g_alpha = g_out[:, n_color]
+        accum_total = jnp.sum(out_res[:, :n_color] * g_color, axis=-1)
+        L_ray = 1.0 - out_res[:, n_color]
+        cap = jnp.max(counts)
+
+        def cond(carry):
+            return carry[0] < cap
+
+        def body(carry):
+            s0, L, acc, grad = carry
+            idx = jax.lax.dynamic_slice(tidx, (s0, 0), (K, C))
+            dt = jax.lax.dynamic_slice(tdt, (s0, 0), (K, C))
+            valid = (s0 + slot_k)[:, None] < counts[None]
+            feat, sigma, _ = _round_sigma(
+                spec_v, features_t, opt, None, None, None, None, idx, dtype
+            )
+            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+            contrib = jnp.logical_and(valid, sigma > 0.0)
+            att = jnp.exp(-dt * ds[None] * sigma)
+            att_eff = jnp.where(contrib, att, 1.0)
+            cp = jnp.cumprod(att_eff, axis=0)
+            L_before = L[None] * jnp.concatenate(
+                [jnp.ones((1, C), dtype), cp[:-1]], axis=0
+            )
+            L_after = L[None] * cp
+            weight = L_before * (1.0 - att)
+            rows, total_color = _round_grad_rows(
+                opt, spec_v, vd, gi_flat, feat, base_basis, window,
+                weight, g_color, n_color, K,
+            )
+            wtc = jnp.where(contrib, weight * total_color, 0.0)
+            acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
+            dts = dt * ds[None]
+            g_sigma = dts * (total_color * L_after - acc_after) + (
+                dts * (g_alpha * L_ray)[None]
+            )
+            rows_full = jnp.concatenate(
+                [rows, g_sigma.reshape(-1)[:, None]], axis=-1
+            )
+            sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+            grad = _scatter_add_compact(
+                grad, _to_local(sidx), rows_full, Mloc
+            )
+            return s0 + K, L * cp[-1], acc_after[-1], grad
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.ones((C,), dtype),
+            accum_total,
+            grad,
+        )
+        *_, grad = jax.lax.while_loop(cond, body, init)
+        return grad, None
+
+    g0 = jnp.zeros((Mloc, D), dtype)
+    xs = (idx_t, dt_t, tape.counts, tape.vdirs, tape.dscale,
+          grad_out_sorted.reshape(tape.n_chunks, C, n_color + 1),
+          out_sorted.reshape(tape.n_chunks, C, n_color + 1))
+    grad, _ = jax.lax.scan(chunk, g0, xs)
+    return grad
+
+
+def replay_render(tape: RayTape, features, opt: RenderOptions, spec=None,
+                  *, unsort: bool = True):
+    """Render by replaying a recorded tape — differentiable wrt
+    ``features`` via the hand-written VJP (exact mode single-pass;
+    thresholded modes fall back to the march backward).
+
+    Returns (B, n_color+1) in the ORIGINAL ray order when ``unsort``
+    (one output gather), else (n_chunks*C, n_color+1) in tape order
+    (the first rows of the padded layout are duplicates — use
+    ``tape.inv_pos`` to map ray i to its row)."""
+    out_sorted = _replay_call(tape, features, opt, spec)
+    if unsort:
+        return out_sorted[tape.inv_pos]
+    return out_sorted
+
+
+def replay_render_weighted(tape: RayTape, features, opt: RenderOptions,
+                           spec=None, *, unsort: bool = True):
+    """Replay + weight accumulation (non-differentiable convenience,
+    mirroring `volume_render_weighted`). Returns (out, waccum)."""
+    out_sorted, waccum = _replay_fwd_impl(
+        tape, features, opt, spec, want_weight_accum=True
+    )
+    if unsort:
+        out_sorted = out_sorted[tape.inv_pos]
+    return out_sorted, waccum
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _replay_call(tape, features, opt, spec):
+    out, _ = _replay_fwd_impl(tape, features, opt, spec)
+    return out
+
+
+def _replay_call_fwd(tape, features, opt, spec):
+    out, _ = _replay_fwd_impl(tape, features, opt, spec)
+    return out, (tape, features, spec, out)
+
+
+def _replay_call_bwd(opt, res, g):
+    from .render import QuantizedFeatures, _zero_cotangent
+
+    tape, features, spec, out = res
+    if isinstance(features, QuantizedFeatures):
+        gf = _zero_cotangent(features)
+    else:
+        gf = _replay_bwd_impl(tape, features, opt, g, out, spec)
+    return (_zero_cotangent(tape), gf, _zero_cotangent(spec))
+
+
+_replay_call.defvjp(_replay_call_fwd, _replay_call_bwd)
