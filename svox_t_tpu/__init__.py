@@ -27,6 +27,7 @@ from .ops.p2v import voxelize
 from .ops.grid import grid_weight_render
 from .ops.sh import eval_sh, eval_sh_bases
 from .ops.render import QuantizedFeatures, quantize_features
+from .ops.tape import RayTape, record_tape, replay_render
 from .utils.builders import tree_from_occupancy, tree_structure_from_occupancy
 
 __all__ = [
@@ -53,6 +54,9 @@ __all__ = [
     "eval_sh_bases",
     "QuantizedFeatures",
     "quantize_features",
+    "RayTape",
+    "record_tape",
+    "replay_render",
     "make_tree_spec",
     "DATA_SENTINEL",
     "__version__",

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..ops import render as render_ops
 from ..ops import render_aux as aux_ops
+from ..ops import tape as tape_ops
 from ..utils.dataformat import DataFormat
 from ..utils.spec import NDCConfig, Rays, RenderOptions
 
@@ -132,6 +133,17 @@ def _persp_jit(spec, features, c2w, perm, inv, opt, width, height, fx, fy,
         out = out[inv]
     out = out.reshape(height, width, -1)
     return (out, waccum) if want_weights else out
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "unsort"))
+def _tape_jit(tape, spec, features, opt, unsort):
+    return tape_ops.replay_render(tape, features, opt, spec, unsort=unsort)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "unsort"))
+def _tape_weights_jit(tape, spec, features, opt, unsort):
+    return tape_ops.replay_render_weighted(tape, features, opt, spec,
+                                           unsort=unsort)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "has_tm"))
@@ -378,6 +390,11 @@ class VolumeRenderer:
         # Cost-ordered ray schedules (ops/schedule.py), keyed by
         # (camera, geometry, options); see plan_persp / plan_rays.
         self._plan_cache = {}
+        # Recorded sample tapes (ops/tape.py), keyed like plans but with
+        # geometry-only options; small FIFO — each tape holds device
+        # arrays (~10-50 MB at 800^2).
+        self._tape_cache = {}
+        self._tape_cache_max = 4
 
     # ------------------------------------------------------------------
 
@@ -551,6 +568,127 @@ class VolumeRenderer:
             spec, features, c2w, perm, inv, opt,
             int(width), int(height), float(fx), float(fy),
         )
+
+    # --- recorded sample tapes (ops/tape.py) --------------------------
+
+    def record_rays(self, rays: Rays, features=None, n_features=None,
+                    fast=False, compact=True, record_cells=True,
+                    chunk_size=0):
+        """Record a :class:`~svox_t_tpu.ops.tape.RayTape` for this ray
+        batch: the march's structure walk cached per (rays x tree
+        structure x geometry options). `render_tape` then replays only
+        the radiometry — measured 2.2x the march's exact forward and
+        3.7x its fwd+bwd on the headline scene (docs/PERFORMANCE.md).
+
+        Pass `features` (or `n_features`) to fix the feature-pool row
+        count — it defines the occupied/empty split the tape is
+        compacted against. Record cost is two march-speed dispatches +
+        a host argsort, amortized across every replay; the tape goes
+        stale (raise) when the structure changes."""
+        if n_features is None:
+            if features is None:
+                raise ValueError(
+                    "pass features or n_features (the feature-pool row "
+                    "count defines the occupied/empty split)"
+                )
+            f = _as_features(features)
+            n_features = (
+                f.q.shape[0]
+                if isinstance(f, render_ops.QuantizedFeatures)
+                else f.shape[0]
+            )
+        opt = self._get_options(fast)
+        C = int(chunk_size) or self._sched_options(opt).chunk_size
+        spec = self._render_spec()
+        return tape_ops.record_tape(
+            spec, int(n_features), jnp.asarray(rays.origins),
+            jnp.asarray(rays.dirs), jnp.asarray(rays.viewdirs), opt,
+            compact=compact, record_cells=record_cells, chunk_size=C,
+        )
+
+    def render_tape(self, tape, features, fast=False,
+                    transformation_matrices=None, unsort=True):
+        """Render by replaying a recorded tape; differentiable wrt
+        `features` (exact mode: single-pass tape backward; thresholded
+        modes fall back to the march backward). Output matches
+        `forward` on the recorded rays — bit-identically for
+        `compact=False` tapes, to ~1e-6 (float regrouping, the
+        round_size license) for compacted ones.
+
+        `unsort=False` returns outputs in tape order (n_chunks*C rows,
+        first rows padding) and skips the output gather — use for loss
+        reductions; map rows via `tape.inv_pos`."""
+        spec = self._render_spec(transformation_matrices)
+        opt = self._get_options(fast)
+        features = _as_features(features)
+        if self.tree._weight_accum is not None:
+            out, waccum = _tape_weights_jit(tape, spec, features, opt,
+                                            unsort)
+            self.tree._weight_accum = (
+                self.tree._weight_accum
+                + waccum.reshape(self.tree._weight_accum.shape)
+            )
+            return out
+        return _tape_jit(tape, spec, features, opt, unsort)
+
+    def record_persp(self, c2w, width=800, height=800, fx=1111.111,
+                     fy=None, fast=False, features=None, n_features=None,
+                     compact=True):
+        """Record (and cache) a tape for a perspective camera; the
+        tape's `inv_pos` is composed so replay outputs come back in
+        PIXEL order. Cached FIFO on (camera, size, tree version,
+        geometry) like the plan cache."""
+        if fy is None:
+            fy = fx
+        opt = self._get_options(fast)
+        spec = self._render_spec()
+        c2w_np = np.asarray(c2w, np.float32)
+        key = ("tape", c2w_np.tobytes(), int(width), int(height),
+               float(fx), float(fy), self.tree._ver,
+               getattr(self.tree, "_occ_ver", 0),
+               tape_ops._geom_key(spec, opt), bool(compact))
+        hit = self._tape_cache.get(key)
+        if hit is not None:
+            return hit
+        origins, dirs = render_ops.cam2world_rays(
+            jnp.asarray(c2w_np), int(width), int(height), float(fx),
+            float(fy),
+        )
+        vdirs = dirs
+        if opt.ndc_width >= 0:
+            dirs, origins = render_ops.world2ndc(opt, dirs, origins)
+        tperm, tinv = _tile_order(opt, width, height)
+        if tperm is not None:
+            origins, dirs, vdirs = origins[tperm], dirs[tperm], vdirs[tperm]
+        tape = self.record_rays(
+            Rays(origins, dirs, vdirs), features=features,
+            n_features=n_features, fast=fast, compact=compact,
+        )
+        if tinv is not None:
+            # compose: pixel i -> tile slot tinv[i] -> sorted row
+            import dataclasses as _dc
+
+            tape = _dc.replace(
+                tape, inv_pos=tape.inv_pos[jnp.asarray(tinv)]
+            )
+        while len(self._tape_cache) >= self._tape_cache_max:
+            self._tape_cache.pop(next(iter(self._tape_cache)))
+        self._tape_cache[key] = tape
+        return tape
+
+    def render_persp_tape(self, features, c2w, width=800, height=800,
+                          fx=1111.111, fy=None, fast=False, compact=True):
+        """`render_persp` through a cached recorded tape: first call per
+        (camera, structure, geometry) records; subsequent calls replay
+        only radiometry. Returns (height, width, n_color + 1)."""
+        if fy is None:
+            fy = fx
+        tape = self.record_persp(
+            c2w, width, height, fx, fy, fast=fast, features=features,
+            compact=compact,
+        )
+        out = self.render_tape(tape, features, fast=fast)
+        return out.reshape(int(height), int(width), -1)
 
     def render_frames(self, features_frames, rays: Rays,
                       transformation_matrices_frames=None, fast=False):

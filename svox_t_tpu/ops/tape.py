@@ -76,6 +76,35 @@ class _NoSpec:
 _NOSPEC = _NoSpec()
 
 
+def _geom_key(spec, opt: RenderOptions) -> tuple:
+    """The options that determine sample POSITIONS (the recorded
+    t-chain). Tapes are valid only under the exact geometry they were
+    recorded with; everything else (thresholds, background, basis
+    window) is replay-time radiometry."""
+    return (
+        float(opt.step_size), int(opt.max_steps), int(opt.box_advance),
+        int(effective_skip_base(spec, opt)), int(opt.interp),
+    )
+
+
+def _check_geom(tape, spec, opt: RenderOptions):
+    if not tape.geom:
+        return
+    if spec is not None:
+        key = _geom_key(spec, opt)
+    else:
+        # No spec at replay: the skip-base slot cannot be recomputed;
+        # check the opt-derived geometry only.
+        key = (float(opt.step_size), int(opt.max_steps),
+               int(opt.box_advance), tape.geom[3], int(opt.interp))
+    if key != tape.geom:
+        raise ValueError(
+            f"tape was recorded under geometry {tape.geom} but replay "
+            f"options give {key} — sample positions would not match; "
+            "re-record the tape"
+        )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RayTape:
@@ -119,6 +148,11 @@ class RayTape:
     compact: bool = dataclasses.field(metadata=dict(static=True))
     n_features: int = dataclasses.field(metadata=dict(static=True))
     n_cells: int = dataclasses.field(metadata=dict(static=True))
+    # March-geometry key the tape was recorded under (sample POSITIONS
+    # depend on these; radiometry options are free to vary per replay).
+    geom: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
     @property
     def n_chunks(self) -> int:
@@ -271,6 +305,18 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
     return ys
 
 
+def _size_bucket(n: int, lo: int = 8) -> int:
+    """Round a tape width up to a coarse ladder (~1.5x steps, multiples
+    of 8). S is a STATIC shape of the record/replay executables; exact
+    per-camera widths would recompile on every new camera, the ladder
+    makes executables reusable at <=50% extra (idle) tape rows — the
+    replay loop still exits at the true per-chunk cap."""
+    v = lo
+    while v < n:
+        v = ((v * 3 // 2) + 7) & ~7
+    return v
+
+
 def record_tape(spec, n_features: int, origins, dirs, vdirs,
                 opt: RenderOptions, *, compact: bool = True,
                 record_cells: bool = True,
@@ -315,9 +361,9 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     order_p = np.concatenate([order[:1].repeat(pad), order])
     n_chunks = Bp // C
 
-    S_rec = int(max(K, int(-(-int(n_tot.max()) // K)) * K))
+    S_rec = int(-(-_size_bucket(max(int(n_tot.max()), K)) // K) * K)
     cap = int(counts_host.max())
-    S_out = int(max(K, -(-max(cap, 1) // K) * K))
+    S_out = int(max(K, _size_bucket(max(cap, 1))))
     if not compact:
         S_out = S_rec
 
@@ -349,6 +395,7 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         dscale=dscale, inv_pos=jnp.asarray(inv.astype(np.int32)),
         n_rays=int(B), C=int(C), S=int(S_out), compact=bool(compact),
         n_features=int(n_features), n_cells=n_cells,
+        geom=_geom_key(spec, opt),
     )
 
 
@@ -374,6 +421,7 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
     per-voxel transformation matrices / SG-ASG extra_data."""
     if opt.interp:
         raise ValueError("tapes do not support opt.interp")
+    _check_geom(tape, spec, opt)
     if (opt.pool_axis is None
             and not isinstance(features, QuantizedFeatures)
             and features.shape[0] != tape.n_features):
@@ -498,7 +546,14 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     grads, structure re-march cost)."""
     Mloc, D = features.shape
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
-    K = max(1, opt.round_size)
+    # The replay backward honors bwd_round_size like the march backward
+    # does (apply_bwd_sizing) — but with the OPPOSITE default sweet spot:
+    # with no structure tables to keep VMEM-pinned, a bigger backward
+    # round amortizes the per-round scatter fixed costs (measured on the
+    # headline scene: K=4 119 ms -> K=8 52.6 ms fwd+bwd sustained,
+    # benchmarks/probe_tape_kc.py). Round grouping is semantics-free
+    # (grads shift by regrouping ulps only). Default 8 when unset.
+    K = max(1, opt.bwd_round_size or 8)
     C = tape.C
     spec_v = spec if spec is not None else _NOSPEC
     features_t = _pool_view(features, opt, spec)
@@ -620,11 +675,11 @@ def replay_render(tape: RayTape, features, opt: RenderOptions, spec=None,
 
 def replay_render_weighted(tape: RayTape, features, opt: RenderOptions,
                            spec=None, *, unsort: bool = True):
-    """Replay + weight accumulation (non-differentiable convenience,
-    mirroring `volume_render_weighted`). Returns (out, waccum)."""
-    out_sorted, waccum = _replay_fwd_impl(
-        tape, features, opt, spec, want_weight_accum=True
-    )
+    """Replay + weight accumulation (mirrors
+    `volume_render_with_weight_accum`: differentiable wrt ``features``
+    through the color output; the weight output carries no gradient).
+    Returns (out, waccum)."""
+    out_sorted, waccum = _replay_call_w(tape, features, opt, spec)
     if unsort:
         out_sorted = out_sorted[tape.inv_pos]
     return out_sorted, waccum
@@ -653,3 +708,31 @@ def _replay_call_bwd(opt, res, g):
 
 
 _replay_call.defvjp(_replay_call_fwd, _replay_call_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _replay_call_w(tape, features, opt, spec):
+    return _replay_fwd_impl(tape, features, opt, spec,
+                            want_weight_accum=True)
+
+
+def _replay_call_w_fwd(tape, features, opt, spec):
+    out, waccum = _replay_fwd_impl(tape, features, opt, spec,
+                                   want_weight_accum=True)
+    return (out, waccum), (tape, features, spec, out)
+
+
+def _replay_call_w_bwd(opt, res, g):
+    from .render import QuantizedFeatures, _zero_cotangent
+
+    tape, features, spec, out = res
+    g_out, _ = g  # the weight output carries no gradient (reference
+    # parity: weights accumulate in the forward kernel only)
+    if isinstance(features, QuantizedFeatures):
+        gf = _zero_cotangent(features)
+    else:
+        gf = _replay_bwd_impl(tape, features, opt, g_out, out, spec)
+    return (_zero_cotangent(tape), gf, _zero_cotangent(spec))
+
+
+_replay_call_w.defvjp(_replay_call_w_fwd, _replay_call_w_bwd)

@@ -1,0 +1,302 @@
+"""Recorded sample tapes (ops/tape.py): replay parity with the march.
+
+Contract under test (module docstring of ops/tape.py):
+  * compact=False tapes replay BIT-identically to `volume_render`
+    (round boundaries preserved; skipped rounds are exact no-ops).
+  * compact=True tapes drop empty crossings — exact 1.0 attenuation
+    factors — so outputs agree up to cumprod regrouping (~1e-6, the
+    same license as RenderOptions.round_size).
+  * gradients through the tape VJP match the march VJP.
+  * geometry/structure staleness is detected, not silently wrong.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svox_t_tpu as st
+from svox_t_tpu.ops import tape as tape_ops
+from svox_t_tpu.ops.render import (volume_render,
+                                   volume_render_with_weight_accum)
+
+from helpers import build_tree, make_rays
+
+
+def _shell_occupy(c):
+    r = np.linalg.norm(c - 0.5, axis=-1)
+    return (r > 0.22) & (r < 0.42)
+
+
+def _scene(rng, N=2, data_format="SH9", data_dim=28, partial=True,
+           **kw):
+    t, feats, _ = build_tree(
+        rng, N=N, data_dim=data_dim, depth_limit=5, n_random_refines=2,
+        data_format=data_format,
+        occupy=_shell_occupy if partial else None, **kw,
+    )
+    return t, feats
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_uncompacted_replay_bit_exact(rng, fast):
+    """compact=False replay == the march, BITWISE, on a partially
+    occupied scene (both exact and fast geometry)."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 257)  # non-multiple of chunk: exercises padding
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(fast), chunk_size=64)
+    spec = t._baked_spec()
+    ref = np.asarray(volume_render(spec, feats, rays.origins, rays.dirs,
+                                   rays.viewdirs, opt))
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=False)
+    out = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_compact_replay_close_and_smaller(rng, fast):
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 256)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(fast), chunk_size=64)
+    spec = t._baked_spec()
+    ref = np.asarray(volume_render(spec, feats, rays.origins, rays.dirs,
+                                   rays.viewdirs, opt))
+    tp_u = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                                rays.dirs, rays.viewdirs, opt,
+                                compact=False)
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=True)
+    assert tp.n_samples < tp_u.n_samples  # empties actually dropped
+    out = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_tree_backend_tape_matches_baked(rng):
+    """Tapes recorded from the TREE-walk spec equal those from the baked
+    spec (same samples, same replay output bitwise)."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 128)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=64)
+    tp_b = tape_ops.record_tape(t._baked_spec(), feats.shape[0],
+                                rays.origins, rays.dirs, rays.viewdirs,
+                                opt, compact=False)
+    tp_t = tape_ops.record_tape(t._spec(), feats.shape[0], rays.origins,
+                                rays.dirs, rays.viewdirs, opt,
+                                compact=False)
+    out_b = np.asarray(tape_ops.replay_render(tp_b, feats, opt))
+    out_t = np.asarray(tape_ops.replay_render(tp_t, feats, opt))
+    np.testing.assert_array_equal(out_b, out_t)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_tape_gradients_match_march(rng, fast):
+    """Tape VJP (single-pass exact; march-backward fallback for
+    thresholded) == march VJP."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 192)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(fast), chunk_size=64)
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=True)
+
+    def loss_m(f):
+        return jnp.sum(volume_render(spec, f, rays.origins, rays.dirs,
+                                     rays.viewdirs, opt) ** 2)
+
+    def loss_t(f):
+        return jnp.sum(tape_ops.replay_render(tp, f, opt, spec) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_m)(feats))
+    g2 = np.asarray(jax.grad(loss_t)(feats))
+    scale = max(np.abs(g1).max(), 1e-9)
+    np.testing.assert_allclose(g2 / scale, g1 / scale, atol=3e-6)
+
+
+def test_tape_grad_unsorted_order(rng):
+    """Gradients with unsort=False (tape-order loss over real rows) match
+    the unsorted path when padding rows get zero cotangent."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 100)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=64)
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=True)
+
+    def loss_sorted(f):
+        out = tape_ops.replay_render(tp, f, opt, spec, unsort=False)
+        return jnp.sum(out[tp.inv_pos] ** 2)
+
+    def loss(f):
+        return jnp.sum(tape_ops.replay_render(tp, f, opt, spec) ** 2)
+
+    g1 = np.asarray(jax.grad(loss)(feats))
+    g2 = np.asarray(jax.grad(loss_sorted)(feats))
+    np.testing.assert_array_equal(g1, g2)
+
+
+def test_weight_accum_parity(rng):
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 128)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=64)
+    spec = t._baked_spec()
+    _, wa_ref = volume_render_with_weight_accum(
+        spec, feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=False)
+    _, wa = tape_ops.replay_render_weighted(tp, feats, opt, spec)
+    np.testing.assert_allclose(np.asarray(wa), np.asarray(wa_ref),
+                               atol=1e-5)
+
+
+def test_nonpow2_and_rgba(rng):
+    """N=3 + RGBA tape replay, bit-exact uncompacted."""
+    t, feats = _scene(rng, N=3, data_format="RGBA", data_dim=4)
+    rays = make_rays(rng, 96)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=32)
+    spec = t._baked_spec()
+    ref = np.asarray(volume_render(spec, feats, rays.origins, rays.dirs,
+                                   rays.viewdirs, opt))
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=False)
+    out = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_transformation_matrices(rng):
+    """Per-voxel basis rotation path through the tape (gi_flat comes
+    from the tape's idx)."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 64)
+    M = feats.shape[0]
+    tm = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
+    ang = rng.rand(M).astype(np.float32) * 0.5
+    tm[:, 0, 0] = np.cos(ang); tm[:, 0, 1] = -np.sin(ang)
+    tm[:, 1, 0] = np.sin(ang); tm[:, 1, 1] = np.cos(ang)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=32)
+    spec = t._baked_spec(transformation_matrices=jnp.asarray(tm))
+    ref = np.asarray(volume_render(spec, feats, rays.origins, rays.dirs,
+                                   rays.viewdirs, opt))
+    tp = tape_ops.record_tape(spec, M, rays.origins, rays.dirs,
+                              rays.viewdirs, opt, compact=False)
+    out = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_empty_pool_and_miss_rays(rng):
+    t, feats = _scene(rng)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=32)
+    spec = t._baked_spec()
+    # rays pointing away from the volume
+    o = np.full((40, 3), 5.0, np.float32)
+    d = np.tile(np.asarray([1.0, 0, 0], np.float32), (40, 1))
+    tp = tape_ops.record_tape(spec, feats.shape[0], o, d, d, opt)
+    out = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    np.testing.assert_allclose(out[:, :-1], 1.0)
+    np.testing.assert_allclose(out[:, -1], 0.0)
+    # empty feature pool
+    tp0 = tape_ops.record_tape(spec, 0, o, d, d, opt)
+    out0 = np.asarray(
+        tape_ops.replay_render(tp0, jnp.zeros((0, 28), jnp.float32), opt,
+                               spec)
+    )
+    np.testing.assert_allclose(out0[:, -1], 0.0)
+
+
+def test_stale_tape_guards(rng):
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 32)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=32)
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt)
+    # wrong pool size (structure changed)
+    with pytest.raises(ValueError, match="re-record"):
+        tape_ops.replay_render(tp, jnp.zeros((feats.shape[0] + 3, 28)),
+                               opt, spec)
+    # wrong geometry (step size)
+    with pytest.raises(ValueError, match="geometry"):
+        tape_ops.replay_render(
+            tp, feats, dataclasses.replace(opt, step_size=2e-3), spec)
+
+
+def test_max_steps_cap(rng):
+    """Tapes honor the march's exact step cap (incl. ragged caps)."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 64)
+    r = st.VolumeRenderer(t)
+    spec = t._baked_spec()
+    for ms in (7, 12):
+        opt = dataclasses.replace(r._get_options(False), chunk_size=32,
+                                  max_steps=ms)
+        ref = np.asarray(volume_render(spec, feats, rays.origins,
+                                       rays.dirs, rays.viewdirs, opt))
+        tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                                  rays.dirs, rays.viewdirs, opt,
+                                  compact=False)
+        out = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_renderer_tape_api(rng):
+    """VolumeRenderer.record_rays / render_tape / render_persp_tape."""
+    t, feats = _scene(rng)
+    r = st.VolumeRenderer(t, chunk_size=64)
+    rays = make_rays(rng, 128)
+    ref = np.asarray(r(feats, rays))
+    tp = r.record_rays(rays, features=feats, compact=False)
+    out = np.asarray(r.render_tape(tp, feats))
+    np.testing.assert_array_equal(out, ref)
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -1.6
+    img_ref = np.asarray(r.render_persp(feats, c2w, 24, 20, 24.0))
+    img = np.asarray(r.render_persp_tape(feats, c2w, 24, 20, 24.0,
+                                         compact=False))
+    assert img.shape == img_ref.shape
+    np.testing.assert_array_equal(img, img_ref)
+    # cached on second call
+    n_cached = len(r._tape_cache)
+    _ = r.render_persp_tape(feats, c2w, 24, 20, 24.0, compact=False)
+    assert len(r._tape_cache) == n_cached
+    # structure change invalidates via the key (tree._ver)
+    t.refine(sel=tuple(t._all_leaves()[:1].T))
+    centers = t[:].corners_local + 0.5 * t[:].lengths_local[:, None]
+    centers = np.asarray(
+        jax.device_get(t.tree2world(jnp.asarray(centers))))
+    centers = centers[_shell_occupy(centers)]
+    t.construct_tree(centers)
+    f2 = jnp.asarray(
+        np.random.RandomState(0).randn(centers.shape[0], 28)
+        .astype(np.float32))
+    img2 = np.asarray(r.render_persp_tape(f2, c2w, 24, 20, 24.0,
+                                          compact=False))
+    img2_ref = np.asarray(r.render_persp(f2, c2w, 24, 20, 24.0))
+    np.testing.assert_array_equal(img2, img2_ref)
+
+
+def test_quantized_pool_replay(rng):
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 64)
+    r = st.VolumeRenderer(t, chunk_size=64)
+    qf = st.quantize_features(feats)
+    ref = np.asarray(r(qf, rays))
+    tp = r.record_rays(rays, n_features=feats.shape[0], compact=False)
+    out = np.asarray(r.render_tape(tp, qf))
+    np.testing.assert_array_equal(out, ref)
