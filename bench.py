@@ -310,6 +310,42 @@ def main():
     deep_int8_s = min(times) / N_SUSTAIN
     deep_int8_mrays = n_rays / deep_int8_s / 1e6
 
+    # Deep-scene tape replay: depth-9's march is ~60% structure gathers
+    # from HBM (brick atlas + unpinnable top) — the tape removes them
+    # entirely, leaving the pool gather + radiometry (measured 5.2x).
+    dtape = tape_ops.record_tape(dbaked, dfeats.shape[0], origins, dirs,
+                                 dirs, opt_deep)
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def tape_sustained_q(tp, f, opt_):
+        def one(i, acc):
+            ff = (
+                f._replace(scale=f.scale * (1.0 + 1e-7 * i))
+                if isinstance(f, tuple) else f * (1.0 + 1e-7 * i)
+            )
+            out = tape_ops.replay_render(tp, ff, opt_, unsort=False)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
+
+    def bench_tape_replay(tp, f, opt_, n_iter=3):
+        _ = float(tape_sustained_q(tp, f, opt_))
+        times = []
+        for i in range(n_iter):
+            f_i = (
+                f._replace(scale=f.scale * (1.0 + 1e-7 * (i + 1)))
+                if isinstance(f, tuple) else f * (1.0 + 1e-7 * (i + 1))
+            )
+            _ = float(jnp.sum(f_i.scale if isinstance(f_i, tuple) else f_i))
+            t0 = time.time()
+            _ = float(tape_sustained_q(tp, f_i, opt_))
+            times.append(time.time() - t0)
+        return min(times) / N_SUSTAIN
+
+    deep_tape_s = bench_tape_replay(dtape, dfeats, opt_deep)
+    deep_tape_mrays = n_rays / deep_tape_s / 1e6
+    deep_tape_int8_s = bench_tape_replay(dtape, qf, opt_deep)
+    deep_tape_int8_mrays = n_rays / deep_tape_int8_s / 1e6
+
     # Dynamic serving metric: the fused temporal pipeline
     # (render_dynamic_frames — per frame: LBS warp, construct_tree
     # re-point, bake refresh, 800x800 render — in ONE scanned dispatch).
@@ -412,6 +448,9 @@ def main():
                 "deep9_int8_mrays_s": round(deep_int8_mrays, 3),
                 "deep9_int8_ms": round(deep_int8_s * 1e3, 1),
                 "deep9_int8_max_err": round(deep_int8_err, 5),
+                "deep9_tape_mrays_s": round(deep_tape_mrays, 3),
+                "deep9_tape_ms": round(deep_tape_s * 1e3, 1),
+                "deep9_tape_int8_mrays_s": round(deep_tape_int8_mrays, 3),
                 "ray_schedule": "cost",
                 "plan_exact_ms": round(plan_exact_s * 1e3, 1),
                 "plan_fast_ms": round(plan_fast_s * 1e3, 1),

@@ -38,10 +38,18 @@ def replay_once(tp, feats, opt, unsort):
     return tape_ops.replay_render(tp, feats, opt, unsort=unsort)
 
 
+def _perturb(feats, i):
+    # Quantized pools perturb the dequant scale (loop-variant body —
+    # the XLA hoisting trap, docs/PERFORMANCE.md).
+    if isinstance(feats, tuple):
+        return feats._replace(scale=feats.scale * (1.0 + 1e-7 * i))
+    return feats * (1.0 + 1e-7 * i)
+
+
 @functools.partial(jax.jit, static_argnames=("opt", "unsort"))
 def replay_sustained(tp, feats, opt, unsort):
     def one(i, acc):
-        out = tape_ops.replay_render(tp, feats * (1.0 + 1e-7 * i), opt,
+        out = tape_ops.replay_render(tp, _perturb(feats, i), opt,
                                      unsort=unsort)
         return acc + jnp.sum(out)
     return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
@@ -60,8 +68,8 @@ def replay_fwdbwd_sustained(tp, feats, opt):
 def bench_sustained(fn, tp, feats, opt, n_iter=4, **kw):
     times = []
     for i in range(n_iter):
-        f_i = feats * (1.0 + 1e-7 * (i + 1))
-        _ = float(jnp.sum(f_i))
+        f_i = _perturb(feats, i + 1)
+        _ = float(jnp.sum(f_i.scale if isinstance(f_i, tuple) else f_i))
         t0 = time.time()
         _ = float(fn(tp, f_i, opt, **kw))
         times.append(time.time() - t0)
