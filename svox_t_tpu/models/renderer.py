@@ -146,6 +146,32 @@ def _tape_weights_jit(tape, spec, features, opt, unsort):
                                            unsort=unsort)
 
 
+@functools.partial(jax.jit, static_argnames=("opt", "has_tm", "unsort"))
+def _tape_frames_jit(tape, spec, features_frames, tmats_frames, opt,
+                     has_tm, unsort):
+    """T feature-stack frames replayed over ONE recorded tape in ONE
+    dispatch (scan over frames; the replay body compiles once). The
+    steady-state serving loop for fixed-camera animated-feature streams
+    — all structure work was paid at record time."""
+    import dataclasses as _dc
+
+    def body(carry, xs):
+        if has_tm:
+            f, tm = xs
+            sp = _dc.replace(spec, transformation_matrices=tm)
+        else:
+            (f,) = xs
+            sp = spec
+        out = tape_ops.replay_render(tape, f, opt, sp, unsort=unsort)
+        return carry, out
+
+    xs = (
+        (features_frames, tmats_frames) if has_tm else (features_frames,)
+    )
+    _, outs = jax.lax.scan(body, 0, xs)
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("opt", "has_tm"))
 def _frames_jit(spec, features_frames, tmats_frames, origins, dirs, vdirs,
                 opt, has_tm):
@@ -675,6 +701,29 @@ class VolumeRenderer:
             self._tape_cache.pop(next(iter(self._tape_cache)))
         self._tape_cache[key] = tape
         return tape
+
+    def render_tape_frames(self, tape, features_frames,
+                           transformation_matrices_frames=None, fast=False,
+                           unsort=True):
+        """T animation frames over one recorded tape in ONE dispatch
+        (`render_frames`' tape counterpart): scan over the (T, M, D)
+        feature stack, replaying only radiometry per frame.
+        Differentiable wrt the stack. Returns (T, B, n_color + 1) (or
+        tape order with `unsort=False`)."""
+        spec = self._render_spec()
+        opt = self._get_options(fast)
+        assert self.tree._weight_accum is None, (
+            "weight accumulation is per-render; use render_tape() inside "
+            "the accumulator context"
+        )
+        features_frames = jnp.asarray(features_frames)
+        has_tm = transformation_matrices_frames is not None
+        tm = (
+            jnp.asarray(transformation_matrices_frames, jnp.float32)
+            if has_tm else None
+        )
+        return _tape_frames_jit(tape, spec, features_frames, tm, opt,
+                                has_tm, unsort)
 
     def render_persp_tape(self, features, c2w, width=800, height=800,
                           fx=1111.111, fy=None, fast=False, compact=True):

@@ -160,6 +160,115 @@ def make_train_step(
 
 
 # ---------------------------------------------------------------------------
+# Recorded-tape replay over a ray mesh
+# ---------------------------------------------------------------------------
+#
+# A RayTape's per-chunk tables are (n_chunks, S, C): sharding the C
+# (rays-within-chunk) axis gives tape replay the same data parallelism
+# as render_sharded — each device replays its C/n rows of every chunk
+# against the replicated feature pool, and the tape-VJP's gradient
+# scatter-adds into the replicated pool become per-chip partials + one
+# GSPMD psum, exactly like the march path. Chunk counts are
+# length-homogeneous by construction, so shards stay load-balanced.
+
+
+def _tape_shardings(mesh: Mesh, tape, axis_name: str = "rays"):
+    """Per-leaf NamedShardings for a RayTape: shard the rays-within-
+    chunk axis, replicate everything else (dispatch on leaf shape)."""
+    C = tape.C
+    repl = NamedSharding(mesh, P())
+
+    def sh(x):
+        shape = jnp.shape(x)
+        if len(shape) == 3 and shape[2] == C:      # (n_chunks, S, C)
+            return NamedSharding(mesh, P(None, None, axis_name))
+        if len(shape) == 3 and shape[1] == C:      # (n_chunks, C, 3)
+            return NamedSharding(mesh, P(None, axis_name, None))
+        if len(shape) == 2 and shape[1] == C:      # (n_chunks, C)
+            return NamedSharding(mesh, P(None, axis_name))
+        return repl                                 # inv_pos etc.
+
+    return jax.tree_util.tree_map(sh, tape)
+
+
+def shard_tape(mesh: Mesh, tape, axis_name: str = "rays"):
+    """Place a RayTape on the mesh with rays-within-chunk sharded
+    (requires tape.C % mesh ray-axis size == 0)."""
+    assert tape.C % mesh.shape[axis_name] == 0, (
+        f"tape chunk size {tape.C} not divisible by mesh axis "
+        f"{mesh.shape[axis_name]}"
+    )
+    return jax.device_put(tape, _tape_shardings(mesh, tape, axis_name))
+
+
+def replay_sharded(mesh: Mesh, tape, features, opt: RenderOptions,
+                   spec=None, axis_name: str = "rays"):
+    """Tape replay with the tape ray-sharded / pool replicated (the
+    render_sharded counterpart). Output rows come back in ORIGINAL ray
+    order (the unsort gather is a GSPMD all-to-all)."""
+    from ..ops import tape as tape_ops
+
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def _replay(tape_, features_, spec_, opt_):
+        return tape_ops.replay_render(tape_, features_, opt_, spec_)
+
+    tape = jax.device_put(tape, _tape_shardings(mesh, tape, axis_name))
+    features = jax.device_put(jnp.asarray(features), repl)
+    return _replay(tape, features, spec, opt)
+
+
+def make_tape_train_step(
+    mesh: Mesh,
+    opt: RenderOptions,
+    optimizer=None,
+    loss_fn: Optional[Callable] = None,
+    axis_name: str = "rays",
+):
+    """Distributed fixed-ray training step over a recorded tape (the
+    make_train_step counterpart; 3.7x the march step on one chip —
+    docs/PERFORMANCE.md "Recorded sample tapes"). Targets are given in
+    TAPE order ((n_chunks*C, out_dim) — map with tape.inv_pos) so the
+    hot loop needs no unsort gather.
+
+    :return: step(params_state, tape, spec, target) -> (state, loss)
+    """
+    import optax
+
+    from ..ops import tape as tape_ops
+
+    if optimizer is None:
+        optimizer = optax.sgd(1e-2)
+    if loss_fn is None:
+        loss_fn = lambda pred, tgt: 0.5 * jnp.mean((pred - tgt) ** 2)
+
+    repl = NamedSharding(mesh, P())
+
+    def init(features):
+        features = jax.device_put(jnp.asarray(features), repl)
+        return features, optimizer.init(features)
+
+    @functools.partial(jax.jit, static_argnames=("opt_static",))
+    def step(params_state, tape, spec, target, opt_static=opt):
+        features, opt_state = params_state
+
+        def loss_of(f):
+            pred = tape_ops.replay_render(
+                tape, f, opt_static, spec, unsort=False
+            )
+            return loss_fn(pred, target)
+
+        loss, grads = jax.value_and_grad(loss_of)(features)
+        updates, opt_state = optimizer.update(grads, opt_state, features)
+        features = optax.apply_updates(features, updates)
+        return (features, opt_state), loss
+
+    step.init = init
+    return step
+
+
+# ---------------------------------------------------------------------------
 # Model-parallel feature pool (pool sharding)
 # ---------------------------------------------------------------------------
 #

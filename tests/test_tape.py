@@ -291,6 +291,71 @@ def test_renderer_tape_api(rng):
     np.testing.assert_array_equal(img2, img2_ref)
 
 
+def test_render_tape_frames(rng):
+    """T-frame stack over one tape == per-frame replay == render_frames
+    (bitwise with an uncompacted tape), incl. per-frame tmats and grads."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 96)
+    r = st.VolumeRenderer(t, chunk_size=32)
+    T, M = 3, feats.shape[0]
+    stack = jnp.stack([feats * (1.0 + 0.1 * i) for i in range(T)])
+    tm = np.tile(np.eye(4, dtype=np.float32), (T, M, 1, 1))
+    tm[1, :, 0, 0] = np.cos(0.3); tm[1, :, 0, 1] = -np.sin(0.3)
+    tm[1, :, 1, 0] = np.sin(0.3); tm[1, :, 1, 1] = np.cos(0.3)
+    ref = np.asarray(r.render_frames(stack, rays,
+                                     transformation_matrices_frames=tm))
+    tp = r.record_rays(rays, features=feats, compact=False)
+    out = np.asarray(r.render_tape_frames(tp, stack,
+                                          transformation_matrices_frames=tm))
+    np.testing.assert_array_equal(out, ref)
+
+    g1 = np.asarray(jax.grad(
+        lambda s: jnp.sum(r.render_frames(s, rays) ** 2))(stack))
+    g2 = np.asarray(jax.grad(
+        lambda s: jnp.sum(r.render_tape_frames(tp, s) ** 2))(stack))
+    scale = max(np.abs(g1).max(), 1e-9)
+    np.testing.assert_allclose(g2 / scale, g1 / scale, atol=3e-6)
+
+
+def test_sharded_tape_replay_matches_single(rng):
+    """Tape replay with rays-within-chunk sharded over the 8-device mesh
+    == single-device replay exactly; the tape train step decreases loss
+    and its grads match single-device tape grads."""
+    from svox_t_tpu.parallel import (make_ray_mesh, make_tape_train_step,
+                                     replay_sharded, shard_tape)
+
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 256)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=64)
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt, compact=True)
+    single = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+
+    mesh = make_ray_mesh()
+    assert mesh.shape["rays"] == 8
+    out = np.asarray(replay_sharded(mesh, tp, feats, opt, spec))
+    np.testing.assert_array_equal(out, single)
+
+    import optax
+
+    tps = shard_tape(mesh, tp)
+    target = jnp.zeros((tp.n_chunks * tp.C, single.shape[1]))
+    # sgd(1.0): the post-step pool difference IS the gradient (an lr
+    # below 1 would amplify the f32 subtraction noise when recovering it)
+    step = make_tape_train_step(mesh, opt, optimizer=optax.sgd(1.0))
+    state = step.init(feats)
+    g_single = np.asarray(jax.grad(
+        lambda f: 0.5 * jnp.mean(
+            (tape_ops.replay_render(tp, f, opt, spec, unsort=False)
+             - target) ** 2))(feats))
+    state2, loss1 = step(state, tps, spec, target)
+    (f2, _), loss1 = state2, float(loss1)
+    g_sharded = np.asarray(feats) - np.asarray(f2)
+    np.testing.assert_allclose(g_sharded, g_single, atol=1e-6)
+
+
 def test_quantized_pool_replay(rng):
     t, feats = _scene(rng)
     rays = make_rays(rng, 64)
