@@ -91,10 +91,32 @@ def config_2():
         r.render_persp(feats * (1 + 1e-7 * i), c2w, width=800, height=800,
                        fx=880.0)
     ))
+    # Recorded-tape serving (fixed-camera steady state): the first call
+    # records the tape (cached per camera x structure), later calls
+    # replay only radiometry (docs/PERFORMANCE.md "Recorded sample
+    # tapes"). Single-call timings still carry the ~25-30 ms relay RTT.
+    # tape_max_dev below is NOT tape error: it is the ray-generation
+    # ulp difference between two XLA programs (render_persp fuses
+    # cam2world_rays into its dispatch; the recorder runs it standalone)
+    # — measured IDENTICAL to render_persp vs the eager march on the
+    # same camera (same deviating pixel set). On identical rays the
+    # uncompacted tape replay is BITWISE equal to the march at 800^2.
+    img_t = r.render_persp_tape(feats, c2w, width=800, height=800,
+                                fx=880.0)
+    _fetch(img_t)
+    dt_tape = _timed_min(lambda i: _fetch(
+        r.render_persp_tape(feats * (1 + 1e-7 * i), c2w, width=800,
+                            height=800, fx=880.0)
+    ))
     return {
         "config": 2,
         "render_ms": round(dt * 1e3, 1),
         "mrays_s": round(800 * 800 / dt / 1e6, 3),
+        "tape_render_ms": round(dt_tape * 1e3, 1),
+        "tape_mrays_s": round(800 * 800 / dt_tape / 1e6, 3),
+        "tape_max_dev": round(
+            float(np.abs(np.asarray(img_t) - np.asarray(img)).max()), 7
+        ),
         "mean_alpha": round(float(np.asarray(img)[..., -1].mean()), 4),
     }
 
@@ -150,6 +172,8 @@ def config_3():
     # small positive density like any NeRF-style fit.
     feats = jnp.zeros_like(feats_true).at[:, -1].set(2.0)
     ostate = optimizer.init(feats)
+    # warm (compile once; same treatment as the tape fit below)
+    _ = step(feats, ostate, rays[0][0], rays[0][1], targets[0], opt)
     loss0 = None
     t0 = time.time()
     n_steps = 30
@@ -161,13 +185,49 @@ def config_3():
             loss0 = float(loss)
     loss_final = float(loss)
     dt = time.time() - t0
+
+    # The same fit through RECORDED TAPES (fixed views = the tape
+    # training regime, ops/tape.py): one record per view, every step
+    # replays radiometry only through the tape VJP.
+    from svox_t_tpu.ops import tape as tape_ops
+
+    tapes = [
+        tape_ops.record_tape(baked, feats_true.shape[0], o, d, d, opt)
+        for (o, d) in rays
+    ]
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def step_tape(f, ostate, tp, target, opt_):
+        def loss_fn(ff):
+            pred = tape_ops.replay_render(tp, ff, opt_, baked)
+            return jnp.mean((pred - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(f)
+        updates, ostate = optimizer.update(g, ostate, f)
+        return optax.apply_updates(f, updates), ostate, loss
+
+    feats_t = jnp.zeros_like(feats_true).at[:, -1].set(2.0)
+    ostate_t = optimizer.init(feats_t)
+    # warm (compile once)
+    _ = step_tape(feats_t, ostate_t, tapes[0], targets[0], opt)
+    t0 = time.time()
+    for i in range(n_steps):
+        v = i % 3
+        feats_t, ostate_t, loss_t = step_tape(
+            feats_t, ostate_t, tapes[v], targets[v], opt
+        )
+    loss_final_tape = float(loss_t)
+    dt_tape = time.time() - t0
     return {
         "config": 3,
         "n_steps": n_steps,
         "steps_per_s": round(n_steps / dt, 2),
         "fwd_bwd_mrays_s": round(n_steps * W * W / dt / 1e6, 3),
+        "tape_steps_per_s": round(n_steps / dt_tape, 2),
+        "tape_fwd_bwd_mrays_s": round(n_steps * W * W / dt_tape / 1e6, 3),
         "loss_first": round(loss0, 6),
         "loss_final": round(loss_final, 6),
+        "tape_loss_final": round(loss_final_tape, 6),
         "loss_reduction": round(loss0 / max(loss_final, 1e-12), 1),
     }
 

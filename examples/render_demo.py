@@ -55,6 +55,22 @@ def main():
         write_ppm(os.path.join(out_dir, f"depth_{i}.ppm"),
                   np.repeat((dp / dmax)[..., None], 3, -1))
 
+    # Fixed-camera animated-feature serving through a RECORDED TAPE:
+    # the first render_persp_tape call records the structure walk for
+    # this camera (cached), then every animation frame replays only
+    # radiometry — the steady-state serving path (docs/PERFORMANCE.md
+    # "Recorded sample tapes").
+    c2w = orbit_camera(0.0, 0.35)
+    _ = r.render_persp_tape(feats, c2w, width=W, height=W, fx=W * 1.1)
+    for i in range(3):
+        anim = feats * (1.0 + 0.2 * np.sin(0.7 * i))
+        t0 = time.time()
+        img = np.asarray(
+            r.render_persp_tape(anim, c2w, width=W, height=W, fx=W * 1.1)
+        )
+        print(f"tape frame {i}: {1e3 * (time.time() - t0):.0f} ms")
+        write_ppm(os.path.join(out_dir, f"tape_{i}.ppm"), img[..., :3])
+
     print("wrote frames to", out_dir)
 
 
