@@ -153,6 +153,16 @@ class RayTape:
     geom: tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
+    # Leading all-empty chunks (every ray has ZERO occupied samples):
+    # rays are ordered zero-occupancy-first, so these form a contiguous
+    # prefix whose replay output is EXACTLY the background row (bitwise:
+    # L stays 1.0, out_c stays 0.0, finalize gives bg / alpha 0) — the
+    # replay skips their scan steps entirely and broadcasts the
+    # constant. On background-dominated scenes this is most of the
+    # replay's loop plumbing (the headline shell: 286 of 313 chunks).
+    n_zero: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def n_chunks(self) -> int:
@@ -351,13 +361,15 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         spec, origins, dirs, skip_base, int(n_features),
         float(opt.step_size), int(opt.max_steps), int(opt.box_advance),
     )
-    # One full (B,) host fetch (the ordering key) + one scalar (the
-    # record-buffer bound) — fetching both full arrays costs an extra
-    # ~90 ms of relay transfer per record.
-    counts_host = np.asarray(n_occ if compact else n_tot)
+    # Host fetches: the ordering key(s) + a scalar record-buffer bound.
+    n_occ_host = np.asarray(n_occ)
+    counts_host = n_occ_host if compact else np.asarray(n_tot)
     n_tot_max = int(jnp.max(n_tot))
 
-    order = np.argsort(counts_host, kind="stable").astype(np.int64)
+    # Zero-occupancy rays FIRST (their replay output is exactly the
+    # background — whole chunks of them are skipped statically), then
+    # count-sorted for length-homogeneous chunks. Stable in both keys.
+    order = np.lexsort((counts_host, n_occ_host > 0)).astype(np.int64)
     Bp = ((B + C - 1) // C) * C
     pad = Bp - B
     # Padding rays duplicate the cheapest real ray; their counts are
@@ -370,6 +382,19 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     S_out = int(max(K, _size_bucket(max(cap, 1))))
     if not compact:
         S_out = S_rec
+
+    # Leading chunks whose every ray has zero OCCUPIED samples: skipping
+    # them is bit-exact in BOTH layouts (all their tape slots are empty
+    # -> every round is an exact no-op -> finalize == the background
+    # row). Pad rays duplicate order[0] (minimal occupancy) so padding
+    # never breaks the prefix.
+    occ_p = np.concatenate(
+        [n_occ_host[order[:1]].repeat(pad), n_occ_host[order]]
+    )
+    chunk_has_occ = occ_p.reshape(n_chunks, C).max(axis=1) > 0
+    n_zero = int(np.argmax(chunk_has_occ)) if chunk_has_occ.any() else (
+        n_chunks
+    )
 
     o_p = origins[jnp.asarray(order_p)]
     d_p = dirs[jnp.asarray(order_p)]
@@ -400,6 +425,7 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         n_rays=int(B), C=int(C), S=int(S_out), compact=bool(compact),
         n_features=int(n_features), n_cells=n_cells,
         geom=_geom_key(spec, opt),
+        n_zero=n_zero,
     )
 
 
@@ -453,88 +479,129 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
     else:
         waccum0 = jnp.zeros((1,), dtype)
     slot_k = jnp.arange(K, dtype=jnp.int32)
+    bg = opt.background_brightness
 
-    def chunk(waccum, xs):
-        tidx, tdt, tcell, counts, vd, ds = xs
-        if opt.format != FORMAT_RGBA:
-            window = jnp.asarray(_basis_window(opt))
-            base_basis = (
-                eval_basis(opt.format, opt.basis_dim, vd,
-                           spec_v.extra_data) * window
-            )
-        else:
-            window = None
-            base_basis = None
-        cap = jnp.max(counts)
-
-        def cond(carry):
-            s0, L, out_c, alpha, stopped, waccum = carry
-            more = s0 < cap
-            if can_stop:
-                more = jnp.logical_and(
-                    more,
-                    jnp.any(jnp.logical_and(
-                        jnp.logical_not(stopped), counts > s0)),
-                )
-            return more
-
-        def body(carry):
-            s0, L, out_c, alpha, stopped, waccum = carry
-            idx = jax.lax.dynamic_slice(tidx, (s0, 0), (K, C))
-            dt = jax.lax.dynamic_slice(tdt, (s0, 0), (K, C))
-            valid = (s0 + slot_k)[:, None] < counts[None]
-            if can_stop:
-                valid = jnp.logical_and(
-                    valid, jnp.logical_not(stopped)[None]
-                )
-            if want_weight_accum:
-                node_flat = jax.lax.dynamic_slice(
-                    tcell, (s0, 0), (K, C)
-                ).reshape(-1)
-            else:
-                node_flat = None
-            act_end = counts > (s0 + K)
-            L, out_c, alpha, _, stopped, waccum = _phase2_radiometry(
-                spec_v, features_t, opt, None, None, vd, base_basis,
-                window, ds, n_color, K, dtype, can_stop,
-                idx, dt, valid, None, None, node_flat,
-                L, out_c, alpha, act_end, stopped, waccum,
-                want_weight_accum=want_weight_accum,
-                n_cells=tape.n_cells,
-            )
-            return s0 + K, L, out_c, alpha, stopped, waccum
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            jnp.ones((C,), dtype),
-            jnp.zeros((C, n_color), dtype),
-            jnp.zeros((C,) if can_stop else (1,), dtype),
-            jnp.zeros((C,) if can_stop else (1,), bool),
-            waccum,
+    # Skip the leading all-empty chunks: their replay output is exactly
+    # the background row (zero-occupancy rays were sorted to the front),
+    # and on background-dominated scenes they are most of the work (286
+    # of 313 chunks on the headline shell).
+    nz = tape.n_zero
+    NC = tape.n_chunks - nz
+    bg_row = jnp.asarray([bg] * n_color + [0.0], dtype)
+    if NC == 0:
+        out_flat = jnp.broadcast_to(
+            bg_row, (tape.n_chunks * C, n_color + 1)
         )
-        _, L, out_c, alpha, stopped, waccum = jax.lax.while_loop(
-            cond, body, init
+        return out_flat, (waccum0 if want_weight_accum else None)
+
+    idx_t = idx_t[nz:]
+    dt_t = dt_t[nz:]
+    cell_t = cell_t[nz:] if want_weight_accum else None
+    counts_t = tape.counts[nz:]
+    ds_t = tape.dscale[nz:]
+    caps_t = jnp.max(counts_t, axis=1)
+    window = (
+        jnp.asarray(_basis_window(opt))
+        if opt.format != FORMAT_RGBA else None
+    )
+    vd_t = tape.vdirs[nz:]
+
+    # ONE flat while over global rounds: slice each round directly from
+    # the full tape arrays and write each chunk's finalized rows into a
+    # carried output buffer (in-place dynamic_update_slice). The
+    # two-level scan-of-whiles this replaces spent ~2/3 of its device
+    # time on loop plumbing (per-chunk xs copies + inner while setup) —
+    # see docs/PERFORMANCE.md "Recorded sample tapes".
+    def cond(carry):
+        return carry[0] < NC
+
+    def body(carry):
+        c, s0, L, out_c, alpha, stopped, out_buf, waccum = carry
+        idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+        dt = jax.lax.dynamic_slice(dt_t, (c, s0, 0), (1, K, C))[0]
+        counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
+        ds = jax.lax.dynamic_slice(ds_t, (c, 0), (1, C))[0]
+        vd = jax.lax.dynamic_slice(vd_t, (c, 0, 0), (1, C, 3))[0]
+        # base_basis is evaluated on the (C, 3) chunk slice — the SAME
+        # shape/op sequence as the march's per-chunk evaluation, so the
+        # basis values bit-match it (a batched all-chunks eval rounds a
+        # few lanes differently). Re-evaluated per round; ~2 us of
+        # elementwise work against the bit-exact replay contract.
+        base_basis = (
+            eval_basis(opt.format, opt.basis_dim, vd, spec_v.extra_data)
+            * window
+            if opt.format != FORMAT_RGBA else None
         )
-        # Finalize (identical to the march's: rays with no contributions
-        # have L == 1 and stopped == False, so the hit/miss branches of
-        # the march's finalize agree and no hit flag is needed).
-        bg = opt.background_brightness
+        valid = (s0 + slot_k)[:, None] < counts[None]
         if can_stop:
-            out = jnp.where(
+            valid = jnp.logical_and(valid, jnp.logical_not(stopped)[None])
+        if want_weight_accum:
+            node_flat = jax.lax.dynamic_slice(
+                cell_t, (c, s0, 0), (1, K, C)
+            )[0].reshape(-1)
+        else:
+            node_flat = None
+        act_end = counts > (s0 + K)
+        L, out_c, alpha, _, stopped, waccum = _phase2_radiometry(
+            spec_v, features_t, opt, None, None, vd, base_basis,
+            window, ds, n_color, K, dtype, can_stop,
+            idx, dt, valid, None, None, node_flat,
+            L, out_c, alpha, act_end, stopped, waccum,
+            want_weight_accum=want_weight_accum,
+            n_cells=tape.n_cells,
+        )
+        # Finalize the running state and (re)write chunk c's output rows
+        # — the last round's write wins (identical math to the march's
+        # finalize; no hit flag needed, see the module docstring).
+        if can_stop:
+            fin = jnp.where(
                 stopped[:, None], out_c, out_c + (L * bg)[:, None]
             )
             alpha_f = jnp.where(stopped, alpha, 1.0 - L)
         else:
-            out = out_c + (L * bg)[:, None]
+            fin = out_c + (L * bg)[:, None]
             alpha_f = 1.0 - L
-        return waccum, jnp.concatenate([out, alpha_f[:, None]], axis=-1)
+        out_buf = jax.lax.dynamic_update_slice(
+            out_buf,
+            jnp.concatenate([fin, alpha_f[:, None]], axis=-1),
+            (c * C, 0),
+        )
+        # advance within the chunk, or to the next chunk (resetting the
+        # per-ray radiometry state)
+        cap = jax.lax.dynamic_slice(caps_t, (c,), (1,))[0]
+        done = (s0 + K) >= cap
+        if can_stop:
+            done = jnp.logical_or(
+                done,
+                jnp.logical_not(jnp.any(jnp.logical_and(
+                    jnp.logical_not(stopped), counts > (s0 + K)
+                ))),
+            )
+        c = c + done.astype(jnp.int32)
+        s0 = jnp.where(done, 0, s0 + K)
+        L = jnp.where(done, 1.0, L)
+        out_c = jnp.where(done, 0.0, out_c)
+        alpha = jnp.where(done, 0.0, alpha)
+        stopped = jnp.logical_and(stopped, jnp.logical_not(done))
+        return c, s0, L, out_c, alpha, stopped, out_buf, waccum
 
-    xs = (idx_t, dt_t,
-          cell_t if want_weight_accum else jnp.zeros(
-              (tape.n_chunks, 1, C), jnp.int32),
-          tape.counts, tape.vdirs, tape.dscale)
-    waccum, outs = jax.lax.scan(chunk, waccum0, xs)
-    out_flat = outs.reshape(tape.n_chunks * C, n_color + 1)
+    per_ray = (C,) if can_stop else (1,)
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.ones((C,), dtype),
+        jnp.zeros((C, n_color), dtype),
+        jnp.zeros(per_ray, dtype),
+        jnp.zeros(per_ray, bool),
+        jnp.broadcast_to(bg_row, (NC * C, n_color + 1)),
+        waccum0,
+    )
+    *_, out_buf, waccum = jax.lax.while_loop(cond, body, init)
+    out_flat = out_buf
+    if nz:
+        out_flat = jnp.concatenate(
+            [jnp.broadcast_to(bg_row, (nz * C, n_color + 1)), out_flat]
+        )
     return out_flat, (waccum if want_weight_accum else None)
 
 
@@ -654,9 +721,13 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
         return grad, None
 
     g0 = jnp.zeros((Mloc, D), dtype)
-    xs = (idx_t, dt_t, tape.counts, tape.vdirs, tape.dscale,
-          grad_out_sorted.reshape(tape.n_chunks, C, n_color + 1),
-          out_sorted.reshape(tape.n_chunks, C, n_color + 1))
+    # All-empty leading chunks contribute no gradient (no occupied
+    # samples -> no contrib rows); skip their scan steps.
+    nz = tape.n_zero
+    xs = (idx_t[nz:], dt_t[nz:], tape.counts[nz:], tape.vdirs[nz:],
+          tape.dscale[nz:],
+          grad_out_sorted.reshape(tape.n_chunks, C, n_color + 1)[nz:],
+          out_sorted.reshape(tape.n_chunks, C, n_color + 1)[nz:])
     grad, _ = jax.lax.scan(chunk, g0, xs)
     return grad
 
