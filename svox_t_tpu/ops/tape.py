@@ -142,6 +142,21 @@ class RayTape:
     vdirs: jax.Array
     dscale: jax.Array
     inv_pos: jax.Array
+    # Flat round PROGRAMS (host-built at record time): the exact-mode
+    # replay is a lax.scan of exactly these rounds — no while conds, no
+    # carried output buffer. round_chunk/round_s0 are (R,) int32
+    # per-round (chunk - n_zero, sample offset) at the record round
+    # size; R is padded to a coarse ladder with provable no-op rounds
+    # (s0 past every count -> valid all-false, idempotent ys) so
+    # executables are reused across cameras. last_round
+    # (n_chunks - n_zero,) marks each chunk's final round; its ys row is
+    # that chunk's output. The bwd_* program is the same thing at the
+    # backward round size.
+    round_chunk: jax.Array
+    round_s0: jax.Array
+    last_round: jax.Array
+    bwd_round_chunk: jax.Array
+    bwd_round_s0: jax.Array
     n_rays: int = dataclasses.field(metadata=dict(static=True))
     C: int = dataclasses.field(metadata=dict(static=True))
     S: int = dataclasses.field(metadata=dict(static=True))
@@ -162,6 +177,15 @@ class RayTape:
     # replay's loop plumbing (the headline shell: 286 of 313 chunks).
     n_zero: int = dataclasses.field(
         default=0, metadata=dict(static=True)
+    )
+    # Round sizes the two programs were built for (replay requires a
+    # matching opt.round_size / bwd_round_size — the program IS the
+    # round structure).
+    prog_K: int = dataclasses.field(
+        default=4, metadata=dict(static=True)
+    )
+    bwd_prog_K: int = dataclasses.field(
+        default=8, metadata=dict(static=True)
     )
 
     @property
@@ -317,6 +341,29 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
     return ys
 
 
+def _round_program(caps, K: int, s0_pad: int):
+    """Host-built flat round program over non-empty chunks: per round a
+    (chunk, s0) pair; padded to a coarse length ladder with no-op rounds
+    (s0 = s0_pad, past every per-ray count — the padded rounds change
+    nothing and rewrite an identical ys row)."""
+    chunk_ids, s0s, last = [], [], []
+    for c, cap in enumerate(caps):
+        r = max(1, -(-int(cap) // K))
+        chunk_ids.extend([c] * r)
+        s0s.extend(range(0, r * K, K))
+        last.append(len(chunk_ids) - 1)
+    R = _size_bucket(max(len(chunk_ids), 1))
+    n_pad = R - len(chunk_ids)
+    tail_c = caps.shape[0] - 1 if len(caps) else 0
+    chunk_ids.extend([tail_c] * n_pad)
+    s0s.extend([int(s0_pad)] * n_pad)
+    return (
+        jnp.asarray(np.asarray(chunk_ids, np.int32)),
+        jnp.asarray(np.asarray(s0s, np.int32)),
+        jnp.asarray(np.asarray(last, np.int32)),
+    )
+
+
 def _size_bucket(n: int, lo: int = 8) -> int:
     """Round a tape width up to a coarse ladder (~1.5x steps, multiples
     of 8). S is a STATIC shape of the record/replay executables; exact
@@ -332,7 +379,8 @@ def _size_bucket(n: int, lo: int = 8) -> int:
 def record_tape(spec, n_features: int, origins, dirs, vdirs,
                 opt: RenderOptions, *, compact: bool = True,
                 record_cells: bool = True,
-                chunk_size: int = 0) -> RayTape:
+                chunk_size: int = 0,
+                prog_round_size: int = 0) -> RayTape:
     """Record a :class:`RayTape` for these rays against this structure.
 
     The tape is valid while the tree STRUCTURE and the march-geometry
@@ -396,6 +444,27 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         n_chunks
     )
 
+    # Flat round programs (fwd at the record round size, bwd at the
+    # backward default) over the non-empty chunks.
+    cnt_p = np.concatenate(
+        [counts_host[order[:1]].repeat(pad), counts_host[order]]
+    )
+    caps_nz = np.minimum(
+        cnt_p.reshape(n_chunks, C).max(axis=1), S_out
+    )[n_zero:]
+    # Replay round size (the program IS the round structure). For the
+    # bit-exact uncompacted layout it must equal the march's round size;
+    # compact tapes carry the regroup license, and K=8 measured best
+    # (fewer loop iterations at ~20 us fixed cost each: 108 -> 127
+    # Mrays/s at C=2048 — benchmarks/probe_tape_kc.py N=32 sweep).
+    if prog_round_size:
+        K_prog = int(prog_round_size)
+    else:
+        K_prog = K if not compact else 8
+    K_bwd = max(1, opt.bwd_round_size or 8)
+    rc, rs, lr = _round_program(caps_nz, K_prog, int(S_out))
+    brc, brs, _ = _round_program(caps_nz, K_bwd, int(S_out))
+
     o_p = origins[jnp.asarray(order_p)]
     d_p = dirs[jnp.asarray(order_p)]
     v_p = vdirs[jnp.asarray(order_p)]
@@ -426,6 +495,9 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         n_features=int(n_features), n_cells=n_cells,
         geom=_geom_key(spec, opt),
         n_zero=n_zero,
+        round_chunk=rc, round_s0=rs, last_round=lr,
+        bwd_round_chunk=brc, bwd_round_s0=brs,
+        prog_K=int(K_prog), bwd_prog_K=int(K_bwd),
     )
 
 
@@ -465,7 +537,9 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
         if isinstance(features, QuantizedFeatures) else features.shape[1]
     )
     n_color = get_out_data_dim(opt.format, opt.basis_dim, D) - 1
-    K = max(1, opt.round_size)
+    # The replay round size comes from the TAPE (its flat program bakes
+    # the round structure in); opt.round_size plays no role here.
+    K = max(1, tape.prog_K)
     C = tape.C
     spec_v = spec if spec is not None else _NOSPEC
     features_t = _pool_view(features, opt, spec)
@@ -506,12 +580,74 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
     )
     vd_t = tape.vdirs[nz:]
 
-    # ONE flat while over global rounds: slice each round directly from
-    # the full tape arrays and write each chunk's finalized rows into a
-    # carried output buffer (in-place dynamic_update_slice). The
-    # two-level scan-of-whiles this replaces spent ~2/3 of its device
-    # time on loop plumbing (per-chunk xs copies + inner while setup) —
-    # see docs/PERFORMANCE.md "Recorded sample tapes".
+    if not can_stop:
+        # Exact mode: replay the host-built flat round PROGRAM with ONE
+        # lax.scan — no while conds, no carried output buffer (each
+        # round's finalized chunk state is a ys row; a chunk's LAST
+        # round's row is its output). The round count is
+        # data-independent, so the program is exact; padded no-op
+        # rounds only rewrite an identical row. Measured: while-loop
+        # fixed costs (cond + carry routing) were ~half the replay's
+        # device time.
+        def body(carry, xs):
+            L, out_c, waccum = carry
+            c, s0 = xs
+            first = s0 == 0
+            L = jnp.where(first, 1.0, L)
+            out_c = jnp.where(first, 0.0, out_c)
+            idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+            dt = jax.lax.dynamic_slice(dt_t, (c, s0, 0), (1, K, C))[0]
+            counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
+            ds = jax.lax.dynamic_slice(ds_t, (c, 0), (1, C))[0]
+            vd = jax.lax.dynamic_slice(vd_t, (c, 0, 0), (1, C, 3))[0]
+            base_basis = (
+                eval_basis(opt.format, opt.basis_dim, vd,
+                           spec_v.extra_data) * window
+                if opt.format != FORMAT_RGBA else None
+            )
+            valid = (s0 + slot_k)[:, None] < counts[None]
+            if want_weight_accum:
+                node_flat = jax.lax.dynamic_slice(
+                    cell_t, (c, s0, 0), (1, K, C)
+                )[0].reshape(-1)
+            else:
+                node_flat = None
+            one = jnp.zeros((1,), dtype)
+            oneb = jnp.zeros((1,), bool)
+            L, out_c, _, _, _, waccum = _phase2_radiometry(
+                spec_v, features_t, opt, None, None, vd, base_basis,
+                window, ds, n_color, K, dtype, False,
+                idx, dt, valid, None, None, node_flat,
+                L, out_c, one, oneb, oneb, waccum,
+                want_weight_accum=want_weight_accum,
+                n_cells=tape.n_cells,
+            )
+            fin = jnp.concatenate(
+                [out_c + (L * bg)[:, None], (1.0 - L)[:, None]], axis=-1
+            )
+            return (L, out_c, waccum), fin
+
+        init = (
+            jnp.ones((C,), dtype),
+            jnp.zeros((C, n_color), dtype),
+            waccum0,
+        )
+        (_, _, waccum), ys = jax.lax.scan(
+            body, init, (tape.round_chunk, tape.round_s0)
+        )
+        out_flat = ys[tape.last_round].reshape(NC * C, n_color + 1)
+        if nz:
+            out_flat = jnp.concatenate(
+                [jnp.broadcast_to(bg_row, (nz * C, n_color + 1)),
+                 out_flat]
+            )
+        return out_flat, (waccum if want_weight_accum else None)
+
+    # Early-stop modes: ONE flat while over global rounds (the stop can
+    # retire a chunk before its structure-bound round count, which a
+    # fixed program cannot) — slice each round directly from the full
+    # tape arrays and write each chunk's finalized rows into a carried
+    # output buffer (in-place dynamic_update_slice).
     def cond(carry):
         return carry[0] < NC
 
@@ -623,8 +759,10 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     # round amortizes the per-round scatter fixed costs (measured on the
     # headline scene: K=4 119 ms -> K=8 52.6 ms fwd+bwd sustained,
     # benchmarks/probe_tape_kc.py). Round grouping is semantics-free
-    # (grads shift by regrouping ulps only). Default 8 when unset.
-    K = max(1, opt.bwd_round_size or 8)
+    # (grads shift by regrouping ulps only). The round size is baked
+    # into the tape's backward program (bwd_prog_K; default 8, set via
+    # opt.bwd_round_size at RECORD time).
+    K = max(1, tape.bwd_prog_K)
     C = tape.C
     spec_v = spec if spec is not None else _NOSPEC
     features_t = _pool_view(features, opt, spec)
@@ -654,81 +792,96 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     def _to_local(sidx):
         return _scatter_to_local(sidx, features_t, Mloc, opt)
 
-    def chunk(grad, xs):
-        tidx, tdt, counts, vd, ds, g_out, out_res = xs
-        if opt.format != FORMAT_RGBA:
-            window = jnp.asarray(_basis_window(opt))
-            base_basis = (
-                eval_basis(opt.format, opt.basis_dim, vd,
-                           spec_v.extra_data) * window
-            )
-        else:
-            window = None
-            base_basis = None
+    # All-empty leading chunks contribute no gradient (no occupied
+    # samples -> no contrib rows); skip them statically. Like the
+    # forward, ONE flat while over global rounds replaces the
+    # scan-of-whiles (whose per-step MB-sized xs copies dominated).
+    nz = tape.n_zero
+    NC = tape.n_chunks - nz
+    g0 = jnp.zeros((Mloc, D), dtype)
+    if NC == 0:
+        return g0
+    idx_t = idx_t[nz:]
+    dt_t = dt_t[nz:]
+    counts_t = tape.counts[nz:]
+    vd_t = tape.vdirs[nz:]
+    ds_t = tape.dscale[nz:]
+    gout_t = grad_out_sorted.reshape(tape.n_chunks, C, n_color + 1)[nz:]
+    outres_t = out_sorted.reshape(tape.n_chunks, C, n_color + 1)[nz:]
+    window = (
+        jnp.asarray(_basis_window(opt))
+        if opt.format != FORMAT_RGBA else None
+    )
+
+    def body(carry, xs):
+        L, acc, grad = carry
+        c, s0 = xs
+        first = s0 == 0
+        L = jnp.where(first, 1.0, L)
+        idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+        dt = jax.lax.dynamic_slice(dt_t, (c, s0, 0), (1, K, C))[0]
+        counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
+        ds = jax.lax.dynamic_slice(ds_t, (c, 0), (1, C))[0]
+        vd = jax.lax.dynamic_slice(vd_t, (c, 0, 0), (1, C, 3))[0]
+        g_out = jax.lax.dynamic_slice(
+            gout_t, (c, 0, 0), (1, C, n_color + 1))[0]
+        out_res = jax.lax.dynamic_slice(
+            outres_t, (c, 0, 0), (1, C, n_color + 1))[0]
+        base_basis = (
+            eval_basis(opt.format, opt.basis_dim, vd, spec_v.extra_data)
+            * window
+            if opt.format != FORMAT_RGBA else None
+        )
         g_color = g_out[:, :n_color]
         g_alpha = g_out[:, n_color]
-        accum_total = jnp.sum(out_res[:, :n_color] * g_color, axis=-1)
         L_ray = 1.0 - out_res[:, n_color]
-        cap = jnp.max(counts)
-
-        def cond(carry):
-            return carry[0] < cap
-
-        def body(carry):
-            s0, L, acc, grad = carry
-            idx = jax.lax.dynamic_slice(tidx, (s0, 0), (K, C))
-            dt = jax.lax.dynamic_slice(tdt, (s0, 0), (K, C))
-            valid = (s0 + slot_k)[:, None] < counts[None]
-            feat, sigma, _ = _round_sigma(
-                spec_v, features_t, opt, None, None, None, None, idx, dtype
-            )
-            gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
-            contrib = jnp.logical_and(valid, sigma > 0.0)
-            att = jnp.exp(-dt * ds[None] * sigma)
-            att_eff = jnp.where(contrib, att, 1.0)
-            cp = jnp.cumprod(att_eff, axis=0)
-            L_before = L[None] * jnp.concatenate(
-                [jnp.ones((1, C), dtype), cp[:-1]], axis=0
-            )
-            L_after = L[None] * cp
-            weight = L_before * (1.0 - att)
-            rows, total_color = _round_grad_rows(
-                opt, spec_v, vd, gi_flat, feat, base_basis, window,
-                weight, g_color, n_color, K,
-            )
-            wtc = jnp.where(contrib, weight * total_color, 0.0)
-            acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
-            dts = dt * ds[None]
-            g_sigma = dts * (total_color * L_after - acc_after) + (
-                dts * (g_alpha * L_ray)[None]
-            )
-            rows_full = jnp.concatenate(
-                [rows, g_sigma.reshape(-1)[:, None]], axis=-1
-            )
-            sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-            grad = _scatter_add_compact(
-                grad, _to_local(sidx), rows_full, Mloc
-            )
-            return s0 + K, L * cp[-1], acc_after[-1], grad
-
-        init = (
-            jnp.zeros((), jnp.int32),
-            jnp.ones((C,), dtype),
-            accum_total,
-            grad,
+        # chunk entry (s0 == 0): accum restarts at the ray total
+        acc = jnp.where(
+            first,
+            jnp.sum(out_res[:, :n_color] * g_color, axis=-1),
+            acc,
         )
-        *_, grad = jax.lax.while_loop(cond, body, init)
-        return grad, None
+        valid = (s0 + slot_k)[:, None] < counts[None]
+        feat, sigma, _ = _round_sigma(
+            spec_v, features_t, opt, None, None, None, None, idx, dtype
+        )
+        gi_flat = (jnp.where(idx < M, idx, 0) if M else idx).reshape(-1)
+        contrib = jnp.logical_and(valid, sigma > 0.0)
+        att = jnp.exp(-dt * ds[None] * sigma)
+        att_eff = jnp.where(contrib, att, 1.0)
+        cp = jnp.cumprod(att_eff, axis=0)
+        L_before = L[None] * jnp.concatenate(
+            [jnp.ones((1, C), dtype), cp[:-1]], axis=0
+        )
+        L_after = L[None] * cp
+        weight = L_before * (1.0 - att)
+        rows, total_color = _round_grad_rows(
+            opt, spec_v, vd, gi_flat, feat, base_basis, window,
+            weight, g_color, n_color, K,
+        )
+        wtc = jnp.where(contrib, weight * total_color, 0.0)
+        acc_after = acc[None] - jnp.cumsum(wtc, axis=0)
+        dts = dt * ds[None]
+        g_sigma = dts * (total_color * L_after - acc_after) + (
+            dts * (g_alpha * L_ray)[None]
+        )
+        rows_full = jnp.concatenate(
+            [rows, g_sigma.reshape(-1)[:, None]], axis=-1
+        )
+        sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+        grad = _scatter_add_compact(
+            grad, _to_local(sidx), rows_full, Mloc
+        )
+        return (L * cp[-1], acc_after[-1], grad), None
 
-    g0 = jnp.zeros((Mloc, D), dtype)
-    # All-empty leading chunks contribute no gradient (no occupied
-    # samples -> no contrib rows); skip their scan steps.
-    nz = tape.n_zero
-    xs = (idx_t[nz:], dt_t[nz:], tape.counts[nz:], tape.vdirs[nz:],
-          tape.dscale[nz:],
-          grad_out_sorted.reshape(tape.n_chunks, C, n_color + 1)[nz:],
-          out_sorted.reshape(tape.n_chunks, C, n_color + 1)[nz:])
-    grad, _ = jax.lax.scan(chunk, g0, xs)
+    init = (
+        jnp.ones((C,), dtype),
+        jnp.zeros((C,), dtype),
+        g0,
+    )
+    (_, _, grad), _ = jax.lax.scan(
+        body, init, (tape.bwd_round_chunk, tape.bwd_round_s0)
+    )
     return grad
 
 
