@@ -813,8 +813,7 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
         if opt.format != FORMAT_RGBA else None
     )
 
-    def body(carry, xs):
-        L, acc, grad = carry
+    def round_rows(L, acc, xs):
         c, s0 = xs
         first = s0 == 0
         L = jnp.where(first, 1.0, L)
@@ -869,19 +868,31 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
             [rows, g_sigma.reshape(-1)[:, None]], axis=-1
         )
         sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
-        grad = _scatter_add_compact(
-            grad, _to_local(sidx), rows_full, Mloc
-        )
-        return (L * cp[-1], acc_after[-1], grad), None
+        return (L * cp[-1], acc_after[-1]), _to_local(sidx), rows_full
 
-    init = (
-        jnp.ones((C,), dtype),
-        jnp.zeros((C,), dtype),
-        g0,
-    )
-    (_, _, grad), _ = jax.lax.scan(
-        body, init, (tape.bwd_round_chunk, tape.bwd_round_s0)
-    )
+    init = (jnp.ones((C,), dtype), jnp.zeros((C,), dtype))
+    xs = (tape.bwd_round_chunk, tape.bwd_round_s0)
+
+    if opt.bwd_bulk_scatter:
+        # Flat-program bulk flush: grad rows leave the scan as ys
+        # (written once, never carried — no scan-carry copies), then ONE
+        # bulk scatter-add lands them at the ~18 ns/row 1M-row rate.
+        # Dummy rows carry index Mloc (out of bounds) and drop.
+        def body(carry, xs_):
+            (L, acc), sloc, rows = round_rows(carry[0], carry[1], xs_)
+            return (L, acc), (sloc, rows)
+
+        _, (sloc_all, rows_all) = jax.lax.scan(body, init, xs)
+        return g0.at[sloc_all.reshape(-1)].add(
+            rows_all.reshape(-1, rows_all.shape[-1]), mode="drop"
+        )
+
+    def body(carry, xs_):
+        (L, acc), sloc, rows = round_rows(carry[0], carry[1], xs_)
+        grad = _scatter_add_compact(carry[2], sloc, rows, Mloc)
+        return (L, acc, grad), None
+
+    (_, _, grad), _ = jax.lax.scan(body, init + (g0,), xs)
     return grad
 
 

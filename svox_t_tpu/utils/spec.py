@@ -118,6 +118,21 @@ class RenderOptions:
     # Exact single-pass nearest-mode backward only (interp/thresholded
     # paths ignore it).
     grad_tape_rows: int = 0
+    # TAPE-backward scatter strategy (ops/tape.py only). 1 (default) =
+    # emit each round's gradient rows as scan OUTPUTS (ys — written
+    # once, never carried: the flat-program property that the round-2
+    # global tape lacked) and flush them with ONE bulk scatter-add
+    # after the scan (~18 ns/allocated row at 1M+ rows vs ~42-79
+    # ns/row for per-round calls). 0 = per-round tiered compact
+    # scatter (the march backward's ladder) — opt out if the ys buffer
+    # (alloc_rows x (D+1) f32, ~180 MB on the headline scene) is too
+    # large. Tape rows are length-homogeneous (padding 1.07-1.12x
+    # live), so the allocation arithmetic that killed the per-chunk
+    # march tape (worst-chunk caps) does not apply here. Measured
+    # (benchmarks/probe_tape_bulk.py, v5e): fixed-ray fwd+bwd 12.7 ->
+    # 16.2 Mrays/s (N=4/dispatch), 18.2 at N=16. Pure performance
+    # knob: grads differ only by float summation order (parity-tested).
+    bwd_bulk_scatter: int = 1
     # Backward-only overrides of round_size / chunk_size (0 = inherit).
     # The backward march carries large per-round gradient-row buffers
     # that evict the VMEM-pinned structure tables anyway, and its

@@ -123,6 +123,31 @@ def test_tape_gradients_match_march(rng, fast):
     np.testing.assert_allclose(g2 / scale, g1 / scale, atol=3e-6)
 
 
+@pytest.mark.parametrize("compact", [False, True])
+def test_bulk_scatter_backward_matches_tiered(rng, compact):
+    """`bwd_bulk_scatter=1` (grad rows as scan ys + one bulk flush) is a
+    pure scatter-strategy change: grads match the tiered ladder up to
+    scatter-add summation order (exactly equal on this scene)."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 192)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=64)
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt,
+                              compact=compact)
+    opt = dataclasses.replace(opt, bwd_bulk_scatter=0)
+    opt_b = dataclasses.replace(opt, bwd_bulk_scatter=1)
+
+    def loss(f, op):
+        return jnp.sum(tape_ops.replay_render(tp, f, op, spec) ** 2)
+
+    g1 = np.asarray(jax.grad(loss)(feats, opt))
+    g2 = np.asarray(jax.grad(loss)(feats, opt_b))
+    scale = max(np.abs(g1).max(), 1e-9)
+    np.testing.assert_allclose(g2 / scale, g1 / scale, atol=1e-6)
+
+
 def test_tape_grad_unsorted_order(rng):
     """Gradients with unsort=False (tape-order loss over real rows) match
     the unsorted path when padding rows get zero cotangent."""
