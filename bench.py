@@ -178,13 +178,18 @@ def main():
             return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, N_TAPE, one, 0.0)
 
+    # Fixed-ray training chains steps inside one dispatch (a fit loop
+    # scans minibatch steps, as the config-3 fit does) — amortize the
+    # relay RTT over 16 perturbed fwd+bwd frames, like N_TAPE for fwd.
+    N_TAPE_BWD = 16
+
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def tape_fwdbwd_sustained(tp, f, opt_):
         def one(i, acc):
             g = jax.grad(lambda ff: jnp.sum(tape_ops.replay_render(
                 tp, ff, opt_, unsort=False)))(f * (1.0 + 1e-7 * i))
             return acc + jnp.sum(g)
-        return jax.lax.fori_loop(0, N_SUSTAIN, one, 0.0)
+        return jax.lax.fori_loop(0, N_TAPE_BWD, one, 0.0)
 
     def bench_tape(spec_, f, o_, d_, opt_):
         # Warm first (count+record walks compile once per options/shape
@@ -218,7 +223,7 @@ def main():
         t0 = time.time()
         _ = float(tape_fwdbwd_sustained(tape_ex, f_i, opt))
         times.append(time.time() - t0)
-    tape_bwd_s = min(times) / N_SUSTAIN
+    tape_bwd_s = min(times) / N_TAPE_BWD
     tape_bwd_mrays = n_rays / tape_bwd_s / 1e6
 
     # "fast" mode (sigma_thresh = stop_thresh = 1e-2): the reference's
@@ -445,6 +450,7 @@ def main():
                 "tape_fwd_bwd_vs_target": round(tape_bwd_mrays / 25.0, 4),
                 "sustained_frames_per_call": N_SUSTAIN,
                 "tape_frames_per_call": N_TAPE,
+                "tape_bwd_frames_per_call": N_TAPE_BWD,
                 "fast_mode_mrays_s": round(fast_mrays, 3),
                 "fast_mode_ms": round(fast_s * 1e3, 1),
                 "opaque_fast_mrays_s": round(opaque_fast_mrays, 3),

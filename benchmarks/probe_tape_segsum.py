@@ -12,9 +12,22 @@ A static destination map admits a sort-free alternative:
   tot = cumsum(sorted_rows, 0)     # one pass
   grad = tot[ends] - tot[starts]   # (M, D+1) boundary gathers
 
-i.e. pay a 1.6M-row GATHER (~11.5 ns/idx HBM) + a cumsum instead of a
-1.6M-row SCATTER (~18 ns/row). This probe times both flushes (and the
-scan-only baseline) on the headline tape's real index distribution.
+i.e. pay a 1.6M-row GATHER + a cumsum instead of a 1.6M-row SCATTER
+(~18 ns/row). This probe times both flushes (and the scan-only
+baseline) on the headline tape's real index distribution.
+
+MEASURED (v5e, headline tape S=1.57M alloc / 1.26M live, M=88k, D+1=29):
+  rows-only loop floor                1.63 ms/frame
+  bulk scatter-add                   26.97 ms  (~16.1 ns/alloc row)
+  perm-gather + cumsum segdiff       75.72 ms  — DEAD: a 29-wide-row
+      gather by a random-source perm costs ~47 ns/row at this size,
+      3x the scatter it replaces (the 1.7/11.5 ns table-gather rates
+      do not apply to MB-scale wide-row reorders)
+  cumsum segdiff, gather-free bound  14.75 ms  — even if rows arrived
+      pre-sorted (they cannot: ys order is the radiometry chain), the
+      ideal sorted reduction wins only 1.7x, and difference-of-prefix
+      sums over 1.6M rows carries f32 cancellation the scatter does
+      not. The ~16 ns/row bulk scatter is the flush floor.
 """
 import os
 import sys
@@ -81,7 +94,10 @@ def main():
     k = np.arange(K)[:, None]
     slot = rs[:, None, None] + k[None]                      # (R, K, 1)
     valid = slot < counts[rc][:, None, :]                   # (R, K, C)
-    idx = idx_t[rc[:, None, None], slot, np.arange(C)[None, None, :]]
+    # Padded no-op rounds can carry s0 past the tape width (valid is
+    # all-false there); clamp for the numpy read.
+    slot_c = np.minimum(slot, idx_t.shape[1] - 1)
+    idx = idx_t[rc[:, None, None], slot_c, np.arange(C)[None, None, :]]
     dest = np.where(valid & (idx < M), idx, M).reshape(-1)  # (R*K*C,)
     S = dest.shape[0]
     P = np.argsort(dest, kind="stable").astype(np.int32)
