@@ -1214,6 +1214,15 @@ def _scatter_add_compact(grad, sidx, rows, M):
     large; the tier ladder serves both.
     """
     T = sidx.shape[0]
+    # Under shard_map the scatter output varies over every manual axis
+    # its inputs vary over (pool sharding: `sidx` carries axis_index);
+    # the switch's skip branch returns `grad` unchanged, so its varying
+    # manual axes must be lifted to the union up front or the branches'
+    # output types mismatch (pure type cast, no numerics — a zeros-add
+    # would flip -0.0 rows to +0.0).
+    want = (jax.typeof(sidx).vma | jax.typeof(rows).vma) - jax.typeof(grad).vma
+    if want:
+        grad = jax.lax.pcast(grad, tuple(want), to="varying")
     tiers = []
     t = 128
     while t < T:

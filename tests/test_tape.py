@@ -381,6 +381,47 @@ def test_sharded_tape_replay_matches_single(rng):
     np.testing.assert_allclose(g_sharded, g_single, atol=1e-6)
 
 
+def test_pool_sharded_tape_replay_matches_single(rng):
+    """MP: tape replay with the feature POOL row-sharded (per-round
+    psum) == single-device replay exactly, and grads through the replay
+    VJP match for BOTH flush strategies (the bulk ys flush must keep
+    non-owned rows on the drop slot under sharding)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from svox_t_tpu.parallel import shard_pool
+
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 128)
+    r = st.VolumeRenderer(t)
+    opt0 = dataclasses.replace(r._get_options(False), chunk_size=64)
+    spec = t._baked_spec()
+    M = feats.shape[0]
+    tp = tape_ops.record_tape(spec, M, rays.origins, rays.dirs,
+                              rays.viewdirs, opt0, compact=True)
+    single = np.asarray(tape_ops.replay_render(tp, feats, opt0, spec))
+    g1 = np.asarray(jax.grad(lambda f: jnp.sum(
+        tape_ops.replay_render(tp, f, opt0, spec) ** 2))(feats))
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("pool",))
+    fshard, _ = shard_pool(mesh, feats)
+
+    for bulk in (0, 1):
+        opt2 = dataclasses.replace(
+            opt0, pool_axis="pool", pool_rows=M, bwd_bulk_scatter=bulk
+        )
+        sm = shard_map(
+            lambda tp_, f_: tape_ops.replay_render(tp_, f_, opt2, spec),
+            mesh=mesh, in_specs=(P(), P("pool")), out_specs=P(),
+        )
+        out = np.asarray(jax.jit(sm)(tp, fshard))
+        np.testing.assert_array_equal(out, single)
+        g2 = np.asarray(jax.jit(jax.grad(
+            lambda f: jnp.sum(sm(tp, f) ** 2)))(fshard))[:M]
+        scale = max(np.abs(g1).max(), 1e-9)
+        np.testing.assert_allclose(g2 / scale, g1 / scale, atol=1e-6)
+
+
 def test_quantized_pool_replay(rng):
     t, feats = _scene(rng)
     rays = make_rays(rng, 64)
