@@ -102,3 +102,50 @@ def test_fuzz_grad_parity(seed, interp):
     g_oracle = np.asarray(jax.grad(loss_oracle)(feats))
     scale = 1e-4 * max(1.0, float(np.abs(g_oracle).max()))
     np.testing.assert_allclose(g_tree, g_oracle, atol=3e-4 + scale)
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+@pytest.mark.parametrize("compact", [False, True])
+@pytest.mark.parametrize("fast", [False, True])
+def test_fuzz_tape_parity(seed, compact, fast):
+    """Tape replay fuzz on partially occupied trees (the configuration
+    where boundary bugs hide): uncompacted tapes replay BIT-identically
+    to the march, compacted within the regroup license; gradients match
+    the march VJP for both flush strategies."""
+    from svox_t_tpu.ops import tape as tape_ops
+
+    t, feats, rays = _partial_scene(seed)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(fast), chunk_size=32)
+    spec = t._baked_spec()
+    M = feats.shape[0]
+
+    args = (feats, rays.origins, rays.dirs, rays.viewdirs, opt)
+    out_march = np.asarray(volume_render(spec, *args))
+    tp = tape_ops.record_tape(spec, M, rays.origins, rays.dirs,
+                              rays.viewdirs, opt, compact=compact)
+    out_tape = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    if compact:
+        np.testing.assert_allclose(
+            out_tape, out_march, atol=2e-6,
+            err_msg=f"compact tape seed={seed} fast={fast}",
+        )
+    else:
+        np.testing.assert_array_equal(
+            out_tape, out_march,
+            err_msg=f"bit-exact tape seed={seed} fast={fast}",
+        )
+
+    if fast:
+        return  # thresholded grads fall back to the march backward
+    g_march = np.asarray(jax.grad(lambda f: jnp.sum(volume_render(
+        spec, f, rays.origins, rays.dirs, rays.viewdirs, opt) ** 2))(feats))
+    scale = max(float(np.abs(g_march).max()), 1e-9)
+    for bulk in (0, 1):
+        opt_b = dataclasses.replace(opt, bwd_bulk_scatter=bulk)
+        g_tape = np.asarray(jax.grad(lambda f: jnp.sum(
+            tape_ops.replay_render(tp, f, opt_b, spec) ** 2))(feats))
+        np.testing.assert_allclose(
+            g_tape / scale, g_march / scale, atol=3e-6,
+            err_msg=f"tape grads seed={seed} compact={compact} bulk={bulk}",
+        )
