@@ -12,6 +12,19 @@ row. Sweep the strategy x backward round size x frames-per-dispatch.
 
 Grads are bitwise-identical between strategies up to scatter-add
 summation order (CPU check: exactly equal on the probe scene).
+
+MEASURED (v5e, headline scene, ms fwd+bwd per frame at N=4 / N=16
+frames per dispatch):
+  K=4  bulk (1.77M alloc)  43.9 / 39.7
+  K=6  bulk (1.77M alloc)  43.8 / 39.4
+  K=8  ladder (1.57M)      50.4 / 46.0
+  K=8  bulk (1.57M alloc)  39.8 / 35.3   <- design point (18.1 Mrays/s)
+  K=10 bulk (1.97M alloc)  47.5 / 42.9
+  K=12 bulk (2.36M alloc)  55.3 / 50.8
+  K=16 bulk (2.10M alloc)  49.4 / 44.8
+Performance tracks ALLOCATED rows exactly (the ~16 ns/row flush is the
+floor; the program-ladder padding makes K=8 the alloc minimum on this
+tape), confirming the flush-floor model in docs/PERFORMANCE.md.
 """
 import os
 import sys
@@ -70,7 +83,7 @@ def main():
     B = origins.shape[0]
 
     C = 2048
-    for Kb in (8, 16):
+    for Kb in (4, 6, 8, 10, 12, 16):
         opt0 = dataclasses.replace(
             r._get_options(False), chunk_size=C, bwd_round_size=Kb
         )

@@ -14,6 +14,11 @@ see docs/PERFORMANCE.md). Usage:
         float(jnp.sum(out))          # force completion inside the trace
     t.summary(top=20)                # aggregated per-op device time
     t.total_ms                       # total device op-time
+
+Caveat: trace events nest — a `while`/`fori_loop` wrapper event's
+duration INCLUDES its children, so `total_ms` over-counts programs with
+control flow. Read the leaf ops (fusions, copies, slices) or divide a
+per-iteration wrapper (e.g. an inner `while.N xK` row) by its count.
 """
 
 from __future__ import annotations
