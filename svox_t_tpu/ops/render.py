@@ -1220,9 +1220,7 @@ def _scatter_add_compact(grad, sidx, rows, M):
     # manual axes must be lifted to the union up front or the branches'
     # output types mismatch (pure type cast, no numerics — a zeros-add
     # would flip -0.0 rows to +0.0).
-    want = (jax.typeof(sidx).vma | jax.typeof(rows).vma) - jax.typeof(grad).vma
-    if want:
-        grad = jax.lax.pcast(grad, tuple(want), to="varying")
+    grad = _pvary_like(grad, sidx, rows)
     tiers = []
     t = 128
     while t < T:
