@@ -702,6 +702,89 @@ class VolumeRenderer:
         self._tape_cache[key] = tape
         return tape
 
+    def record_persp_rig(self, c2ws, width=800, height=800, fx=1111.111,
+                         fy=None, fast=False, features=None,
+                         n_features=None, compact=True):
+        """Record ONE tape covering a V-camera capture rig (the Artemis
+        serving configuration: a fixed multi-view rig around an animated
+        volume). All V*width*height rays are recorded together, so a
+        frame's entire rig renders in a single replay dispatch instead
+        of paying the per-dispatch round-trip per view (measured 2.4x
+        per frame for a 4-view 400x400 rig on the relay); `inv_pos` is
+        composed so replay outputs come back in (view, pixel) order.
+        Cached FIFO like `record_persp`.
+
+        :param c2ws: (V, 4, 4) camera-to-world matrices
+        :return: a RayTape with n_rays == V * width * height
+        """
+        if fy is None:
+            fy = fx
+        opt = self._get_options(fast)
+        spec = self._render_spec()
+        c2ws_np = np.asarray(c2ws, np.float32)
+        assert c2ws_np.ndim == 3, "c2ws must be (V, 4, 4)"
+        key = ("rig", c2ws_np.tobytes(), int(width), int(height),
+               float(fx), float(fy), self.tree._ver,
+               getattr(self.tree, "_occ_ver", 0),
+               tape_ops._geom_key(spec, opt), bool(compact))
+        hit = self._tape_cache.get(key)
+        if hit is not None:
+            return hit
+        tperm, tinv = _tile_order(opt, width, height)
+        os_, ds_, vs_ = [], [], []
+        for v in range(c2ws_np.shape[0]):
+            origins, dirs = render_ops.cam2world_rays(
+                jnp.asarray(c2ws_np[v]), int(width), int(height),
+                float(fx), float(fy),
+            )
+            vdirs = dirs
+            if opt.ndc_width >= 0:
+                dirs, origins = render_ops.world2ndc(opt, dirs, origins)
+            if tperm is not None:
+                origins, dirs, vdirs = (
+                    origins[tperm], dirs[tperm], vdirs[tperm]
+                )
+            os_.append(origins)
+            ds_.append(dirs)
+            vs_.append(vdirs)
+        rays = Rays(jnp.concatenate(os_), jnp.concatenate(ds_),
+                    jnp.concatenate(vs_))
+        tape = self.record_rays(
+            rays, features=features, n_features=n_features, fast=fast,
+            compact=compact,
+        )
+        if tinv is not None:
+            import dataclasses as _dc
+
+            wh = int(width) * int(height)
+            pix = (
+                jnp.asarray(tinv)[None]
+                + wh * jnp.arange(c2ws_np.shape[0])[:, None]
+            ).reshape(-1)
+            tape = _dc.replace(tape, inv_pos=tape.inv_pos[pix])
+        while len(self._tape_cache) >= self._tape_cache_max:
+            self._tape_cache.pop(next(iter(self._tape_cache)))
+        self._tape_cache[key] = tape
+        return tape
+
+    def render_persp_rig_tape(self, features, c2ws, width=800, height=800,
+                              fx=1111.111, fy=None, fast=False,
+                              compact=True):
+        """Render a whole multi-view rig through one cached rig tape in
+        ONE dispatch. Returns (V, height, width, n_color + 1);
+        differentiable wrt `features`. For animation streams, pass the
+        rig tape to `render_tape_frames` — (T, V*W*H, n_color + 1) comes
+        back frame-major in (view, pixel) order."""
+        if fy is None:
+            fy = fx
+        tape = self.record_persp_rig(
+            c2ws, width, height, fx, fy, fast=fast, features=features,
+            compact=compact,
+        )
+        out = self.render_tape(tape, features, fast=fast)
+        V = int(np.asarray(c2ws).shape[0])
+        return out.reshape(V, int(height), int(width), -1)
+
     def render_tape_frames(self, tape, features_frames,
                            transformation_matrices_frames=None, fast=False,
                            unsort=True):

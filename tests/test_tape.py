@@ -316,6 +316,52 @@ def test_renderer_tape_api(rng):
     np.testing.assert_array_equal(img2, img2_ref)
 
 
+def test_renderer_rig_tape(rng):
+    """Multi-view rig tape: one tape over V cameras replays the whole
+    rig in one dispatch, each view equal to its single-camera render;
+    frames-over-rig composes; grads flow; rig cache hits."""
+    t, feats = _scene(rng)
+    r = st.VolumeRenderer(t, chunk_size=64)
+    c2ws = []
+    for dz, dx in ((2.5, 0.5), (2.4, 0.6), (2.6, 0.4)):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [dx, 0.5, dz]  # looking down -z at the volume
+        c2ws.append(c2w)
+    c2ws = np.stack(c2ws)
+    W, H = 24, 20
+
+    imgs = np.asarray(r.render_persp_rig_tape(feats, c2ws, W, H, 24.0,
+                                              compact=False))
+    assert imgs.shape == (3, H, W, 4)
+    for v in range(3):
+        # Same recorder raygen -> bitwise, despite the rig tape sorting
+        # all views' rays into shared chunks.
+        ref_tape = np.asarray(r.render_persp_tape(feats, c2ws[v], W, H,
+                                                  24.0, compact=False))
+        np.testing.assert_array_equal(imgs[v], ref_tape)
+        # vs the fused-raygen one-dispatch render: the documented
+        # cross-program raygen ulp caveat (docs/PERFORMANCE.md).
+        ref = np.asarray(r.render_persp(feats, c2ws[v], W, H, 24.0))
+        np.testing.assert_allclose(imgs[v], ref, atol=2e-6)
+
+    n_cached = len(r._tape_cache)
+    tape = r.record_persp_rig(c2ws, W, H, 24.0, features=feats,
+                              compact=False)
+    assert len(r._tape_cache) == n_cached  # cache hit, no re-record
+
+    # frames x rig in one dispatch: frame 0 == the static rig render
+    stack = jnp.stack([feats, feats * 1.1])
+    out = np.asarray(r.render_tape_frames(tape, stack))
+    assert out.shape == (2, 3 * W * H, 4)
+    np.testing.assert_array_equal(
+        out[0].reshape(3, H, W, 4), imgs)
+
+    g = jax.grad(lambda f: jnp.sum(
+        r.render_tape(tape, f) ** 2))(feats)
+    assert np.isfinite(np.asarray(g)).all() and float(
+        jnp.abs(g).max()) > 0
+
+
 def test_render_tape_frames(rng):
     """T-frame stack over one tape == per-frame replay == render_frames
     (bitwise with an uncompacted tape), incl. per-frame tmats and grads."""
