@@ -55,12 +55,17 @@ W = H = 800
 N = 16
 
 
-def bench(fn, *args):
-    _ = float(fn(*args))
+def bench(fn, rows):
+    # Perturb the input per timed call (and per frame inside the fori
+    # body) — identical repeat dispatches can be served from the relay
+    # cache (CLAUDE.md benchmark-honesty rule).
+    _ = float(fn(rows))
     ts = []
     for i in range(3):
+        r_i = rows * (1.0 + 1e-6 * (i + 1))
+        _ = float(jnp.sum(r_i[0]))
         t0 = time.time()
-        _ = float(fn(*args))
+        _ = float(fn(r_i))
         ts.append(time.time() - t0)
     return min(ts) / N
 

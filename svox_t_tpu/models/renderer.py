@@ -676,18 +676,9 @@ class VolumeRenderer:
         hit = self._tape_cache.get(key)
         if hit is not None:
             return hit
-        origins, dirs = render_ops.cam2world_rays(
-            jnp.asarray(c2w_np), int(width), int(height), float(fx),
-            float(fy),
-        )
-        vdirs = dirs
-        if opt.ndc_width >= 0:
-            dirs, origins = render_ops.world2ndc(opt, dirs, origins)
-        tperm, tinv = _tile_order(opt, width, height)
-        if tperm is not None:
-            origins, dirs, vdirs = origins[tperm], dirs[tperm], vdirs[tperm]
+        rays, tinv = self._persp_rays(c2w_np, width, height, fx, fy, opt)
         tape = self.record_rays(
-            Rays(origins, dirs, vdirs), features=features,
+            rays, features=features,
             n_features=n_features, fast=fast, compact=compact,
         )
         if tinv is not None:
@@ -697,10 +688,30 @@ class VolumeRenderer:
             tape = _dc.replace(
                 tape, inv_pos=tape.inv_pos[jnp.asarray(tinv)]
             )
+        self._tape_cache_put(key, tape)
+        return tape
+
+    def _persp_rays(self, c2w, width, height, fx, fy, opt):
+        """The recorder's perspective ray pipeline (raygen -> optional
+        NDC -> tile permutation), shared by `record_persp` and
+        `record_persp_rig` so the two cannot drift. Returns (Rays,
+        tile-inverse or None)."""
+        origins, dirs = render_ops.cam2world_rays(
+            jnp.asarray(c2w, jnp.float32), int(width), int(height),
+            float(fx), float(fy),
+        )
+        vdirs = dirs
+        if opt.ndc_width >= 0:
+            dirs, origins = render_ops.world2ndc(opt, dirs, origins)
+        tperm, tinv = _tile_order(opt, width, height)
+        if tperm is not None:
+            origins, dirs, vdirs = origins[tperm], dirs[tperm], vdirs[tperm]
+        return Rays(origins, dirs, vdirs), tinv
+
+    def _tape_cache_put(self, key, tape):
         while len(self._tape_cache) >= self._tape_cache_max:
             self._tape_cache.pop(next(iter(self._tape_cache)))
         self._tape_cache[key] = tape
-        return tape
 
     def record_persp_rig(self, c2ws, width=800, height=800, fx=1111.111,
                          fy=None, fast=False, features=None,
@@ -730,25 +741,13 @@ class VolumeRenderer:
         hit = self._tape_cache.get(key)
         if hit is not None:
             return hit
-        tperm, tinv = _tile_order(opt, width, height)
-        os_, ds_, vs_ = [], [], []
-        for v in range(c2ws_np.shape[0]):
-            origins, dirs = render_ops.cam2world_rays(
-                jnp.asarray(c2ws_np[v]), int(width), int(height),
-                float(fx), float(fy),
-            )
-            vdirs = dirs
-            if opt.ndc_width >= 0:
-                dirs, origins = render_ops.world2ndc(opt, dirs, origins)
-            if tperm is not None:
-                origins, dirs, vdirs = (
-                    origins[tperm], dirs[tperm], vdirs[tperm]
-                )
-            os_.append(origins)
-            ds_.append(dirs)
-            vs_.append(vdirs)
-        rays = Rays(jnp.concatenate(os_), jnp.concatenate(ds_),
-                    jnp.concatenate(vs_))
+        per_view = [
+            self._persp_rays(c2ws_np[v], width, height, fx, fy, opt)
+            for v in range(c2ws_np.shape[0])
+        ]
+        tinv = per_view[0][1]
+        rays = Rays(*(jnp.concatenate([r[0][k] for r in per_view])
+                      for k in range(3)))
         tape = self.record_rays(
             rays, features=features, n_features=n_features, fast=fast,
             compact=compact,
@@ -762,9 +761,7 @@ class VolumeRenderer:
                 + wh * jnp.arange(c2ws_np.shape[0])[:, None]
             ).reshape(-1)
             tape = _dc.replace(tape, inv_pos=tape.inv_pos[pix])
-        while len(self._tape_cache) >= self._tape_cache_max:
-            self._tape_cache.pop(next(iter(self._tape_cache)))
-        self._tape_cache[key] = tape
+        self._tape_cache_put(key, tape)
         return tape
 
     def render_persp_rig_tape(self, features, c2ws, width=800, height=800,

@@ -801,10 +801,13 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     g0 = jnp.zeros((Mloc, D), dtype)
     if opt.pool_axis is not None:
         # Row-sharded pools: the per-round scatter indices carry
-        # axis_index, so the gradient varies over the pool axis. Lift
-        # the zero init's varying-manual-axes up front — a scan carry
-        # must keep a stable type (pure type cast, no numerics).
-        g0 = jax.lax.pcast(g0, (opt.pool_axis,), to="varying")
+        # axis_index, so the gradient varies over every manual axis the
+        # local pool shard does. Lift the zero init's varying-manual-
+        # axes up front — a scan carry must keep a stable type (pure
+        # type cast, no numerics).
+        from .render import _pvary_like
+
+        g0 = _pvary_like(g0, features_t.table)
     if NC == 0:
         return g0
     idx_t = idx_t[nz:]
