@@ -169,11 +169,17 @@ def main():
     # perturbed frames per dispatch (each loop-variant, value fetched).
     N_TAPE = 32
 
+    # The serving forward is measured in PIXEL order (unsort=True): an
+    # image consumer needs raster output, so the unsort gather is part
+    # of the honest per-frame cost. Tapes are recorded via the
+    # production entry point (record_persp), whose 4x8 pixel-block sort
+    # makes that unsort a near-free block gather + transpose
+    # (benchmarks/probe_tape_group.py).
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def tape_sustained(tp, f, opt_):
         def one(i, acc):
             out = tape_ops.replay_render(
-                tp, f * (1.0 + 1e-7 * i), opt_, unsort=False
+                tp, f * (1.0 + 1e-7 * i), opt_, unsort=True
             )
             return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, N_TAPE, one, 0.0)
@@ -191,14 +197,15 @@ def main():
             return acc + jnp.sum(g)
         return jax.lax.fori_loop(0, N_TAPE_BWD, one, 0.0)
 
-    def bench_tape(spec_, f, o_, d_, opt_):
+    def bench_tape(f, opt_):
         # Warm first (count+record walks compile once per options/shape
         # bucket), then report a second record — the steady-state cost
         # of taping a NEW camera, exactly as `plan` reports plan cost.
-        tp = tape_ops.record_tape(spec_, f.shape[0], o_, d_, d_, opt_)
+        tp = r.record_persp(c2w, W, H, fx=W * 1.1, features=f)
         jax.block_until_ready(tp.idx)
+        r._tape_cache.clear()
         t0 = time.time()
-        tp = tape_ops.record_tape(spec_, f.shape[0], o_, d_, d_, opt_)
+        tp = r.record_persp(c2w, W, H, fx=W * 1.1, features=f)
         jax.block_until_ready(tp.idx)
         rec_s = time.time() - t0
         _ = float(tape_sustained(tp, f, opt_))
@@ -211,17 +218,22 @@ def main():
             times.append(time.time() - t0)
         return tp, rec_s, min(times) / N_TAPE
 
-    tape_ex, tape_rec_s, tape_fwd_s = bench_tape(
-        baked, feats, origins, dirs, opt)
+    tape_ex, tape_rec_s, tape_fwd_s = bench_tape(feats, opt)
     tape_fwd_mrays = n_rays / tape_fwd_s / 1e6
-    # fixed-ray training step through the tape VJP (bwd rounds K=8)
-    _ = float(tape_fwdbwd_sustained(tape_ex, feats, opt))
+    # Fixed-ray training step through the tape VJP (bwd rounds K=8).
+    # Training reduces over rays (order-free, unsort=False) and its
+    # bulk-flush cost tracks ALLOCATED rows, so the training tape keeps
+    # the tighter ray-level sort (group_size=1) — the block sort above
+    # exists for pixel-order serving, where it moves the unsort cost.
+    tape_tr = r.record_persp(c2w, W, H, fx=W * 1.1, features=feats,
+                             group_size=1)
+    _ = float(tape_fwdbwd_sustained(tape_tr, feats, opt))
     times = []
     for i in range(3):
         f_i = feats * (1.0 + 1e-7 * (i + 1))
         _ = float(jnp.sum(f_i))
         t0 = time.time()
-        _ = float(tape_fwdbwd_sustained(tape_ex, f_i, opt))
+        _ = float(tape_fwdbwd_sustained(tape_tr, f_i, opt))
         times.append(time.time() - t0)
     tape_bwd_s = min(times) / N_TAPE_BWD
     tape_bwd_mrays = n_rays / tape_bwd_s / 1e6
@@ -324,8 +336,9 @@ def main():
     # Deep-scene tape replay: depth-9's march is ~60% structure gathers
     # from HBM (brick atlas + unpinnable top) — the tape removes them
     # entirely, leaving the pool gather + radiometry (measured 5.2x).
-    dtape = tape_ops.record_tape(dbaked, dfeats.shape[0], origins, dirs,
-                                 dirs, opt_deep)
+    # Pixel-order output like the headline tape.
+    dtape = rd.record_persp(c2w, W, H, fx=W * 1.1,
+                            n_features=dfeats.shape[0])
 
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def tape_sustained_q(tp, f, opt_):
@@ -334,7 +347,7 @@ def main():
                 f._replace(scale=f.scale * (1.0 + 1e-7 * i))
                 if isinstance(f, tuple) else f * (1.0 + 1e-7 * i)
             )
-            out = tape_ops.replay_render(tp, ff, opt_, unsort=False)
+            out = tape_ops.replay_render(tp, ff, opt_, unsort=True)
             return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, N_TAPE, one, 0.0)
 

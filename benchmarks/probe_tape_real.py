@@ -110,6 +110,15 @@ def main():
     # exact
     tp, opt = measure("exact", baked, feats, False, True, 2048)
     measure("exact", baked, feats, False, False, 2048)
+
+    # production pixel-order path: record_persp's 4x8 block sort makes
+    # the unsort a near-free block gather (probe_tape_group.py sweep)
+    tpb = r.record_persp(c2w, W, H, fx=W * 1.1, features=feats)
+    _ = float(replay_sustained(tpb, feats, opt, True))
+    s_blk = bench_sustained(replay_sustained, tpb, feats, opt, unsort=True)
+    print(f"[exact block-group G={tpb.group} {tpb.out_blocks[2:]}] "
+          f"pixel-order replay {s_blk*1e3:.1f} ms "
+          f"({B/s_blk/1e6:.1f} Mrays/s)")
     # fwd+bwd through the tape VJP (exact single-pass)
     opt_b = dataclasses.replace(opt, bwd_chunk_size=0)
     _ = float(replay_fwdbwd_sustained(tp, feats, opt_b))

@@ -58,6 +58,45 @@ def _tile_perm(width: int, height: int, tile: int):
 
 __all__ = ["VolumeRenderer", "Rays", "NDCConfig", "convert_to_ndc"]
 
+# Default pixel-group size for recorded perspective tapes: rays are
+# recorded in (bh x bw) block-major order and the count sort moves whole
+# blocks, so the output unsort is a gather of B/G contiguous blocks plus
+# a reshape/transpose — instead of a B-row gather (~3 ms/frame at
+# 800x800). Square-ish blocks keep chunk padding near the ray-level
+# floor; 32 = (4 x 8) measured best end-to-end (gather slices go slow
+# below 512 B, padding grows past G=32 — benchmarks/probe_tape_group.py:
+# pixel-order replay 12.7 -> 10.8 ms/frame at N=4).
+_TAPE_GROUP_DEFAULT = 32
+
+_BLOCK_PERM_CACHE = {}
+
+
+def _block_shape(G: int):
+    """(bh, bw) for a G-pixel block: the most square power-of-two split
+    (wider than tall on odd exponents). None when G is not a power of
+    two >= 4."""
+    if G < 4 or (G & (G - 1)):
+        return None
+    e = G.bit_length() - 1
+    bw = 1 << ((e + 1) // 2)
+    return G // bw, bw
+
+
+def _block_perm(width: int, height: int, bh: int, bw: int):
+    """Block-major pixel permutation (order, inverse): each (bh x bw)
+    pixel block's rows become contiguous, blocks in row-major order."""
+    key = (width, height, bh, bw)
+    if key not in _BLOCK_PERM_CACHE:
+        iy, ix = np.meshgrid(
+            np.arange(height), np.arange(width), indexing="ij"
+        )
+        bid = (iy // bh) * (width // bw) + (ix // bw)
+        order = np.lexsort((ix.ravel(), iy.ravel(), bid.ravel()))
+        inv = np.empty(order.size, np.int64)
+        inv[order] = np.arange(order.size)
+        _BLOCK_PERM_CACHE[key] = (order, inv)
+    return _BLOCK_PERM_CACHE[key]
+
 
 def _tile_order(opt, width, height):
     """Tile-coherent ray permutation sized to the chunk: (perm, inv),
@@ -599,7 +638,7 @@ class VolumeRenderer:
 
     def record_rays(self, rays: Rays, features=None, n_features=None,
                     fast=False, compact=True, record_cells=True,
-                    chunk_size=0):
+                    chunk_size=0, group_size=1):
         """Record a :class:`~svox_t_tpu.ops.tape.RayTape` for this ray
         batch: the march's structure walk cached per (rays x tree
         structure x geometry options). `render_tape` then replays only
@@ -630,6 +669,7 @@ class VolumeRenderer:
             spec, int(n_features), jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs), jnp.asarray(rays.viewdirs), opt,
             compact=compact, record_cells=record_cells, chunk_size=C,
+            group_size=group_size,
         )
 
     def render_tape(self, tape, features, fast=False,
@@ -659,43 +699,84 @@ class VolumeRenderer:
 
     def record_persp(self, c2w, width=800, height=800, fx=1111.111,
                      fy=None, fast=False, features=None, n_features=None,
-                     compact=True):
+                     compact=True, group_size=0):
         """Record (and cache) a tape for a perspective camera; the
-        tape's `inv_pos` is composed so replay outputs come back in
-        PIXEL order. Cached FIFO on (camera, size, tree version,
-        geometry) like the plan cache."""
+        tape's output mapping is composed so replay outputs come back
+        in PIXEL order. Cached FIFO on (camera, size, tree version,
+        geometry) like the plan cache.
+
+        ``group_size`` (0 = the measured default) sorts scanline GROUPS
+        of that many pixels instead of single rays, making the output
+        unsort a cheap block gather (docs/PERFORMANCE.md "output
+        unsort"); pass 1 for the legacy ray-level sort."""
         if fy is None:
             fy = fx
+        G = int(group_size) or _TAPE_GROUP_DEFAULT
         opt = self._get_options(fast)
         spec = self._render_spec()
         c2w_np = np.asarray(c2w, np.float32)
         key = ("tape", c2w_np.tobytes(), int(width), int(height),
                float(fx), float(fy), self.tree._ver,
                getattr(self.tree, "_occ_ver", 0),
-               tape_ops._geom_key(spec, opt), bool(compact))
+               tape_ops._geom_key(spec, opt), bool(compact), G)
         hit = self._tape_cache.get(key)
         if hit is not None:
             return hit
-        rays, tinv = self._persp_rays(c2w_np, width, height, fx, fy, opt)
-        tape = self.record_rays(
-            rays, features=features,
-            n_features=n_features, fast=fast, compact=compact,
-        )
-        if tinv is not None:
-            # compose: pixel i -> tile slot tinv[i] -> sorted row
-            import dataclasses as _dc
+        import dataclasses as _dc
 
-            tape = _dc.replace(
-                tape, inv_pos=tape.inv_pos[jnp.asarray(tinv)]
+        blk = self._tape_block(G, width, height, opt)
+        if blk is not None:
+            # Block mode: record rays in (bh x bw) block-major order —
+            # the count sort moves whole blocks, and the unsort is a
+            # block gather + reshape/transpose back to raster order.
+            bh, bw = blk
+            rays, _ = self._persp_rays(c2w_np, width, height, fx, fy,
+                                       opt, tile=False)
+            order, inv_o = _block_perm(width, height, bh, bw)
+            op = jnp.asarray(order)
+            rays = Rays(rays.origins[op], rays.dirs[op], rays.viewdirs[op])
+            tape = self.record_rays(
+                rays, features=features, n_features=n_features,
+                fast=fast, compact=compact, group_size=G,
             )
+            # pixel i sits at block-major position inv_o[i]
+            tape = _dc.replace(
+                tape, inv_pos=tape.inv_pos[jnp.asarray(inv_o)],
+                out_blocks=(int(height) // bh, int(width) // bw, bh, bw),
+            )
+        else:
+            rays, tinv = self._persp_rays(c2w_np, width, height, fx, fy,
+                                          opt)
+            tape = self.record_rays(
+                rays, features=features,
+                n_features=n_features, fast=fast, compact=compact,
+            )
+            if tinv is not None:
+                # compose: pixel i -> tile slot tinv[i] -> sorted row
+                tape = _dc.replace(
+                    tape, inv_pos=tape.inv_pos[jnp.asarray(tinv)]
+                )
         self._tape_cache_put(key, tape)
         return tape
 
-    def _persp_rays(self, c2w, width, height, fx, fy, opt):
+    def _tape_block(self, G, width, height, opt):
+        """(bh, bw) when G-pixel block recording applies to this image
+        and chunking config, else None (legacy ray-level sort)."""
+        shape = _block_shape(int(G))
+        if shape is None:
+            return None
+        C = self._sched_options(opt).chunk_size
+        bh, bw = shape
+        if height % bh or width % bw or (C and C % G):
+            return None
+        return shape
+
+    def _persp_rays(self, c2w, width, height, fx, fy, opt, tile=True):
         """The recorder's perspective ray pipeline (raygen -> optional
         NDC -> tile permutation), shared by `record_persp` and
         `record_persp_rig` so the two cannot drift. Returns (Rays,
-        tile-inverse or None)."""
+        tile-inverse or None); ``tile=False`` keeps pixel order (group-
+        sorted tapes supply their own chunk homogeneity)."""
         origins, dirs = render_ops.cam2world_rays(
             jnp.asarray(c2w, jnp.float32), int(width), int(height),
             float(fx), float(fy),
@@ -703,7 +784,9 @@ class VolumeRenderer:
         vdirs = dirs
         if opt.ndc_width >= 0:
             dirs, origins = render_ops.world2ndc(opt, dirs, origins)
-        tperm, tinv = _tile_order(opt, width, height)
+        tperm, tinv = (
+            _tile_order(opt, width, height) if tile else (None, None)
+        )
         if tperm is not None:
             origins, dirs, vdirs = origins[tperm], dirs[tperm], vdirs[tperm]
         return Rays(origins, dirs, vdirs), tinv
@@ -715,7 +798,7 @@ class VolumeRenderer:
 
     def record_persp_rig(self, c2ws, width=800, height=800, fx=1111.111,
                          fy=None, fast=False, features=None,
-                         n_features=None, compact=True):
+                         n_features=None, compact=True, group_size=0):
         """Record ONE tape covering a V-camera capture rig (the Artemis
         serving configuration: a fixed multi-view rig around an animated
         volume). All V*width*height rays are recorded together, so a
@@ -730,6 +813,7 @@ class VolumeRenderer:
         """
         if fy is None:
             fy = fx
+        G = int(group_size) or _TAPE_GROUP_DEFAULT
         opt = self._get_options(fast)
         spec = self._render_spec()
         c2ws_np = np.asarray(c2ws, np.float32)
@@ -737,36 +821,64 @@ class VolumeRenderer:
         key = ("rig", c2ws_np.tobytes(), int(width), int(height),
                float(fx), float(fy), self.tree._ver,
                getattr(self.tree, "_occ_ver", 0),
-               tape_ops._geom_key(spec, opt), bool(compact))
+               tape_ops._geom_key(spec, opt), bool(compact), G)
         hit = self._tape_cache.get(key)
         if hit is not None:
             return hit
-        per_view = [
-            self._persp_rays(c2ws_np[v], width, height, fx, fy, opt)
-            for v in range(c2ws_np.shape[0])
-        ]
-        tinv = per_view[0][1]
-        rays = Rays(*(jnp.concatenate([r[0][k] for r in per_view])
-                      for k in range(3)))
-        tape = self.record_rays(
-            rays, features=features, n_features=n_features, fast=fast,
-            compact=compact,
-        )
-        if tinv is not None:
-            import dataclasses as _dc
+        import dataclasses as _dc
 
-            wh = int(width) * int(height)
+        V = c2ws_np.shape[0]
+        wh = int(width) * int(height)
+        blk = self._tape_block(G, width, height, opt)
+        if blk is not None:
+            bh, bw = blk
+            order, inv_o = _block_perm(width, height, bh, bw)
+            op = jnp.asarray(order)
+            per_view = [
+                self._persp_rays(c2ws_np[v], width, height, fx, fy, opt,
+                                 tile=False)[0]
+                for v in range(V)
+            ]
+            rays = Rays(*(jnp.concatenate([r[k][op] for r in per_view])
+                          for k in range(3)))
+            tape = self.record_rays(
+                rays, features=features, n_features=n_features,
+                fast=fast, compact=compact, group_size=G,
+            )
+            # (view, pixel) flat index -> block-major record position;
+            # the unsort's leading reshape dim absorbs the view axis.
             pix = (
-                jnp.asarray(tinv)[None]
-                + wh * jnp.arange(c2ws_np.shape[0])[:, None]
+                jnp.asarray(inv_o)[None]
+                + wh * jnp.arange(V)[:, None]
             ).reshape(-1)
-            tape = _dc.replace(tape, inv_pos=tape.inv_pos[pix])
+            tape = _dc.replace(
+                tape, inv_pos=tape.inv_pos[pix],
+                out_blocks=(int(height) // bh, int(width) // bw, bh, bw),
+            )
+        else:
+            per_view = [
+                self._persp_rays(c2ws_np[v], width, height, fx, fy, opt)
+                for v in range(V)
+            ]
+            tinv = per_view[0][1]
+            rays = Rays(*(jnp.concatenate([r[0][k] for r in per_view])
+                          for k in range(3)))
+            tape = self.record_rays(
+                rays, features=features, n_features=n_features, fast=fast,
+                compact=compact,
+            )
+            if tinv is not None:
+                pix = (
+                    jnp.asarray(tinv)[None]
+                    + wh * jnp.arange(V)[:, None]
+                ).reshape(-1)
+                tape = _dc.replace(tape, inv_pos=tape.inv_pos[pix])
         self._tape_cache_put(key, tape)
         return tape
 
     def render_persp_rig_tape(self, features, c2ws, width=800, height=800,
                               fx=1111.111, fy=None, fast=False,
-                              compact=True):
+                              compact=True, group_size=0):
         """Render a whole multi-view rig through one cached rig tape in
         ONE dispatch. Returns (V, height, width, n_color + 1);
         differentiable wrt `features`. For animation streams, pass the
@@ -776,7 +888,7 @@ class VolumeRenderer:
             fy = fx
         tape = self.record_persp_rig(
             c2ws, width, height, fx, fy, fast=fast, features=features,
-            compact=compact,
+            compact=compact, group_size=group_size,
         )
         out = self.render_tape(tape, features, fast=fast)
         V = int(np.asarray(c2ws).shape[0])
@@ -806,7 +918,8 @@ class VolumeRenderer:
                                 has_tm, unsort)
 
     def render_persp_tape(self, features, c2w, width=800, height=800,
-                          fx=1111.111, fy=None, fast=False, compact=True):
+                          fx=1111.111, fy=None, fast=False, compact=True,
+                          group_size=0):
         """`render_persp` through a cached recorded tape: first call per
         (camera, structure, geometry) records; subsequent calls replay
         only radiometry. Returns (height, width, n_color + 1)."""
@@ -814,7 +927,7 @@ class VolumeRenderer:
             fy = fx
         tape = self.record_persp(
             c2w, width, height, fx, fy, fast=fast, features=features,
-            compact=compact,
+            compact=compact, group_size=group_size,
         )
         out = self.render_tape(tape, features, fast=fast)
         return out.reshape(int(height), int(width), -1)

@@ -187,6 +187,26 @@ class RayTape:
     bwd_prog_K: int = dataclasses.field(
         default=8, metadata=dict(static=True)
     )
+    # Output-order mapping granularity. When `group` > 1 the count sort
+    # moved GROUPS of `group` consecutive input rays (spatially coherent
+    # => count-homogeneous), so the output unsort is a gather of
+    # n_rays/group contiguous G-row blocks (`ginv`: padded-layout block
+    # position of input block g) instead of n_rays single-row gathers —
+    # measured ~10x cheaper at G=32 on the headline image for ~equal
+    # padding (benchmarks/probe_tape_group.py). `inv_pos` stays valid
+    # either way (ray-level addressing for unsort=False consumers).
+    ginv: Optional[jax.Array] = None
+    group: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # Optional 2-D pixel-block layout (nbh, nbw, bh, bw) per image, set
+    # by the perspective recorders: rays were recorded in block-major
+    # order (group == bh*bw), and the unsort finishes with a pure
+    # reshape/transpose from block-major back to raster order. Small
+    # square-ish blocks are far more count-coherent than scanline runs
+    # of the same size (4x4 measured 106 program rounds vs 142 for 1x32
+    # on the headline image; ray-level floor 93).
+    out_blocks: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
     @property
     def n_chunks(self) -> int:
@@ -343,16 +363,22 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
 
 def _round_program(caps, K: int, s0_pad: int):
     """Host-built flat round program over non-empty chunks: per round a
-    (chunk, s0) pair; padded to a coarse length ladder with no-op rounds
+    (chunk, s0) pair; padded to a multiple of 8 with no-op rounds
     (s0 = s0_pad, past every per-ray count — the padded rounds change
-    nothing and rewrite an identical ys row)."""
+    nothing and rewrite an identical ys row). The pad is deliberately
+    FINE: pad rounds run the full ~25 us round body (their gathers
+    still execute), and the coarse _size_bucket ladder measured +1.2 ms
+    on the headline replay when the true count crossed a bucket edge;
+    executable reuse across cameras is NOT the ladder's to buy here —
+    the chunk count (n_chunks - n_zero) is a static shape that already
+    varies per camera."""
     chunk_ids, s0s, last = [], [], []
     for c, cap in enumerate(caps):
         r = max(1, -(-int(cap) // K))
         chunk_ids.extend([c] * r)
         s0s.extend(range(0, r * K, K))
         last.append(len(chunk_ids) - 1)
-    R = _size_bucket(max(len(chunk_ids), 1))
+    R = max(8, -(-len(chunk_ids) // 8) * 8)
     n_pad = R - len(chunk_ids)
     tail_c = caps.shape[0] - 1 if len(caps) else 0
     chunk_ids.extend([tail_c] * n_pad)
@@ -380,7 +406,8 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
                 opt: RenderOptions, *, compact: bool = True,
                 record_cells: bool = True,
                 chunk_size: int = 0,
-                prog_round_size: int = 0) -> RayTape:
+                prog_round_size: int = 0,
+                group_size: int = 1) -> RayTape:
     """Record a :class:`RayTape` for these rays against this structure.
 
     The tape is valid while the tree STRUCTURE and the march-geometry
@@ -392,6 +419,13 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
 
     Cost: two march-speed dispatches (count walk + record walk) plus a
     host argsort — the same amortization class as ``plan_rays``.
+
+    ``group_size`` > 1 sorts GROUPS of that many consecutive input rays
+    instead of single rays (groups must divide both the ray count and
+    the chunk size, else the size degrades to the largest divisor):
+    spatially coherent inputs (scanline/pixel order) keep groups
+    count-homogeneous, and the output unsort becomes a cheap
+    block gather (see RayTape.group).
     """
     if opt.interp:
         raise ValueError("tapes do not support opt.interp (corner cells "
@@ -417,7 +451,20 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     # Zero-occupancy rays FIRST (their replay output is exactly the
     # background — whole chunks of them are skipped statically), then
     # count-sorted for length-homogeneous chunks. Stable in both keys.
-    order = np.lexsort((counts_host, n_occ_host > 0)).astype(np.int64)
+    G = max(1, int(group_size))
+    while G > 1 and (B % G or C % G):
+        G -= 1
+    if G > 1:
+        # Group-granular sort: a group's key is its WORST ray (the max
+        # drives chunk padding); a group is zero-occupancy only if every
+        # ray in it is. Within a group, input order is preserved, so the
+        # padded layout holds each input block contiguously.
+        key_g = counts_host.reshape(-1, G).max(axis=1)
+        occ_g = (n_occ_host.reshape(-1, G) > 0).any(axis=1)
+        gorder = np.lexsort((key_g, occ_g)).astype(np.int64)
+        order = (gorder[:, None] * G + np.arange(G)).reshape(-1)
+    else:
+        order = np.lexsort((counts_host, n_occ_host > 0)).astype(np.int64)
     Bp = ((B + C - 1) // C) * C
     pad = Bp - B
     # Padding rays duplicate the cheapest real ray; their counts are
@@ -481,6 +528,14 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     # original ray appears exactly once in order_p[pad:])
     inv = np.empty(B, np.int64)
     inv[order_p[pad:]] = np.arange(pad, Bp)
+    if G > 1:
+        # padded-layout BLOCK position of input block g (pad is a
+        # multiple of G because G | C and G | B).
+        ginv_np = np.empty(B // G, np.int64)
+        ginv_np[gorder] = np.arange(pad // G, Bp // G)
+        ginv = jnp.asarray(ginv_np.astype(np.int32))
+    else:
+        ginv = None
 
     is_baked = isinstance(spec, BakedTree)
     n_cells = int(
@@ -498,6 +553,7 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         round_chunk=rc, round_s0=rs, last_round=lr,
         bwd_round_chunk=brc, bwd_round_s0=brs,
         prog_K=int(K_prog), bwd_prog_K=int(K_bwd),
+        ginv=ginv, group=int(G),
     )
 
 
@@ -905,6 +961,28 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     return grad
 
 
+def unsort_output(tape: RayTape, out_sorted):
+    """Map replay output rows from the tape's sorted+padded layout back
+    to the original ray order. Group-sorted tapes (`tape.group` > 1)
+    gather n_rays/group contiguous blocks — ~10x cheaper than the
+    ray-level row gather on image-sized batches. Tapes recorded in
+    2-D pixel-block order (`tape.out_blocks`) additionally transpose
+    block-major back to raster order (pure reshape/transpose)."""
+    w = out_sorted.shape[-1]
+    if tape.group > 1:
+        blocks = out_sorted.reshape(-1, tape.group, w)
+        out = blocks[tape.ginv].reshape(tape.n_rays, w)
+        if tape.out_blocks:
+            nbh, nbw, bh, bw = tape.out_blocks
+            out = (
+                out.reshape(-1, nbh, nbw, bh, bw, w)
+                .swapaxes(2, 3)
+                .reshape(tape.n_rays, w)
+            )
+        return out
+    return out_sorted[tape.inv_pos]
+
+
 def replay_render(tape: RayTape, features, opt: RenderOptions, spec=None,
                   *, unsort: bool = True):
     """Render by replaying a recorded tape — differentiable wrt
@@ -917,7 +995,7 @@ def replay_render(tape: RayTape, features, opt: RenderOptions, spec=None,
     ``tape.inv_pos`` to map ray i to its row)."""
     out_sorted = _replay_call(tape, features, opt, spec)
     if unsort:
-        return out_sorted[tape.inv_pos]
+        return unsort_output(tape, out_sorted)
     return out_sorted
 
 
@@ -929,7 +1007,7 @@ def replay_render_weighted(tape: RayTape, features, opt: RenderOptions,
     Returns (out, waccum)."""
     out_sorted, waccum = _replay_call_w(tape, features, opt, spec)
     if unsort:
-        out_sorted = out_sorted[tape.inv_pos]
+        out_sorted = unsort_output(tape, out_sorted)
     return out_sorted, waccum
 
 

@@ -477,3 +477,62 @@ def test_quantized_pool_replay(rng):
     tp = r.record_rays(rays, n_features=feats.shape[0], compact=False)
     out = np.asarray(r.render_tape(tp, qf))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_block_grouped_persp_tape(rng):
+    """Pixel-block grouped tapes (the record_persp default): rays are
+    recorded in (bh x bw) block-major order and the count sort moves
+    whole blocks, so the output unsort is a block gather + transpose.
+    Outputs must be BITWISE equal to the legacy ray-level sort (the
+    per-ray radiometry never depends on chunk membership), inv_pos must
+    stay a valid pixel-level map, grads must match, and non-divisible
+    image sizes must fall back to the legacy path."""
+    t, feats = _scene(rng)
+    r = st.VolumeRenderer(t, chunk_size=64)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -1.6
+    W, H = 24, 20
+
+    ref = np.asarray(r.render_persp_tape(feats, c2w, W, H, 24.0,
+                                         group_size=1))
+    for G in (8, 16, 32):
+        tp = r.record_persp(c2w, W, H, 24.0, features=feats,
+                            group_size=G)
+        assert tp.group == G and tp.out_blocks, (G, tp.group)
+        nbh, nbw, bh, bw = tp.out_blocks
+        assert (bh * bw == G and nbh * bh == H and nbw * bw == W)
+        img = np.asarray(r.render_persp_tape(feats, c2w, W, H, 24.0,
+                                             group_size=G))
+        np.testing.assert_array_equal(img.reshape(-1, img.shape[-1]),
+                                      ref.reshape(-1, ref.shape[-1]))
+        # inv_pos is still the pixel-level map into the sorted layout
+        srt = np.asarray(r.render_tape(tp, feats, unsort=False))
+        np.testing.assert_array_equal(
+            srt[np.asarray(tp.inv_pos)],
+            img.reshape(-1, img.shape[-1]),
+        )
+
+    # grads through the block unsort == grads through the row gather
+    tp1 = r.record_persp(c2w, W, H, 24.0, features=feats, group_size=1)
+    tp32 = r.record_persp(c2w, W, H, 24.0, features=feats, group_size=32)
+    g1 = np.asarray(jax.grad(lambda f: jnp.sum(
+        r.render_tape(tp1, f) ** 2))(feats))
+    g32 = np.asarray(jax.grad(lambda f: jnp.sum(
+        r.render_tape(tp32, f) ** 2))(feats))
+    np.testing.assert_array_equal(g1, g32)
+
+    # 25 % 8 != 0: block shape is rejected, legacy tape still correct
+    tp_odd = r.record_persp(c2w, 25, H, 24.0, features=feats,
+                            group_size=32)
+    assert tp_odd.group == 1 and not tp_odd.out_blocks
+    img_odd = np.asarray(r.render_persp_tape(feats, c2w, 25, H, 24.0,
+                                             group_size=32))
+    ref_odd = np.asarray(r.render_persp(feats, c2w, 25, H, 24.0))
+    np.testing.assert_allclose(img_odd, ref_odd, atol=2e-6)
+
+    # rig tapes group the same way (the -1 reshape absorbs the views)
+    c2ws = np.stack([c2w, c2w])
+    rig = np.asarray(r.render_persp_rig_tape(feats, c2ws, W, H, 24.0,
+                                             group_size=16))
+    for v in range(2):
+        np.testing.assert_array_equal(rig[v], ref)
