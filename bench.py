@@ -280,6 +280,31 @@ def main():
     opaque_fast_s = min(times) / N_SUSTAIN
     opaque_fast_mrays = n_rays / opaque_fast_s / 1e6
 
+    # Fast-mode TAPE serving (fixed camera, per-frame features): tapes
+    # recorded with the fast geometry replay through the retiring while
+    # (tape_stop_program=0 default — chunks retire once every ray
+    # stopped; benchmarks/probe_stopprog.py). The early-stop
+    # counterparts of the headline tape number.
+    def bench_fast_tape(tree_, feats_):
+        rr = st.VolumeRenderer(tree_, step_size=1e-3, chunk_size=2048)
+        opt_t = rr._get_options(True)
+        tp = rr.record_persp(c2w, W, H, fx=W * 1.1, features=feats_,
+                             fast=True)
+        _ = float(tape_sustained(tp, feats_, opt_t))
+        ts = []
+        for i in range(3):
+            f_i = feats_ * (1.0 + 1e-7 * (i + 1))
+            _ = float(jnp.sum(f_i))
+            t0 = time.time()
+            _ = float(tape_sustained(tp, f_i, opt_t))
+            ts.append(time.time() - t0)
+        return min(ts) / N_TAPE
+
+    tape_fast_s = bench_fast_tape(tree, feats)
+    tape_fast_mrays = n_rays / tape_fast_s / 1e6
+    tape_opaque_s = bench_fast_tape(otree, ofeats)
+    tape_opaque_mrays = n_rays / tape_opaque_s / 1e6
+
     # Deep-scene forward (depth-9 shell, ~2.1M leaves / 1.4M features,
     # bf16 pool): the memory-bound regime — exercises the pinnable-top
     # bake + brick atlas (round 3).
@@ -468,6 +493,10 @@ def main():
                 "fast_mode_ms": round(fast_s * 1e3, 1),
                 "opaque_fast_mrays_s": round(opaque_fast_mrays, 3),
                 "opaque_fast_ms": round(opaque_fast_s * 1e3, 1),
+                "tape_fast_mrays_s": round(tape_fast_mrays, 3),
+                "tape_fast_ms": round(tape_fast_s * 1e3, 1),
+                "tape_opaque_fast_mrays_s": round(tape_opaque_mrays, 3),
+                "tape_opaque_fast_ms": round(tape_opaque_s * 1e3, 1),
                 "deep9_mrays_s": round(deep_mrays, 3),
                 "deep9_ms": round(deep_s * 1e3, 1),
                 "deep9_build_s": round(deep_build_s, 1),

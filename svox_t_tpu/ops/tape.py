@@ -636,17 +636,22 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
     )
     vd_t = tape.vdirs[nz:]
 
-    if not can_stop:
-        # Exact mode: replay the host-built flat round PROGRAM with ONE
-        # lax.scan — no while conds, no carried output buffer (each
-        # round's finalized chunk state is a ys row; a chunk's LAST
-        # round's row is its output). The round count is
-        # data-independent, so the program is exact; padded no-op
-        # rounds only rewrite an identical row. Measured: while-loop
-        # fixed costs (cond + carry routing) were ~half the replay's
-        # device time.
+    if not can_stop or opt.tape_stop_program:
+        # Flat round PROGRAM replay with ONE lax.scan — no while conds,
+        # no carried output buffer (each round's finalized chunk state
+        # is a ys row; a chunk's LAST round's row is its output). The
+        # round count is structure-bound and data-independent, so the
+        # program is exact; padded no-op rounds only rewrite an
+        # identical row. Measured: while-loop fixed costs (cond + carry
+        # routing) were ~half the replay's device time. Early-stop
+        # modes (opt-in via opt.tape_stop_program) carry the stop mask
+        # through the scan: post-stop rounds mask `valid` to all-false
+        # and rewrite idempotent rows — outputs bitwise identical to
+        # the retiring while below, which stays the stop-mode default
+        # because skipping retired chunks beat the cheaper round body
+        # on every benchmark scene (see RenderOptions.tape_stop_program).
         def body(carry, xs):
-            L, out_c, waccum = carry
+            L, out_c, alpha, stopped, waccum = carry
             c, s0 = xs
             first = s0 == 0
             L = jnp.where(first, 1.0, L)
@@ -662,33 +667,51 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
                 if opt.format != FORMAT_RGBA else None
             )
             valid = (s0 + slot_k)[:, None] < counts[None]
+            if can_stop:
+                alpha = jnp.where(first, 0.0, alpha)
+                stopped = jnp.logical_and(
+                    stopped, jnp.logical_not(first)
+                )
+                valid = jnp.logical_and(
+                    valid, jnp.logical_not(stopped)[None]
+                )
+                act_end = counts > (s0 + K)
+            else:
+                act_end = stopped  # unused dummy
             if want_weight_accum:
                 node_flat = jax.lax.dynamic_slice(
                     cell_t, (c, s0, 0), (1, K, C)
                 )[0].reshape(-1)
             else:
                 node_flat = None
-            one = jnp.zeros((1,), dtype)
-            oneb = jnp.zeros((1,), bool)
-            L, out_c, _, _, _, waccum = _phase2_radiometry(
+            L, out_c, alpha, _, stopped, waccum = _phase2_radiometry(
                 spec_v, features_t, opt, None, None, vd, base_basis,
-                window, ds, n_color, K, dtype, False,
+                window, ds, n_color, K, dtype, can_stop,
                 idx, dt, valid, None, None, node_flat,
-                L, out_c, one, oneb, oneb, waccum,
+                L, out_c, alpha, act_end, stopped, waccum,
                 want_weight_accum=want_weight_accum,
                 n_cells=tape.n_cells,
             )
-            fin = jnp.concatenate(
-                [out_c + (L * bg)[:, None], (1.0 - L)[:, None]], axis=-1
-            )
-            return (L, out_c, waccum), fin
+            if can_stop:
+                fin = jnp.where(
+                    stopped[:, None], out_c, out_c + (L * bg)[:, None]
+                )
+                alpha_f = jnp.where(stopped, alpha, 1.0 - L)
+            else:
+                fin = out_c + (L * bg)[:, None]
+                alpha_f = 1.0 - L
+            fin = jnp.concatenate([fin, alpha_f[:, None]], axis=-1)
+            return (L, out_c, alpha, stopped, waccum), fin
 
+        per_ray = (C,) if can_stop else (1,)
         init = (
             jnp.ones((C,), dtype),
             jnp.zeros((C, n_color), dtype),
+            jnp.zeros(per_ray, dtype),
+            jnp.zeros(per_ray, bool),
             waccum0,
         )
-        (_, _, waccum), ys = jax.lax.scan(
+        (_, _, _, _, waccum), ys = jax.lax.scan(
             body, init, (tape.round_chunk, tape.round_s0)
         )
         out_flat = ys[tape.last_round].reshape(NC * C, n_color + 1)

@@ -133,6 +133,20 @@ class RenderOptions:
     # 16.2 Mrays/s (N=4/dispatch), 18.2 at N=16. Pure performance
     # knob: grads differ only by float summation order (parity-tested).
     bwd_bulk_scatter: int = 1
+    # Thresholded-mode TAPE replay shape (ops/tape.py only). 0 (default)
+    # = the flat single-while replay, which RETIRES a chunk as soon as
+    # every ray in it stopped — on the benchmark scenes the skipped
+    # rounds beat the program's cheaper per-round body (probe at 800^2
+    # x 32 frames, C=2048 block tapes: fast shell 5.2 vs 5.8 ms/frame,
+    # opaque 2.3 vs 5.8 — probe_stopprog.py). 1 = run early-stop
+    # replays through the SAME flat round program as exact mode,
+    # carrying the stop mask through the scan (post-stop rounds are
+    # exact no-ops rewriting idempotent ys rows): pays every
+    # structure-bound round but each round has no cond/carried output
+    # buffer — the opt-in for scenes whose stops fire too rarely to
+    # retire chunks. Outputs BITWISE identical either way
+    # (parity-tested). Pure performance knob.
+    tape_stop_program: int = 0
     # Backward-only overrides of round_size / chunk_size (0 = inherit).
     # The backward march carries large per-round gradient-row buffers
     # that evict the VMEM-pinned structure tables anyway, and its

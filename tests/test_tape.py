@@ -80,6 +80,32 @@ def test_compact_replay_close_and_smaller(rng, fast):
     np.testing.assert_allclose(out, ref, atol=2e-6)
 
 
+@pytest.mark.parametrize("compact", [False, True])
+def test_stop_program_matches_while(rng, compact):
+    """Early-stop replay: the flat round PROGRAM (tape_stop_program=1)
+    and the retiring while (=0, default) are the same computation —
+    post-stop program rounds are exact no-ops — so outputs match
+    BITWISE, and both match the march (bitwise when uncompacted)."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 256)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(True), chunk_size=64,
+                              tape_stop_program=1)
+    assert opt.stop_thresh > 0.0
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt,
+                              compact=compact)
+    out_p = np.asarray(tape_ops.replay_render(tp, feats, opt, spec))
+    opt_w = dataclasses.replace(opt, tape_stop_program=0)
+    out_w = np.asarray(tape_ops.replay_render(tp, feats, opt_w, spec))
+    np.testing.assert_array_equal(out_p, out_w)
+    if not compact:
+        ref = np.asarray(volume_render(spec, feats, rays.origins,
+                                       rays.dirs, rays.viewdirs, opt))
+        np.testing.assert_array_equal(out_p, ref)
+
+
 def test_tree_backend_tape_matches_baked(rng):
     """Tapes recorded from the TREE-walk spec equal those from the baked
     spec (same samples, same replay output bitwise)."""
