@@ -154,6 +154,22 @@ def main():
     bwd_s = bench(fwdbwd_sustained, n_iter=3, scalar=True) / N_SUSTAIN
     bwd_mrays = n_rays / bwd_s / 1e6
 
+    # PLAN-FREE exact march (tile order, C=1024 — the tile-order design
+    # point): the truly-moving-camera regime, where neither a tape nor
+    # a cost plan has amortized yet. Regression-visible by request
+    # (round-3 verdict #4i).
+    opt_np = r._get_options(False)
+    _ = float(fwd_sustained(baked, feats, origins, dirs, vdirs, opt_np))
+    times = []
+    for i in range(3):
+        f_i = feats * (1.0 + 1e-7 * (i + 1))
+        _ = float(jnp.sum(f_i))
+        t0 = time.time()
+        _ = float(fwd_sustained(baked, f_i, origins, dirs, vdirs, opt_np))
+        times.append(time.time() - t0)
+    noplan_s = min(times) / N_SUSTAIN
+    noplan_mrays = n_rays / noplan_s / 1e6
+
     # Recorded-tape serving path (ops/tape.py): the structure walk is a
     # per-(camera x structure) artifact like the cost plan — recorded
     # once (cost reported below), steady-state frames replay only
@@ -304,6 +320,29 @@ def main():
     tape_fast_mrays = n_rays / tape_fast_s / 1e6
     tape_opaque_s = bench_fast_tape(otree, ofeats)
     tape_opaque_mrays = n_rays / tape_opaque_s / 1e6
+
+    # Round-4 cheap plan (plan_persp block=4 + chunked cost walk): plan
+    # build cost through the production entry, and the exact march's
+    # throughput under the block plan (must hold the per-ray plan's
+    # rate for the cheap plan to be the default).
+    _ = r.plan_persp(c2w, W, H, fx=W * 1.1, features=feats)  # compile
+    r._plan_cache.clear()
+    t0 = time.time()
+    perm_b, _inv_b = r.plan_persp(c2w, W, H, fx=W * 1.1, features=feats)
+    plan_block_s = time.time() - t0
+    o_px, d_px = cam2world_rays(c2w, W, H, fx=W * 1.1, fy=W * 1.1)
+    pb = jnp.asarray(perm_b)
+    o_b, d_b = o_px[pb], d_px[pb]
+    _ = float(fwd_sustained(baked, feats, o_b, d_b, d_b, opt))
+    times = []
+    for i in range(3):
+        f_i = feats * (1.0 + 1e-7 * (i + 1))
+        _ = float(jnp.sum(f_i))
+        t0 = time.time()
+        _ = float(fwd_sustained(baked, f_i, o_b, d_b, d_b, opt))
+        times.append(time.time() - t0)
+    blockplan_s = min(times) / N_SUSTAIN
+    blockplan_mrays = n_rays / blockplan_s / 1e6
 
     # Deep-scene forward (depth-9 shell, ~2.1M leaves / 1.4M features,
     # bf16 pool): the memory-bound regime — exercises the pinnable-top
@@ -457,6 +496,38 @@ def main():
             dyn_s = min(dts) / n_frames
             dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
             dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
+
+        # Dynamic TAPE serving (round 4): data-indirect (cell-indexed)
+        # replay — ONE record against the animation's union occupancy,
+        # then per frame: LBS warp + construct_tree + radiometry replay
+        # (data rows resolve through the frame's index table; no
+        # structure walk, no bake refresh, no DDA in the frame loop).
+        t0 = time.time()
+        _ = dr.record_dynamic_persp(
+            c2w, poses, src, pts, sw, ji, W, H, fx=W * 1.1
+        )
+        dyn["dynamic_tape_record_s"] = round(time.time() - t0, 2)
+
+        def dyn_tape_run(i, fast):
+            outs = dr.render_dynamic_tape_frames(
+                dfeats * (1.0 + 1e-3 * i), poses, src, pts, sw, ji,
+                c2w=c2w, width=W, height=H, fx=W * 1.1,
+                update_tree=False, fast=fast,
+            )
+            return float(jnp.sum(outs))
+
+        for fast, key in (
+            (False, "dynamic_tape"), (True, "dynamic_tape_fast")
+        ):
+            _ = dyn_tape_run(0, fast)  # compile
+            dts = []
+            for i in range(3):
+                t0 = time.time()
+                _ = dyn_tape_run(i + 1, fast)
+                dts.append(time.time() - t0)
+            dyn_s = min(dts) / n_frames
+            dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
+            dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
     except Exception as e:  # pragma: no cover - defensive for the driver
         dyn = {"dynamic_error": repr(e)[:200]}
 
@@ -479,6 +550,8 @@ def main():
                 "tape_fwd_bwd_mrays_s": round(tape_bwd_mrays, 3),
                 "tape_fwd_bwd_ms": round(tape_bwd_s * 1e3, 1),
                 "fwd_march_mrays_s": round(fwd_mrays, 3),
+                "fwd_march_noplan_mrays_s": round(noplan_mrays, 3),
+                "fwd_march_noplan_ms": round(noplan_s * 1e3, 1),
                 "fwd_ms": round(fwd_s * 1e3, 1),
                 "fwd_single_call_ms": round(fwd_lat_s * 1e3, 1),
                 "fwd_bwd_mrays_s": round(bwd_mrays, 3),
@@ -507,6 +580,8 @@ def main():
                 "deep9_tape_ms": round(deep_tape_s * 1e3, 1),
                 "deep9_tape_int8_mrays_s": round(deep_tape_int8_mrays, 3),
                 "ray_schedule": "cost",
+                "plan_block_ms": round(plan_block_s * 1e3, 1),
+                "fwd_march_blockplan_mrays_s": round(blockplan_mrays, 3),
                 "plan_exact_ms": round(plan_exact_s * 1e3, 1),
                 "plan_fast_ms": round(plan_fast_s * 1e3, 1),
                 "plan_opaque_ms": round(plan_opaque_s * 1e3, 1),

@@ -27,7 +27,8 @@ from .ops.p2v import voxelize
 from .ops.grid import grid_weight_render
 from .ops.sh import eval_sh, eval_sh_bases
 from .ops.render import QuantizedFeatures, quantize_features
-from .ops.tape import RayTape, record_tape, replay_render
+from .ops.tape import (RayTape, pack_index_table, record_tape,
+                       replay_render)
 from .utils.builders import tree_from_occupancy, tree_structure_from_occupancy
 
 __all__ = [
@@ -57,6 +58,7 @@ __all__ = [
     "RayTape",
     "record_tape",
     "replay_render",
+    "pack_index_table",
     "make_tree_spec",
     "DATA_SENTINEL",
     "__version__",

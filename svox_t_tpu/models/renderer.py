@@ -84,16 +84,22 @@ def _block_shape(G: int):
 
 def _block_perm(width: int, height: int, bh: int, bw: int):
     """Block-major pixel permutation (order, inverse): each (bh x bw)
-    pixel block's rows become contiguous, blocks in row-major order."""
+    pixel block's rows become contiguous, blocks in row-major order.
+    FIFO-capped int32 cache (an 800x800 entry is ~5 MB; unbounded
+    growth would leak host memory under multi-resolution serving)."""
     key = (width, height, bh, bw)
     if key not in _BLOCK_PERM_CACHE:
         iy, ix = np.meshgrid(
             np.arange(height), np.arange(width), indexing="ij"
         )
         bid = (iy // bh) * (width // bw) + (ix // bw)
-        order = np.lexsort((ix.ravel(), iy.ravel(), bid.ravel()))
-        inv = np.empty(order.size, np.int64)
-        inv[order] = np.arange(order.size)
+        order = np.lexsort((ix.ravel(), iy.ravel(), bid.ravel())).astype(
+            np.int32
+        )
+        inv = np.empty(order.size, np.int32)
+        inv[order] = np.arange(order.size, dtype=np.int32)
+        while len(_BLOCK_PERM_CACHE) >= 8:
+            _BLOCK_PERM_CACHE.pop(next(iter(_BLOCK_PERM_CACHE)))
         _BLOCK_PERM_CACHE[key] = (order, inv)
     return _BLOCK_PERM_CACHE[key]
 
@@ -356,6 +362,86 @@ def _dynamic_frames_jit(tree_spec, baked, features, tgt_poses, src_pose,
     return outs, data_flat, lo, hi
 
 
+@jax.jit
+def _dyn_union_jit(tree_spec, tgt_poses, src_pose, points,
+                   skinning_weights, joint_index, lo0, hi0):
+    """Union-occupancy pre-pass for dynamic tape recording: run the
+    animation's construct_tree chain (ONE scanned dispatch — warp +
+    re-point per frame, no rendering) and return (final index table,
+    union cull box). Occupancy only grows across construct_tree calls
+    (stale pointers persist, svox_kernel.cu:110-121 semantics), so the
+    final table's occupancy IS the union over all frames."""
+    from ..ops import query as query_ops
+    from ..ops import warp as warp_ops
+
+    def body(carry, tgt):
+        data_flat, lo, hi = carry
+        T = warp_ops.get_transformation_matrix(src_pose, tgt)
+        warped, _ = warp_ops.warp_vertices(
+            T, points, skinning_weights, joint_index
+        )
+        spec_t = tree_spec.with_(data_flat=data_flat)
+        new_flat = query_ops.construct_tree(spec_t, warped)
+        plo, phi = query_ops.points_leaf_aabb(spec_t, warped)
+        return (new_flat, jnp.minimum(lo, plo), jnp.maximum(hi, phi)), None
+
+    carry0 = (tree_spec.data_flat, lo0, hi0)
+    (data_flat, lo, hi), _ = jax.lax.scan(body, carry0, tgt_poses)
+    return data_flat, lo, hi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "per_frame_feats", "use_rot", "unsort"),
+)
+def _dynamic_tape_frames_jit(tape, tree_spec, features, tgt_poses,
+                             src_pose, points, skinning_weights,
+                             joint_index, opt, per_frame_feats, use_rot,
+                             unsort):
+    """The fused temporal pipeline served through a data-indirect tape,
+    ONE dispatch: per scanned frame — LBS warp, construct_tree re-point,
+    pack the frame's index table, replay radiometry (cells resolve to
+    this frame's rows; sample positions come from the tape). No bake
+    refresh, no structure walk, no DDA in the frame loop. Semantics
+    equal `_dynamic_frames_jit` exactly (see ops/tape.py docstring:
+    bit-equal uncompacted, ~1e-7 regroup license compacted)."""
+    from ..ops import query as query_ops
+    from ..ops import warp as warp_ops
+
+    def body(carry, xs):
+        data_flat, lo, hi = carry
+        xs = list(xs)
+        tgt = xs.pop(0)
+        f = xs.pop(0) if per_frame_feats else features
+        T = warp_ops.get_transformation_matrix(src_pose, tgt)
+        warped, mats = warp_ops.warp_vertices(
+            T, points, skinning_weights, joint_index
+        )
+        spec_t = tree_spec.with_(data_flat=data_flat)
+        new_flat = query_ops.construct_tree(spec_t, warped)
+        plo, phi = query_ops.points_leaf_aabb(spec_t, warped)
+        lo = jnp.minimum(lo, plo)
+        hi = jnp.maximum(hi, phi)
+        table = tape_ops.pack_index_table(new_flat)
+        sp = (
+            tree_spec.with_(transformation_matrices=mats)
+            if use_rot else tree_spec
+        )
+        out = tape_ops.replay_render(
+            tape, f, opt, sp, unsort=unsort, index_table=table
+        )
+        return (new_flat, lo, hi), out
+
+    xs = [tgt_poses]
+    if per_frame_feats:
+        xs.append(features)
+    lo0 = jnp.ones(3, jnp.float32)
+    hi0 = jnp.zeros(3, jnp.float32)
+    carry0 = (tree_spec.data_flat, lo0, hi0)
+    (data_flat, lo, hi), outs = jax.lax.scan(body, carry0, tuple(xs))
+    return outs, data_flat, lo, hi
+
+
 @functools.partial(jax.jit, static_argnames=("opt",))
 def _render_weights_jit(spec, features, origins, dirs, vdirs, opt):
     return render_ops.volume_render_with_weight_accum(
@@ -520,6 +606,18 @@ class VolumeRenderer:
 
         opt = self._get_options(fast)
         spec = self._render_spec()
+        n_rows, sigmas = self._plan_sigmas(features, n_rows)
+        perm = cost_order(
+            spec, jnp.asarray(rays.origins), jnp.asarray(rays.dirs), opt,
+            n_rows, sigmas,
+        )
+        inv = np.argsort(perm).astype(np.int32)
+        return perm, inv
+
+    def _plan_sigmas(self, features, n_rows):
+        """(n_rows, sigmas) for the cost pre-march: the density column
+        lets it predict early termination (fast mode) — a count-occupied
+        proxy misorders translucent scenes (docs/PERFORMANCE.md)."""
         src = features if features is not None else getattr(
             self.tree, "features", None
         )
@@ -530,38 +628,47 @@ class VolumeRenderer:
             feats = None  # absent/odd pools: structure-only cost
         elif feats is not src:
             feats = None  # quantized: no float density column
-        # Density column: lets the cost march predict early termination
-        # (fast mode); a count-occupied proxy misorders translucent
-        # scenes (docs/PERFORMANCE.md).
         sigmas = (
             jnp.asarray(feats, jnp.float32)[:n_rows, -1]
             if feats is not None and int(feats.shape[0]) >= n_rows
             else None
         )
-        perm = cost_order(
-            spec, jnp.asarray(rays.origins), jnp.asarray(rays.dirs), opt,
-            n_rows, sigmas,
-        )
-        inv = np.argsort(perm).astype(np.int32)
-        return perm, inv
+        return int(n_rows), sigmas
 
     def plan_persp(self, c2w, width=800, height=800, fx=1111.111,
-                   fy=None, fast=False, n_rows=None, features=None):
+                   fy=None, fast=False, n_rows=None, features=None,
+                   block=4):
         """Cost-ordered schedule for a perspective camera (see
         plan_rays). Cached on (camera bytes, image size, tree version,
         options); render_persp(..., schedule="cost") uses it
         automatically. The schedule composes with the tile order
-        (stable sort keeps tile coherence within equal-cost classes)."""
+        (stable sort keeps tile coherence within equal-cost classes).
+
+        ``block`` > 1 costs ONE ray per (block x block) pixel block (the
+        center) and broadcasts — a block^2-fold cut of the pre-march
+        that, with the chunked cost walk (ops/schedule.py), takes plan
+        builds from ~8-20 frame-times to ~1 (round-4 fix of the
+        moving-camera economics). Plans are approximate schedules, never
+        semantics: any permutation renders bit-identically; block
+        granularity only trades a little chunk homogeneity. block=1
+        recovers the exact per-ray plan."""
         if fy is None:
             fy = fx
         opt = self._get_options(fast)
         c2w_np = np.asarray(c2w, np.float32)
+        bs = int(block)
+        if bs < 1 or int(width) % bs or int(height) % bs:
+            bs = 1
         key = (c2w_np.tobytes(), int(width), int(height), float(fx),
                float(fy), self.tree._ver,
-               getattr(self.tree, "_occ_ver", 0), opt)
+               getattr(self.tree, "_occ_ver", 0), opt, bs)
         hit = self._plan_cache.get(key)
         if hit is not None:
             return hit
+        from ..ops.schedule import ray_costs
+
+        spec = self._render_spec()
+        n_rows, sigmas = self._plan_sigmas(features, n_rows)
         origins, dirs = render_ops.cam2world_rays(
             jnp.asarray(c2w_np), int(width), int(height), float(fx),
             float(fy),
@@ -570,15 +677,29 @@ class VolumeRenderer:
             # Cost the rays the march actually walks (same order as
             # _persp_jit: NDC warp, then permutation).
             dirs, origins = render_ops.world2ndc(opt, dirs, origins)
+        if bs > 1:
+            h2, w2 = int(height) // bs, int(width) // bs
+            iy, ix = np.meshgrid(np.arange(h2), np.arange(w2),
+                                 indexing="ij")
+            centers = (
+                (iy * bs + bs // 2) * int(width) + (ix * bs + bs // 2)
+            ).ravel()
+            csel = jnp.asarray(centers)
+            cost_b = ray_costs(
+                spec, origins[csel], dirs[csel], opt, n_rows, sigmas
+            ).reshape(h2, w2)
+            cost = np.repeat(
+                np.repeat(cost_b, bs, axis=0), bs, axis=1
+            ).ravel()
+        else:
+            cost = ray_costs(spec, origins, dirs, opt, n_rows, sigmas)
         tperm, _ = _tile_order(opt, width, height)
         if tperm is not None:
-            origins, dirs = origins[tperm], dirs[tperm]
-        rays = Rays(origins, dirs, dirs)
-        order, _ = self.plan_rays(rays, fast=fast, n_rows=n_rows,
-                                  features=features)
-        perm = (
-            np.asarray(tperm)[order] if tperm is not None else order
-        ).astype(np.int32)
+            tperm = np.asarray(tperm)
+            order = np.argsort(cost[tperm], kind="stable")
+            perm = tperm[order].astype(np.int32)
+        else:
+            perm = np.argsort(cost, kind="stable").astype(np.int32)
         inv = np.argsort(perm).astype(np.int32)
         while len(self._plan_cache) > 32:
             # FIFO-evict the oldest plan: a camera path cycling through
@@ -638,7 +759,8 @@ class VolumeRenderer:
 
     def record_rays(self, rays: Rays, features=None, n_features=None,
                     fast=False, compact=True, record_cells=True,
-                    chunk_size=0, group_size=1):
+                    chunk_size=0, group_size=1, spec=None, opt=None,
+                    indirect=False):
         """Record a :class:`~svox_t_tpu.ops.tape.RayTape` for this ray
         batch: the march's structure walk cached per (rays x tree
         structure x geometry options). `render_tape` then replays only
@@ -649,7 +771,12 @@ class VolumeRenderer:
         count — it defines the occupied/empty split the tape is
         compacted against. Record cost is two march-speed dispatches +
         a host argsort, amortized across every replay; the tape goes
-        stale (raise) when the structure changes."""
+        stale (raise) when the structure changes.
+
+        `spec` / `opt` override the recording structure and options
+        (used by the dynamic recorders, which record against a
+        union-occupancy refresh); `indirect=True` records a
+        cell-indexed tape (see ops/tape.py module docstring)."""
         if n_features is None:
             if features is None:
                 raise ValueError(
@@ -662,14 +789,16 @@ class VolumeRenderer:
                 if isinstance(f, render_ops.QuantizedFeatures)
                 else f.shape[0]
             )
-        opt = self._get_options(fast)
+        if opt is None:
+            opt = self._get_options(fast)
         C = int(chunk_size) or self._sched_options(opt).chunk_size
-        spec = self._render_spec()
+        if spec is None:
+            spec = self._render_spec()
         return tape_ops.record_tape(
             spec, int(n_features), jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs), jnp.asarray(rays.viewdirs), opt,
             compact=compact, record_cells=record_cells, chunk_size=C,
-            group_size=group_size,
+            group_size=group_size, indirect=indirect,
         )
 
     def render_tape(self, tape, features, fast=False,
@@ -722,6 +851,23 @@ class VolumeRenderer:
         hit = self._tape_cache.get(key)
         if hit is not None:
             return hit
+        tape = self._record_persp_core(
+            c2w_np, width, height, fx, fy, opt, G,
+            features=features, n_features=n_features, fast=fast,
+            compact=compact,
+        )
+        self._tape_cache_put(key, tape)
+        return tape
+
+    def _record_persp_core(self, c2w_np, width, height, fx, fy, opt, G,
+                           features=None, n_features=None, fast=False,
+                           compact=True, spec=None, rec_opt=None,
+                           indirect=False):
+        """Shared perspective tape recording: (bh x bw) block-major ray
+        order when the image/chunk config allows it (cheap
+        reshape/transpose unsort), else pixel order with a 1-D grouped
+        sort (G > 1) or the legacy tile order (G == 1). `spec`/`rec_opt`
+        override the recording structure/options (dynamic recorders)."""
         import dataclasses as _dc
 
         blk = self._tape_block(G, width, height, opt)
@@ -738,11 +884,26 @@ class VolumeRenderer:
             tape = self.record_rays(
                 rays, features=features, n_features=n_features,
                 fast=fast, compact=compact, group_size=G,
+                spec=spec, opt=rec_opt, indirect=indirect,
             )
             # pixel i sits at block-major position inv_o[i]
             tape = _dc.replace(
                 tape, inv_pos=tape.inv_pos[jnp.asarray(inv_o)],
                 out_blocks=(int(height) // bh, int(width) // bw, bh, bw),
+            )
+        elif G > 1:
+            # No compatible 2-D block: record in PIXEL order with a 1-D
+            # grouped sort (scanline runs of G; record_tape degrades G
+            # to the largest divisor of ray count and chunk size). The
+            # grouped unsort returns recorded-input order, which here IS
+            # pixel order — tile order would be silently un-mapped
+            # (grouped unsort bypasses inv_pos; see unsort_output).
+            rays, _ = self._persp_rays(c2w_np, width, height, fx, fy,
+                                       opt, tile=False)
+            tape = self.record_rays(
+                rays, features=features, n_features=n_features,
+                fast=fast, compact=compact, group_size=G,
+                spec=spec, opt=rec_opt, indirect=indirect,
             )
         else:
             rays, tinv = self._persp_rays(c2w_np, width, height, fx, fy,
@@ -750,13 +911,13 @@ class VolumeRenderer:
             tape = self.record_rays(
                 rays, features=features,
                 n_features=n_features, fast=fast, compact=compact,
+                spec=spec, opt=rec_opt, indirect=indirect,
             )
             if tinv is not None:
                 # compose: pixel i -> tile slot tinv[i] -> sorted row
                 tape = _dc.replace(
                     tape, inv_pos=tape.inv_pos[jnp.asarray(tinv)]
                 )
-        self._tape_cache_put(key, tape)
         return tape
 
     def _tape_block(self, G, width, height, opt):
@@ -1150,6 +1311,181 @@ class VolumeRenderer:
             return _finish(colors), _finish(depths)
         return _finish(outs)
 
+    # --- data-indirect (dynamic) tapes ---------------------------------
+
+    def _dyn_geom_options(self, fast=False) -> RenderOptions:
+        """Options for dynamic-tape record/replay: occupancy-driven
+        geometry accelerations (box_advance, skip boxes) are forced off
+        — they shift sample positions per occupancy, which changes
+        every frame under re-pointing. Thresholds (fast) remain: they
+        are replay-time radiometry."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self._get_options(fast), box_advance=0, skip_boxes=0
+        )
+
+    def _dyn_union(self, tgt_poses, src_pose, points, skinning_weights,
+                   joint_index):
+        """(union spec, Q): the recording structure for dynamic tapes —
+        the tree re-pointed by every frame of the animation (occupancy
+        union) with the union cull box."""
+        from ..ops import bake as bake_ops
+
+        tree_spec = self.tree._spec()
+        baked = (
+            self.tree._baked_spec() if self.backend == "baked" else None
+        )
+        if baked is not None and baked.aabb_lo is not None:
+            lo0, hi0 = baked.aabb_lo, baked.aabb_hi
+        else:
+            lo0 = jnp.zeros(3, jnp.float32)
+            hi0 = jnp.ones(3, jnp.float32)
+        data_flat, lo, hi = _dyn_union_jit(
+            tree_spec, jnp.asarray(tgt_poses, jnp.float32),
+            jnp.asarray(src_pose, jnp.float32),
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(skinning_weights, jnp.float32),
+            jnp.asarray(joint_index, jnp.int32), lo0, hi0,
+        )
+        if baked is not None:
+            spec_u = bake_ops.refresh(baked, data_flat, aabb_lo=lo,
+                                      aabb_hi=hi)
+        else:
+            spec_u = tree_spec.with_(data_flat=data_flat)
+        return spec_u, int(np.asarray(points).shape[0])
+
+    def _dyn_cache_key(self, tag, parts):
+        import hashlib
+
+        h = hashlib.md5()
+        for p in parts:
+            h.update(np.ascontiguousarray(p).tobytes())
+        return (tag, h.hexdigest(), self.tree._ver)
+
+    def record_dynamic_rays(self, rays: Rays, tgt_poses, src_pose, points,
+                            skinning_weights, joint_index, compact=True,
+                            group_size=1):
+        """Record a data-indirect tape for a ray batch over an animation
+        (see ops/tape.py): the tape survives every `construct_tree`
+        re-point the animation performs — replay per frame resolves
+        data rows through that frame's index table."""
+        spec_u, Q = self._dyn_union(
+            tgt_poses, src_pose, points, skinning_weights, joint_index
+        )
+        opt = self._dyn_geom_options(False)
+        return self.record_rays(
+            rays, n_features=Q, compact=compact, group_size=group_size,
+            spec=spec_u, opt=opt, indirect=True,
+        )
+
+    def record_dynamic_persp(self, c2w, tgt_poses, src_pose, points,
+                             skinning_weights, joint_index, width=800,
+                             height=800, fx=1111.111, fy=None,
+                             compact=True, group_size=0):
+        """Record (and cache) a data-indirect perspective tape for an
+        animation: ONE structure-walk record serves every frame of the
+        `render_dynamic_tape_frames` loop (and any feature stream over
+        the same poses). Cache key covers camera, image size, tree
+        structure version, geometry, and the full animation inputs."""
+        if fy is None:
+            fy = fx
+        G = int(group_size) or _TAPE_GROUP_DEFAULT
+        c2w_np = np.asarray(c2w, np.float32)
+        opt = self._dyn_geom_options(False)
+        key = self._dyn_cache_key(
+            ("dyn", int(width), int(height), float(fx), float(fy),
+             bool(compact), G,
+             (float(opt.step_size), int(opt.max_steps), int(opt.interp))),
+            (c2w_np, np.asarray(tgt_poses, np.float32),
+             np.asarray(src_pose, np.float32),
+             np.asarray(points, np.float32),
+             np.asarray(skinning_weights, np.float32),
+             np.asarray(joint_index, np.int32)),
+        )
+        hit = self._tape_cache.get(key)
+        if hit is not None:
+            return hit
+        spec_u, Q = self._dyn_union(
+            tgt_poses, src_pose, points, skinning_weights, joint_index
+        )
+        tape = self._record_persp_core(
+            c2w_np, int(width), int(height), float(fx), float(fy), opt, G,
+            n_features=Q, compact=compact, spec=spec_u, rec_opt=opt,
+            indirect=True,
+        )
+        self._tape_cache_put(key, tape)
+        return tape
+
+    def render_dynamic_tape_frames(self, features, tgt_poses, src_pose,
+                                   points, skinning_weights, joint_index,
+                                   tape=None, rays: Rays = None, c2w=None,
+                                   width=800, height=800, fx=1111.111,
+                                   fy=None, fast=False,
+                                   viewdir_rotation=True, update_tree=True,
+                                   compact=True, group_size=0):
+        """`render_dynamic_frames` served through a data-indirect tape:
+        per frame the scan warps the cloud, re-points the octree, and
+        REPLAYS recorded radiometry — no structure walk, no bake
+        refresh, no DDA in the frame loop (the per-sample cost drops to
+        one index-table resolve + the feature gather + compositing).
+        First call per (camera, animation, structure) records the tape
+        (or pass one from `record_dynamic_persp` / `record_dynamic_rays`
+        explicitly). Outputs equal `render_dynamic_frames` to the
+        compaction license (~1e-7; bit-equal with ``compact=False``).
+        Differentiable wrt `features`. `with_depth` is not supported on
+        the tape path (depth needs a march) — use the fused loop.
+
+        :return: (T, B, n_color+1) for rays, (T, H, W, n_color+1) for a
+            camera
+        """
+        assert (rays is None) != (c2w is None) or tape is not None, (
+            "pass exactly one of rays/c2w (or an explicit tape + rays=None"
+            " for tape-order outputs)"
+        )
+        assert self.tree._weight_accum is None, (
+            "weight accumulation is per-render; use the eager loop inside "
+            "the accumulator context"
+        )
+        if tape is None:
+            if c2w is not None:
+                tape = self.record_dynamic_persp(
+                    c2w, tgt_poses, src_pose, points, skinning_weights,
+                    joint_index, width, height, fx, fy, compact=compact,
+                    group_size=group_size,
+                )
+            else:
+                tape = self.record_dynamic_rays(
+                    rays, tgt_poses, src_pose, points, skinning_weights,
+                    joint_index, compact=compact,
+                    group_size=max(1, int(group_size)),
+                )
+        if not tape.indirect:
+            raise ValueError(
+                "tape is not data-indirect; record with "
+                "record_dynamic_persp/record_dynamic_rays"
+            )
+        opt = self._dyn_geom_options(fast)
+        tree_spec = self.tree._spec()
+        features = jnp.asarray(features)
+        tgt_poses = jnp.asarray(tgt_poses, jnp.float32)
+        per_frame_feats = features.ndim == 3
+        if per_frame_feats:
+            assert features.shape[0] == tgt_poses.shape[0]
+        outs, data_flat, lo, hi = _dynamic_tape_frames_jit(
+            tape, tree_spec, features, tgt_poses,
+            jnp.asarray(src_pose, jnp.float32),
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(skinning_weights, jnp.float32),
+            jnp.asarray(joint_index, jnp.int32),
+            opt, per_frame_feats, bool(viewdir_rotation), True,
+        )
+        if update_tree:
+            self.tree._adopt_data_flat(tree_spec, data_flat, lo, hi)
+        if c2w is not None:
+            outs = outs.reshape(outs.shape[0], int(height), int(width), -1)
+        return outs
+
     def motion_render(self, features, rays: Rays, cuda=True, fast=False):
         """First-hit pass: (motion_feature (B, n_joints), depth (B,1),
         hit_point (B,3), data_idx (B,1)). Non-differentiable."""
@@ -1296,6 +1632,9 @@ class VolumeRenderer:
             round_size=self._auto_round_size(),
             box_advance=int(box_advance),
             skip_boxes=int(skip_boxes),
+            # Reference-quirk hit-point compat (see RenderOptions):
+            # attribute override, like sigma_thresh/stop_thresh.
+            compat_hit_point=int(getattr(self, "compat_hit_point", 0)),
         )
 
     def _auto_round_size(self) -> int:

@@ -553,74 +553,85 @@ class N3Tree:
     # Refinement & memory management (parity: svox.py:488-642)
     # ------------------------------------------------------------------
 
+    def _node_cells(self, nodes: np.ndarray) -> np.ndarray:
+        """(len(nodes) * N^3, 4) [node, x, y, z] rows covering every cell
+        of the given nodes, cells in row-major order within each node."""
+        N = self.N
+        grid = np.stack(
+            np.meshgrid(
+                np.arange(N), np.arange(N), np.arange(N), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+        out = np.empty((len(nodes), N ** 3, 4), np.int64)
+        out[:, :, 0] = np.asarray(nodes)[:, None]
+        out[:, :, 1:] = grid[None]
+        return out.reshape(-1, 4)
+
     def refine(self, repeats=1, sel=None, leaf_node=None, node_id=None):
         """Refine selected leaves (default: all below depth_limit).
 
+        Each selected leaf cell becomes an internal node whose N^3 child
+        cells inherit the parent cell's index-table entry; new nodes are
+        appended at the tail of the node arrays, and `child` keeps
+        parent-relative offsets (capability parity: svox.py:488-560 —
+        re-designed around an explicit (L, 4) target-row list; also
+        honors depth_limit on EVERY pass, where the reference filters
+        only the first and can exceed its documented contract).
+
         :param sel: tuple of 4 index arrays (node, x, y, z), or None.
+        :param leaf_node: optional (L, 4) array equivalent of `sel`.
         :return: True iff buffers were resized (re-make optimizers!).
         """
         if self._lock_tree_structure:
             raise RuntimeError("Tree locked")
         self._ensure_host_data()
         resized = False
-        for repeat_id in range(repeats):
-            filled = self.filled
-            if sel is None:
-                all_leaves = self._all_leaves()
-                sel = tuple(all_leaves.T)
-                depths = self._parent_depth[sel[0], 1]
-                good_mask = (depths < self.depth_limit) & (self._child[sel] == 0)
-                sel = tuple(t[good_mask] for t in sel)
-            else:
-                sel = tuple(np.asarray(t) for t in sel)
-
-            if leaf_node is None:
-                leaf_node = np.stack(sel, axis=-1)
-            else:
-                leaf_node = np.asarray(leaf_node)
-
-            num_nc = len(sel[0])
-            if num_nc == 0:
-                # Keep the `resized` flag from earlier repeats: callers use
-                # the return value as the "re-make optimizers" signal (the
-                # reference returns False here and loses it; svox.py:525).
-                # Earlier repeats may already have mutated the tree —
-                # caches must still be dropped on this early exit.
-                if repeat_id > 0:
-                    self._invalidate()
-                return resized
-            new_filled = filled + num_nc
-
-            cap_needed = new_filled - self.capacity
-            if cap_needed > 0:
-                self._resize_add_cap(cap_needed)
+        mutated = False
+        if sel is not None or leaf_node is not None:
+            targets = (
+                np.asarray(leaf_node)
+                if leaf_node is not None
+                else np.stack([np.asarray(t) for t in sel], axis=-1)
+            )
+        else:
+            targets = None
+        for pass_no in range(repeats):
+            if targets is None:
+                leaves = self._all_leaves()
+                targets = leaves[
+                    self._parent_depth[leaves[:, 0], 1] < self.depth_limit
+                ]
+            n_new = len(targets)
+            if n_new == 0:
+                break
+            base = self.filled
+            shortfall = base + n_new - self.capacity
+            if shortfall > 0:
+                self._grow_buffers(shortfall)
                 resized = True
 
-            new_idxs = np.arange(filled, filled + num_nc, dtype=np.int32)
-            self._child[sel] = new_idxs - leaf_node[:, 0].astype(np.int32)
-            self._data[filled:new_filled] = self._data[sel][:, None, None, None]
-            self._parent_depth[filled:new_filled, 0] = (
-                self._pack_index_np(leaf_node) if node_id is None else node_id
+            parents = targets[:, 0].astype(np.int32)
+            cells = (parents,) + tuple(targets[:, 1 + a] for a in range(3))
+            ids = base + np.arange(n_new, dtype=np.int32)
+            # Each split cell points (relatively) at its new node ...
+            self._child[cells] = ids - parents
+            # ... whose cells all inherit the split cell's data pointer.
+            self._data[ids] = self._data[cells][:, None, None, None]
+            self._parent_depth[ids, 0] = (
+                self._pack_index_np(targets) if node_id is None else node_id
             )
-            self._parent_depth[filled:new_filled, 1] = (
-                self._parent_depth[leaf_node[:, 0], 1] + 1
-            )
-
-            if repeat_id < repeats - 1:
-                t1 = np.repeat(np.arange(filled, new_filled), self.N ** 3)
-                rangen = np.arange(self.N)
-                t2 = np.tile(np.repeat(rangen, self.N ** 2), new_filled - filled)
-                t3 = np.tile(np.repeat(rangen, self.N), (new_filled - filled) * self.N)
-                t4 = np.tile(rangen, (new_filled - filled) * self.N ** 2)
-                # honor depth_limit on every repeat (the reference only
-                # filters the first one and creates deeper nodes than its
-                # documented contract allows)
-                ok = self._parent_depth[t1, 1] < self.depth_limit
-                sel = (t1[ok], t2[ok], t3[ok], t4[ok])
-                leaf_node = None
-            self._n_internal += num_nc
-            self.filled += num_nc
-        if repeats > 0:
+            child_depth = self._parent_depth[parents, 1] + 1
+            self._parent_depth[ids, 1] = child_depth
+            self._n_internal += n_new
+            self.filled += n_new
+            mutated = True
+            node_id = None  # caller-supplied ids apply to the first pass only
+            if pass_no + 1 < repeats:
+                # Next pass splits every cell of the nodes just created
+                # (all still leaves), minus nodes already at the limit.
+                targets = self._node_cells(ids[child_depth < self.depth_limit])
+        if mutated:
             self._invalidate()
         return resized
 
@@ -655,44 +666,54 @@ class N3Tree:
         return resized
 
     def shrink_to_fit(self):
-        """Defragment & shrink buffers to the in-use node count
-        (svox.py:600-642). Breaks optimizers if it returns True."""
+        """Defragment and trim the node buffers to the live node count
+        (capability parity: svox.py:600-642, re-designed around an
+        explicit old->new node-id map applied directly to each kept
+        node's own links — instead of back-adjusting through parent
+        pointers, whose raw-shift arithmetic silently corrupts packed
+        parent ids in the reference, svox.py:627).
+        Breaks optimizers if it returns True."""
         if self._lock_tree_structure:
             raise RuntimeError("Tree locked")
         self._ensure_host_data()
-        n_int = self.n_internal
-        n_free = self._n_free
-        new_cap = n_int - n_free
-        if new_cap >= self.capacity:
+        n_nodes = self.n_internal
+        live = n_nodes - self._n_free
+        if live >= self.capacity:
             return False
-        if n_free > 0:
-            free = self._parent_depth[:n_int, 0] == -1
-            csum = np.cumsum(free)
-            remain_ids = np.arange(n_int, dtype=np.int64)[~free]
-            remain_parents = tuple(
-                self._unpack_index_np(self._parent_depth[remain_ids, 0]).T
-            )
-            par_shift = csum[remain_parents[0]]
-            self._child[remain_parents] -= (csum[remain_ids] - par_shift).astype(
-                np.int32
-            )
-            # Packed parent ids are node * N^3 + cell, so a node-id shift
-            # of par_shift moves the packed id by par_shift * N^3. (The
-            # reference subtracts the raw shift — svox.py:627 — silently
-            # corrupting parent links of shifted nodes; deviation: fixed.)
-            self._parent_depth[remain_ids, 0] -= (
-                par_shift.astype(np.int64) * (self.N ** 3)
+        if self._n_free:
+            N3 = self.N ** 3
+            keep = self._parent_depth[:n_nodes, 0] != -1
+            # Old -> new node id under order-preserving compaction.
+            new_id = np.cumsum(keep, dtype=np.int64) - 1
+            old_ids = np.flatnonzero(keep)
+            # `child` offsets are parent-relative: re-express each
+            # nonzero offset in the compacted id space. (A live node
+            # never points at a freed one — merging zeroes the parent's
+            # cell — so every absolute target is itself kept.)
+            offs = self._child[old_ids]
+            shift = new_id[old_ids]
+            offs = np.where(
+                offs != 0,
+                new_id[old_ids[:, None, None, None] + offs]
+                - shift[:, None, None, None],
+                0,
             ).astype(np.int32)
-            self._data = self._data[remain_ids]
-            self._child = self._child[remain_ids]
-            self._parent_depth = self._parent_depth[remain_ids]
-            self._n_internal = new_cap
+            # Packed parent links are parent_id * N^3 + cell: remap only
+            # the node part.
+            links = self._parent_depth[old_ids].copy()
+            links[:, 0] = (
+                new_id[links[:, 0] // N3] * N3 + links[:, 0] % N3
+            ).astype(np.int32)
+            self._child = offs
+            self._data = self._data[old_ids]
+            self._parent_depth = links
+            self._n_internal = live
             self._n_free = 0
         else:
-            self._data = self._data[:new_cap]
-            self._child = self._child[:new_cap]
-            self._parent_depth = self._parent_depth[:new_cap]
-        self.filled = min(self.filled, new_cap)
+            self._data = self._data[:live]
+            self._child = self._child[:live]
+            self._parent_depth = self._parent_depth[:live]
+        self.filled = min(self.filled, live)
         self._invalidate()
         return True
 
@@ -899,30 +920,29 @@ class N3Tree:
             assert val.shape[-1] == self.data_dim
         return val
 
-    def _resize_add_cap(self, cap_needed):
-        """Geometric capacity growth (svox.py:841-863; the CPU-offload OOM
-        hack is unnecessary here — buffers live in host RAM)."""
-        cap_needed = max(
-            int(cap_needed), int(self.capacity * (self.geom_resize_fact - 1.0))
+    def _grow_buffers(self, min_extra: int):
+        """Grow node-array capacity: fresh allocations sized to at least
+        `min_extra` more rows and at least geom_resize_fact relative
+        growth, old contents copied in (capability parity: svox.py:
+        841-863 — the reference's GPU-OOM offload dance is moot here,
+        these buffers live in host RAM). New index-table rows start at
+        the empty sentinel; new structure rows at zero."""
+        old_cap = self.capacity
+        new_cap = max(
+            old_cap + int(min_extra), int(old_cap * self.geom_resize_fact)
         )
-        self._data = np.concatenate(
-            [
-                self._data,
-                np.full(
-                    (cap_needed, *self._data.shape[1:]), DATA_SENTINEL, np.int32
-                ),
-            ],
-            axis=0,
-        )
-        self._child = np.concatenate(
-            [self._child, np.zeros((cap_needed, *self._child.shape[1:]), np.int32)]
-        )
-        self._parent_depth = np.concatenate(
-            [
-                self._parent_depth,
-                np.zeros((cap_needed, *self._parent_depth.shape[1:]), np.int32),
-            ]
-        )
+
+        def grown(arr, fill):
+            out = np.full((new_cap,) + arr.shape[1:], fill, arr.dtype)
+            out[:old_cap] = arr
+            return out
+
+        self._data = grown(self._data, DATA_SENTINEL)
+        self._child = grown(self._child, 0)
+        self._parent_depth = grown(self._parent_depth, 0)
+
+    # Backwards-compatible name (reference-era internal API).
+    _resize_add_cap = _grow_buffers
 
     def _all_leaves(self) -> np.ndarray:
         if self._last_all_leaves is None:

@@ -349,11 +349,28 @@ def motion_render(
               hit_point world (B,3), data_idx (B,1) int32)
 
     ``spec.extra_data`` rows hold joint positions (first 3 columns).
+
+    ``opt.compat_hit_point`` reproduces the reference's leaf-local-
+    fraction hit point (common.cuh:77-87 destructively rewrites `pos`
+    before the world transform at rt_kernel.cu:756-774) — off by
+    default; see RenderOptions.compat_hit_point.
     """
     assert spec.extra_data is not None, "motion_render needs extra_data joints"
     found, t_hit, pos_hit, idx_hit, delta_scale = _first_hit(
         spec, features, origins, dirs, opt
     )
+    if opt.compat_hit_point:
+        # One extra structure lookup at the hit positions recovers the
+        # in-leaf fraction the reference feeds its world transform.
+        from .bake import BakedTree
+        from .bake import lookup as _baked_lookup
+        from .traversal import descend
+
+        if isinstance(spec, BakedTree):
+            _, _, frac, _ = _baked_lookup(spec, pos_hit)
+        else:
+            frac = descend(spec, pos_hit).frac
+        pos_hit = jnp.where(found[:, None], frac, 0.0)
     world = tree2world(pos_hit, spec.offset, spec.scaling)
     world = jnp.where(found[:, None], world, 0.0)
     joints = spec.extra_data[:, :3]  # (J, 3)

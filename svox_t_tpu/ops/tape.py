@@ -40,9 +40,23 @@ drift. Trilinear interpolation (`opt.interp`) is not supported on tapes
 (interp re-derives 8 corner cells per sample from positions — a
 structure walk); record/replay assert it off.
 
-Reference bar: the reference has no equivalent (it re-marches in
-rt_kernel.cu:221-328 every call); the tape is how the same workload is
-made TPU-shaped.
+**Data-indirect (cell-indexed) tapes** (``indirect=True``) survive
+`construct_tree` re-pointing — the "t" in svox_t. Sample POSITIONS
+depend only on tree structure (which the dynamic frame loop never
+edits; construct_tree rewrites only the index table,
+svox_kernel.cu:110-121), so the tape stores the flat TREE-CELL id per
+sample instead of a frozen feature row; replay resolves
+``data_idx = index_table[cell]`` with one extra row-gather from the
+CURRENT frame's (packed) index table — a small loop-invariant operand
+XLA VMEM-pins — then proceeds unchanged. Occupancy changes per frame,
+so compaction/ray-ordering must be keyed on a CONSERVATIVE occupancy:
+record against the UNION index table (occupancy only grows across a
+construct_tree sequence — stale pointers persist — so the union is the
+final table of a pre-pass over the animation) and the union cull box.
+Replayed outputs then equal the per-frame march exactly: slots beyond a
+frame's own occupancy are att == 1.0 no-ops (empty in that frame), and
+rays outside a frame's own box march through cells empty in that frame
+(background, bitwise). Guards key on structure, not occupancy.
 """
 
 from __future__ import annotations
@@ -74,6 +88,10 @@ class _NoSpec:
 
 
 _NOSPEC = _NoSpec()
+
+# Bulk-flush ys safety cap (see _replay_bwd_impl): beyond this the
+# backward auto-falls back to the tiered per-round scatter.
+_BULK_YS_MAX_BYTES = 1 << 30
 
 
 def _geom_key(spec, opt: RenderOptions) -> tuple:
@@ -206,6 +224,15 @@ class RayTape:
     # on the headline image; ray-level floor 93).
     out_blocks: tuple = dataclasses.field(
         default=(), metadata=dict(static=True)
+    )
+    # Data-indirect (cell-indexed) tape: `idx` holds flat TREE-CELL ids
+    # (indices into the tree's index table) instead of feature rows;
+    # replay requires the frame's packed index table and resolves
+    # data_idx per sample (see module docstring). Survives
+    # construct_tree re-pointing; compaction/counts were keyed on the
+    # UNION occupancy the tape was recorded against.
+    indirect: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
     )
 
     @property
@@ -407,7 +434,8 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
                 record_cells: bool = True,
                 chunk_size: int = 0,
                 prog_round_size: int = 0,
-                group_size: int = 1) -> RayTape:
+                group_size: int = 1,
+                indirect: bool = False) -> RayTape:
     """Record a :class:`RayTape` for these rays against this structure.
 
     The tape is valid while the tree STRUCTURE and the march-geometry
@@ -426,10 +454,28 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     spatially coherent inputs (scanline/pixel order) keep groups
     count-homogeneous, and the output unsort becomes a cheap
     block gather (see RayTape.group).
+
+    ``indirect=True`` records a data-indirect (cell-indexed) tape that
+    survives `construct_tree` re-pointing: `spec` must carry the UNION
+    occupancy over every frame the tape will serve (union index table +
+    union cull box — conservative compaction/ordering; see the module
+    docstring), and replays take the frame's packed index table.
     """
     if opt.interp:
         raise ValueError("tapes do not support opt.interp (corner cells "
                          "would need a structure walk at replay)")
+    if indirect:
+        # Cell-indexed tapes: idx IS the cell stream; sample positions
+        # must not depend on record-time occupancy details beyond the
+        # conservative cull (box_advance/skip boxes shift positions by
+        # occupancy, which changes per frame).
+        record_cells = True
+        if opt.box_advance or effective_skip_base(spec, opt):
+            raise ValueError(
+                "indirect tapes require exact geometry (box_advance=0, "
+                "skip_boxes off): occupancy-driven position shifts do "
+                "not survive re-pointing"
+            )
     origins = jnp.asarray(origins)
     dirs = jnp.asarray(dirs)
     vdirs = jnp.asarray(vdirs)
@@ -541,6 +587,11 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     n_cells = int(
         spec.n_tree_cells if is_baked else spec.child_flat.shape[0]
     )
+    if indirect:
+        # The cell stream IS the sample stream: alias it into `idx`
+        # (same device buffer — replays slice one array and resolve
+        # data rows through the frame's index table).
+        idx = cell
     return RayTape(
         idx=idx, dt=dt, cell=(cell if record_cells else None),
         counts=counts,
@@ -554,7 +605,58 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         bwd_round_chunk=brc, bwd_round_s0=brs,
         prog_K=int(K_prog), bwd_prog_K=int(K_bwd),
         ginv=ginv, group=int(G),
+        indirect=bool(indirect),
     )
+
+
+def pack_index_table(data_flat, width: int = 32):
+    """Pack a flat int32 index table into the (rows, width) row-gather
+    layout data-indirect replays resolve cells through. Call ONCE per
+    frame, OUTSIDE replay loops — the packed table is then a
+    loop-invariant operand XLA can VMEM-pin (the ~1.7 vs ~11.5 ns/index
+    regime, CLAUDE.md cost model)."""
+    data_flat = jnp.asarray(data_flat, jnp.int32).reshape(-1)
+    pad = (-data_flat.shape[0]) % width
+    if pad:
+        data_flat = jnp.concatenate(
+            [data_flat, jnp.full((pad,), DATA_SENTINEL, jnp.int32)]
+        )
+    return data_flat.reshape(-1, width)
+
+
+def _resolve_cells(index_table, cells):
+    """Per-sample data_idx for a round of recorded tree-cell ids: one
+    row-gather + lane select through the frame's packed index table.
+    Negative entries (legacy tables) read as empty."""
+    from .bake import _row_gather
+
+    idx = _row_gather(index_table, cells)
+    return jnp.where(idx < 0, jnp.int32(DATA_SENTINEL), idx)
+
+
+def _check_indirect(tape: RayTape, index_table):
+    if tape.indirect and index_table is None:
+        raise ValueError(
+            "data-indirect tape: pass index_table "
+            "(pack_index_table(data_flat) of the frame to render)"
+        )
+    if index_table is not None and not tape.indirect:
+        raise ValueError(
+            "index_table passed but the tape was not recorded with "
+            "indirect=True"
+        )
+    if tape.indirect:
+        # Structure guard (the data-version axis is free — that is the
+        # point of indirection — but a STRUCTURE change resizes the
+        # cell space and silently mis-routes every resolve).
+        n = int(index_table.shape[0]) * int(index_table.shape[1])
+        w = int(index_table.shape[1])
+        if not (tape.n_cells <= n < tape.n_cells + w):
+            raise ValueError(
+                f"index table covers {n} cells (padded, width {w}) but "
+                f"the tape was recorded against {tape.n_cells} — the "
+                "tree STRUCTURE changed; re-record the tape"
+            )
 
 
 def _pad_tape_to_round(tape: RayTape, K: int):
@@ -566,19 +668,27 @@ def _pad_tape_to_round(tape: RayTape, K: int):
     if Sp == S:
         return tape.idx, tape.dt, tape.cell, Sp
     padw = ((0, 0), (0, Sp - S), (0, 0))
-    idx = jnp.pad(tape.idx, padw, constant_values=int(DATA_SENTINEL))
+    # Indirect tapes hold CELL ids: pad with cell 0 (pad slots are past
+    # every count and masked; cell 0 keeps the resolve gather in range).
+    fill = 0 if tape.indirect else int(DATA_SENTINEL)
+    idx = jnp.pad(tape.idx, padw, constant_values=fill)
     dt = jnp.pad(tape.dt, padw)
     cell = jnp.pad(tape.cell, padw) if tape.cell is not None else None
     return idx, dt, cell, Sp
 
 
 def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
-                     spec=None, want_weight_accum: bool = False):
+                     spec=None, want_weight_accum: bool = False,
+                     index_table=None):
     """Replay radiometry over a recorded tape. Returns ((Bp, n_color+1)
     outputs in TAPE order, waccum or None). `spec` is only needed for
-    per-voxel transformation matrices / SG-ASG extra_data."""
+    per-voxel transformation matrices / SG-ASG extra_data.
+    `index_table` (data-indirect tapes only) is the frame's packed index
+    table; per round, recorded cell ids resolve to data rows through it
+    (see module docstring)."""
     if opt.interp:
         raise ValueError("tapes do not support opt.interp")
+    _check_indirect(tape, index_table)
     _check_geom(tape, spec, opt)
     if (opt.pool_axis is None
             and not isinstance(features, QuantizedFeatures)
@@ -657,6 +767,8 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
             L = jnp.where(first, 1.0, L)
             out_c = jnp.where(first, 0.0, out_c)
             idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+            if tape.indirect:
+                idx = _resolve_cells(index_table, idx)
             dt = jax.lax.dynamic_slice(dt_t, (c, s0, 0), (1, K, C))[0]
             counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
             ds = jax.lax.dynamic_slice(ds_t, (c, 0), (1, C))[0]
@@ -733,6 +845,8 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
     def body(carry):
         c, s0, L, out_c, alpha, stopped, out_buf, waccum = carry
         idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+        if tape.indirect:
+            idx = _resolve_cells(index_table, idx)
         dt = jax.lax.dynamic_slice(dt_t, (c, s0, 0), (1, K, C))[0]
         counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
         ds = jax.lax.dynamic_slice(ds_t, (c, 0), (1, C))[0]
@@ -821,7 +935,8 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
 
 
 def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
-                     grad_out_sorted, out_sorted, spec=None):
+                     grad_out_sorted, out_sorted, spec=None,
+                     index_table=None):
     """Gradient of the replay wrt the feature pool (dense (M, D)).
 
     Exact mode (sigma_thresh == 0, stop_thresh <= 0): single-pass tape
@@ -848,10 +963,17 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     M = features_t.M
     dtype = tape.dt.dtype
 
+    _check_indirect(tape, index_table)
     single_pass = opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
     if not single_pass:
         from .render import _volume_render_bwd_impl
 
+        if tape.indirect:
+            raise ValueError(
+                "thresholded gradients are not supported on data-indirect "
+                "tapes (the march-backward fallback needs a fixed spec); "
+                "use exact mode (sigma_thresh=0, stop_thresh=0)"
+            )
         if spec is None:
             raise ValueError(
                 "thresholded tape gradients need `spec` (march-backward "
@@ -906,6 +1028,8 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
         first = s0 == 0
         L = jnp.where(first, 1.0, L)
         idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+        if tape.indirect:
+            idx = _resolve_cells(index_table, idx)
         dt = jax.lax.dynamic_slice(dt_t, (c, s0, 0), (1, K, C))[0]
         counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
         ds = jax.lax.dynamic_slice(ds_t, (c, 0), (1, C))[0]
@@ -961,7 +1085,16 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
     init = (jnp.ones((C,), dtype), jnp.zeros((C,), dtype))
     xs = (tape.bwd_round_chunk, tape.bwd_round_s0)
 
-    if opt.bwd_bulk_scatter:
+    # The bulk flush materializes the full gradient-row ys buffer
+    # (rounds x K*C x (n_cc+1) f32 — ~180 MB on the headline scene);
+    # V-view rig / training tapes scale it with V*W*H, so past a safety
+    # cap fall back to the tiered per-round scatter automatically
+    # (slower, O(pool) memory) instead of risking device OOM.
+    n_cc = (
+        n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
+    )
+    ys_bytes = int(xs[0].shape[0]) * K * C * (n_cc + 1) * 4
+    if opt.bwd_bulk_scatter and ys_bytes <= _BULK_YS_MAX_BYTES:
         # Flat-program bulk flush: grad rows leave the scan as ys
         # (written once, never carried — no scan-carry copies), then ONE
         # bulk scatter-add lands them at the ~18 ns/row 1M-row rate.
@@ -990,7 +1123,14 @@ def unsort_output(tape: RayTape, out_sorted):
     gather n_rays/group contiguous blocks — ~10x cheaper than the
     ray-level row gather on image-sized batches. Tapes recorded in
     2-D pixel-block order (`tape.out_blocks`) additionally transpose
-    block-major back to raster order (pure reshape/transpose)."""
+    block-major back to raster order (pure reshape/transpose).
+
+    CAVEAT (grouped tapes): the block gather reconstructs the RECORDED
+    INPUT order (modulo `out_blocks`) and bypasses `inv_pos` — a
+    composed/edited `inv_pos` on a `group > 1` tape is silently ignored
+    here; record grouped tapes in the order you want outputs back in
+    (the renderer's recorders do), or use `inv_pos` yourself with
+    `unsort=False` outputs."""
     w = out_sorted.shape[-1]
     if tape.group > 1:
         blocks = out_sorted.reshape(-1, tape.group, w)
@@ -1007,81 +1147,95 @@ def unsort_output(tape: RayTape, out_sorted):
 
 
 def replay_render(tape: RayTape, features, opt: RenderOptions, spec=None,
-                  *, unsort: bool = True):
+                  *, unsort: bool = True, index_table=None):
     """Render by replaying a recorded tape — differentiable wrt
     ``features`` via the hand-written VJP (exact mode single-pass;
     thresholded modes fall back to the march backward).
+
+    ``index_table`` (data-indirect tapes only): the frame's packed index
+    table from :func:`pack_index_table` — gradients still flow to
+    ``features`` (the table is integer routing, zero cotangent).
 
     Returns (B, n_color+1) in the ORIGINAL ray order when ``unsort``
     (one output gather), else (n_chunks*C, n_color+1) in tape order
     (the first rows of the padded layout are duplicates — use
     ``tape.inv_pos`` to map ray i to its row)."""
-    out_sorted = _replay_call(tape, features, opt, spec)
+    out_sorted = _replay_call(tape, features, index_table, opt, spec)
     if unsort:
         return unsort_output(tape, out_sorted)
     return out_sorted
 
 
 def replay_render_weighted(tape: RayTape, features, opt: RenderOptions,
-                           spec=None, *, unsort: bool = True):
+                           spec=None, *, unsort: bool = True,
+                           index_table=None):
     """Replay + weight accumulation (mirrors
     `volume_render_with_weight_accum`: differentiable wrt ``features``
     through the color output; the weight output carries no gradient).
     Returns (out, waccum)."""
-    out_sorted, waccum = _replay_call_w(tape, features, opt, spec)
+    out_sorted, waccum = _replay_call_w(tape, features, index_table, opt,
+                                        spec)
     if unsort:
         out_sorted = unsort_output(tape, out_sorted)
     return out_sorted, waccum
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _replay_call(tape, features, opt, spec):
-    out, _ = _replay_fwd_impl(tape, features, opt, spec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _replay_call(tape, features, index_table, opt, spec):
+    out, _ = _replay_fwd_impl(tape, features, opt, spec,
+                              index_table=index_table)
     return out
 
 
-def _replay_call_fwd(tape, features, opt, spec):
-    out, _ = _replay_fwd_impl(tape, features, opt, spec)
-    return out, (tape, features, spec, out)
+def _replay_call_fwd(tape, features, index_table, opt, spec):
+    out, _ = _replay_fwd_impl(tape, features, opt, spec,
+                              index_table=index_table)
+    return out, (tape, features, index_table, spec, out)
 
 
 def _replay_call_bwd(opt, res, g):
     from .render import QuantizedFeatures, _zero_cotangent
 
-    tape, features, spec, out = res
+    tape, features, index_table, spec, out = res
     if isinstance(features, QuantizedFeatures):
         gf = _zero_cotangent(features)
     else:
-        gf = _replay_bwd_impl(tape, features, opt, g, out, spec)
-    return (_zero_cotangent(tape), gf, _zero_cotangent(spec))
+        gf = _replay_bwd_impl(tape, features, opt, g, out, spec,
+                              index_table=index_table)
+    return (_zero_cotangent(tape), gf, _zero_cotangent(index_table),
+            _zero_cotangent(spec))
 
 
 _replay_call.defvjp(_replay_call_fwd, _replay_call_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _replay_call_w(tape, features, opt, spec):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _replay_call_w(tape, features, index_table, opt, spec):
     return _replay_fwd_impl(tape, features, opt, spec,
-                            want_weight_accum=True)
+                            want_weight_accum=True,
+                            index_table=index_table)
 
 
-def _replay_call_w_fwd(tape, features, opt, spec):
+def _replay_call_w_fwd(tape, features, index_table, opt, spec):
     out, waccum = _replay_fwd_impl(tape, features, opt, spec,
-                                   want_weight_accum=True)
-    return (out, waccum), (tape, features, spec, out)
+                                   want_weight_accum=True,
+                                   index_table=index_table)
+    return (out, waccum), (tape, features, index_table, spec, out)
 
 
 def _replay_call_w_bwd(opt, res, g):
     from .render import QuantizedFeatures, _zero_cotangent
 
-    tape, features, spec, out = res
+    tape, features, index_table, spec, out = res
     g_out, _ = g  # the weight output carries no gradient (reference
     # parity: weights accumulate in the forward kernel only)
     if isinstance(features, QuantizedFeatures):
         gf = _zero_cotangent(features)
     else:
-        gf = _replay_bwd_impl(tape, features, opt, g_out, out, spec)
-    return (_zero_cotangent(tape), gf, _zero_cotangent(spec))
+        gf = _replay_bwd_impl(tape, features, opt, g_out, out, spec,
+                              index_table=index_table)
+    return (_zero_cotangent(tape), gf, _zero_cotangent(index_table),
+            _zero_cotangent(spec))
 
 
 _replay_call_w.defvjp(_replay_call_w_fwd, _replay_call_w_bwd)

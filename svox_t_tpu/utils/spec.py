@@ -107,6 +107,15 @@ class RenderOptions:
     # MUST stay 0 on the exact-parity path; no-op for tree-walk specs,
     # box-free bakes, and under interp (boxes are not skin-eroded).
     skip_boxes: int = 0
+    # Reference-quirk compatibility for motion_render's hit point: the
+    # reference's query_single_from_root destructively rewrites `pos`
+    # to the in-leaf FRACTIONAL coordinate (common.cuh:77-87) before
+    # rt_kernel.cu:756-774 world-transforms it, so its "world hit
+    # point" — and the joint distances derived from it — are computed
+    # from leaf-local fractions. Default 0 reports the actual sample
+    # position (the sensible semantics); 1 reproduces the quirk for
+    # drop-in parity with Artemis models TRAINED against it.
+    compat_hit_point: int = 0
     # Backward gradient-tape capacity (rows). 0 = per-round tiered
     # scatter (each round pays a latency-chained scatter call). > 0 =
     # per-round COMPACT-APPEND of contributing gradient rows into a

@@ -105,6 +105,50 @@ def test_motion_render_outputs(rng):
     assert (hp[hits] >= -1e-3).all() and (hp[hits] <= 1 + 1e-3).all()
 
 
+@pytest.mark.parametrize("backend", ["baked", "tree"])
+def test_motion_render_compat_hit_point(rng, backend):
+    """RenderOptions.compat_hit_point reproduces the reference's quirky
+    hit point: the world transform applied to the LEAF-LOCAL FRACTION
+    (common.cuh:77-87 rewrites `pos` destructively before
+    rt_kernel.cu:756-774) instead of the sample position — pinned here
+    for both behaviors so Artemis-trained downstreams get drop-in
+    parity on request."""
+    joints = np.array([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]], np.float32)
+    t, feats, r, _ = _setup(rng, extra_data=joints, sigma_scale=30.0)
+    r.backend = backend
+    rays = make_rays(rng, 32)
+    mf0, depth0, hp0, didx0 = map(
+        np.asarray, r.motion_render(feats, rays)
+    )
+    r.compat_hit_point = 1
+    mfc, depthc, hpc, didxc = map(
+        np.asarray, r.motion_render(feats, rays)
+    )
+    hits = depth0[:, 0] > 0
+    assert hits.any()
+    # Hit detection, depth, and data_idx are unaffected by the quirk.
+    np.testing.assert_array_equal(depthc, depth0)
+    np.testing.assert_array_equal(didxc, didx0)
+    # The quirky point is tree2world(in-leaf fraction): recompute the
+    # expected value by descending the true hit positions.
+    from svox_t_tpu.ops.traversal import descend, world2tree
+
+    spec = t._spec()
+    pos_tree = np.asarray(
+        world2tree(jnp.asarray(hp0), spec.offset, spec.scaling)
+    )
+    frac = np.asarray(descend(spec, jnp.asarray(pos_tree)).frac)
+    want = np.asarray(
+        t.tree2world(jnp.asarray(frac))
+    )
+    np.testing.assert_allclose(hpc[hits], want[hits], atol=1e-5)
+    # ... and differs from the true sample point (the quirk is real).
+    assert np.abs(hpc[hits] - hp0[hits]).max() > 1e-3
+    # Joint distances flow from the quirky point.
+    wantd = np.linalg.norm(hpc[hits][:, None, :] - joints[None], axis=-1)
+    np.testing.assert_allclose(mfc[hits], wantd, atol=1e-5)
+
+
 def test_motion_render_requires_extra_data(rng):
     t, feats, r, _ = _setup(rng)
     rays = make_rays(rng, 4)

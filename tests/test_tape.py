@@ -547,10 +547,13 @@ def test_block_grouped_persp_tape(rng):
         r.render_tape(tp32, f) ** 2))(feats))
     np.testing.assert_array_equal(g1, g32)
 
-    # 25 % 8 != 0: block shape is rejected, legacy tape still correct
+    # 25 % 8 != 0: the 2-D block shape is rejected; the fallback keeps
+    # the requested grouping as a 1-D grouped sort over PIXEL-order rays
+    # (degraded to the largest compatible divisor) instead of silently
+    # dropping it — outputs still come back in raster order.
     tp_odd = r.record_persp(c2w, 25, H, 24.0, features=feats,
                             group_size=32)
-    assert tp_odd.group == 1 and not tp_odd.out_blocks
+    assert not tp_odd.out_blocks and tp_odd.group > 1
     img_odd = np.asarray(r.render_persp_tape(feats, c2w, 25, H, 24.0,
                                              group_size=32))
     ref_odd = np.asarray(r.render_persp(feats, c2w, 25, H, 24.0))
