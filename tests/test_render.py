@@ -10,7 +10,7 @@ import pytest
 
 import svox_t_tpu as st
 from svox_t_tpu.ops.reference_renderer import volume_render_oracle
-from svox_t_tpu.ops.render import (volume_render,
+from svox_t_tpu.ops.render import (cam2world_rays, volume_render,
                                    volume_render_with_weight_accum)
 
 from helpers import build_tree, make_rays
@@ -235,6 +235,58 @@ def test_ndc_rendering_runs(rng):
     c2w[:3, 3] = [0.5, 0.5, 0.2]
     img = np.asarray(r.render_persp(feats, c2w, width=10, height=10, fx=10.0))
     assert np.isfinite(img).all()
+
+
+def test_ndc_march_matches_anchored_oracle(rng):
+    """Numeric anchor for the in-march NDC path (world2ndc wiring in
+    `_persp_jit`; reference semantics rt_kernel.cu:1169-1190): the image
+    kernel (a) warps dir/origin with the NDC projection, (b) NORMALIZES
+    the warped dir, and (c) evaluates the SH basis on the PRE-NDC world
+    direction. Pins `ops/render.world2ndc` to the anchored standalone
+    `convert_to_ndc` (itself reference-anchored in
+    test_reference_anchor.py) and the full render to the oracle on
+    pre-converted rays."""
+    t, feats, _ = _setup(rng, "SH1", 4)
+    ndc = st.NDCConfig(width=20, height=20, focal=10.0)
+    r = st.VolumeRenderer(t, ndc=ndc)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 0.2]
+    W = H = 12
+    img = np.asarray(
+        r.render_persp(feats, c2w, width=W, height=H, fx=12.0)
+    ).reshape(W * H, -1)
+
+    origins, dirs = cam2world_rays(jnp.asarray(c2w), W, H, 12.0, 12.0)
+    vdirs = dirs  # basis dirs are the PRE-NDC world dirs
+    opt = r._get_options(False)
+
+    # (1) world2ndc == anchored convert_to_ndc + dir normalization.
+    nd_d, nd_o = st.ops.render.world2ndc(opt, dirs, origins)
+    ref_o, ref_d = st.convert_to_ndc(
+        origins, dirs, ndc.focal, ndc.width, ndc.height
+    )
+    ref_d = ref_d / jnp.linalg.norm(ref_d, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(nd_o), np.asarray(ref_o),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nd_d), np.asarray(ref_d),
+                               atol=1e-6)
+
+    # (2) render_persp with NDCConfig == oracle on the pre-converted rays.
+    # render_persp fuses cam2world_rays+world2ndc into its dispatch; the
+    # standalone path rounds differently by ulps, and the NDC divisions
+    # amplify that on a few boundary pixels (docs/PERFORMANCE.md
+    # "Cross-program caveat") — so a small fraction of elements may
+    # deviate at the 1e-3 level. Wiring drift (post-NDC vdirs, missing
+    # dir normalization, warp-order changes) perturbs EVERY content
+    # pixel grossly and fails both gates below.
+    ref = np.asarray(
+        volume_render_oracle(t._spec(), feats, ref_o, ref_d, vdirs, opt)
+    )
+    diff = np.abs(img - ref)
+    assert diff.max() < 5e-3, diff.max()
+    assert (diff > 1e-5).mean() < 0.05, (diff > 1e-5).mean()
+    # the comparison must not be vacuous: some rays hit real content
+    assert img[:, -1].max() > 0.05
 
 
 def test_empty_feature_pool(rng):
