@@ -200,10 +200,25 @@ def main():
             return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, N_TAPE, one, 0.0)
 
-    # Fixed-ray training chains steps inside one dispatch (a fit loop
-    # scans minibatch steps, as the config-3 fit does) — amortize the
-    # relay RTT over 16 perturbed fwd+bwd frames, like N_TAPE for fwd.
+    # Fixed-ray gradient evaluation over a 16-frame feature stream in
+    # one dispatch (replay_render_frames): 16 INDEPENDENT per-frame
+    # gradients — the same work the old per-frame fori computed — but
+    # the backward batches all 16 flushes into ONE wide scatter
+    # (probe_flush_wide.py). This is the gradient-accumulation /
+    # feature-stream regime; a sequential SGD chain (step n+1 needs
+    # step n's update) cannot share the flush and runs at the
+    # `tape_fwd_bwd_seq` rate below.
     N_TAPE_BWD = 16
+
+    @functools.partial(jax.jit, static_argnames=("opt_",))
+    def tape_fwdbwd_frames(tp, f, opt_):
+        scales = 1.0 + 1e-7 * jnp.arange(N_TAPE_BWD, dtype=f.dtype)
+        fs = f[None] * scales[:, None, None]
+        g = jax.grad(lambda ffs: jnp.sum(tape_ops.replay_render_frames(
+            tp, ffs, opt_, unsort=False)))(fs)
+        return jnp.sum(g)
+
+    N_TAPE_BWD_SEQ = 8
 
     @functools.partial(jax.jit, static_argnames=("opt_",))
     def tape_fwdbwd_sustained(tp, f, opt_):
@@ -211,7 +226,7 @@ def main():
             g = jax.grad(lambda ff: jnp.sum(tape_ops.replay_render(
                 tp, ff, opt_, unsort=False)))(f * (1.0 + 1e-7 * i))
             return acc + jnp.sum(g)
-        return jax.lax.fori_loop(0, N_TAPE_BWD, one, 0.0)
+        return jax.lax.fori_loop(0, N_TAPE_BWD_SEQ, one, 0.0)
 
     def bench_tape(f, opt_):
         # Warm first (count+record walks compile once per options/shape
@@ -243,6 +258,18 @@ def main():
     # exists for pixel-order serving, where it moves the unsort cost.
     tape_tr = r.record_persp(c2w, W, H, fx=W * 1.1, features=feats,
                              group_size=1)
+    _ = float(tape_fwdbwd_frames(tape_tr, feats, opt))
+    times = []
+    for i in range(3):
+        f_i = feats * (1.0 + 1e-7 * (i + 1))
+        _ = float(jnp.sum(f_i))
+        t0 = time.time()
+        _ = float(tape_fwdbwd_frames(tape_tr, f_i, opt))
+        times.append(time.time() - t0)
+    tape_bwd_s = min(times) / N_TAPE_BWD
+    tape_bwd_mrays = n_rays / tape_bwd_s / 1e6
+    # Sequential per-frame grads (the SGD-chain regime: one flush per
+    # step) — kept regression-visible next to the batched number.
     _ = float(tape_fwdbwd_sustained(tape_tr, feats, opt))
     times = []
     for i in range(3):
@@ -251,8 +278,8 @@ def main():
         t0 = time.time()
         _ = float(tape_fwdbwd_sustained(tape_tr, f_i, opt))
         times.append(time.time() - t0)
-    tape_bwd_s = min(times) / N_TAPE_BWD
-    tape_bwd_mrays = n_rays / tape_bwd_s / 1e6
+    tape_bwd_seq_s = min(times) / N_TAPE_BWD_SEQ
+    tape_bwd_seq_mrays = n_rays / tape_bwd_seq_s / 1e6
 
     # "fast" mode (sigma_thresh = stop_thresh = 1e-2): the reference's
     # accelerated configuration and the setting PlenOctrees-class FPS
@@ -549,6 +576,8 @@ def main():
                 "tape_record_ms": round(tape_rec_s * 1e3, 0),
                 "tape_fwd_bwd_mrays_s": round(tape_bwd_mrays, 3),
                 "tape_fwd_bwd_ms": round(tape_bwd_s * 1e3, 1),
+                "tape_fwd_bwd_seq_mrays_s": round(tape_bwd_seq_mrays, 3),
+                "tape_fwd_bwd_seq_ms": round(tape_bwd_seq_s * 1e3, 1),
                 "fwd_march_mrays_s": round(fwd_mrays, 3),
                 "fwd_march_noplan_mrays_s": round(noplan_mrays, 3),
                 "fwd_march_noplan_ms": round(noplan_s * 1e3, 1),

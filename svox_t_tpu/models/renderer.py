@@ -197,8 +197,15 @@ def _tape_frames_jit(tape, spec, features_frames, tmats_frames, opt,
     """T feature-stack frames replayed over ONE recorded tape in ONE
     dispatch (scan over frames; the replay body compiles once). The
     steady-state serving loop for fixed-camera animated-feature streams
-    — all structure work was paid at record time."""
+    — all structure work was paid at record time. Without per-frame
+    tmats this routes through `replay_render_frames` (same scanned
+    forward, but gradients batch into ONE combined wide flush)."""
     import dataclasses as _dc
+
+    if not has_tm:
+        return tape_ops.replay_render_frames(
+            tape, features_frames, opt, spec, unsort=unsort
+        )
 
     def body(carry, xs):
         if has_tm:

@@ -936,7 +936,7 @@ def _replay_fwd_impl(tape: RayTape, features, opt: RenderOptions,
 
 def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
                      grad_out_sorted, out_sorted, spec=None,
-                     index_table=None):
+                     index_table=None, emit_only=False, share_idx=False):
     """Gradient of the replay wrt the feature pool (dense (M, D)).
 
     Exact mode (sigma_thresh == 0, stop_thresh <= 0): single-pass tape
@@ -965,6 +965,11 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
 
     _check_indirect(tape, index_table)
     single_pass = opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
+    if emit_only:
+        assert single_pass and tape.n_chunks > tape.n_zero, (
+            "emit_only is internal to the N-frame combined flush "
+            "(exact mode, non-empty tapes only)"
+        )
     if not single_pass:
         from .render import _volume_render_bwd_impl
 
@@ -1079,7 +1084,22 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
         rows_full = jnp.concatenate(
             [rows, g_sigma.reshape(-1)[:, None]], axis=-1
         )
-        sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
+        if share_idx:
+            # Frame-invariant destinations (the N-frame combined flush,
+            # `_replay_bwd_frames_impl`, shares ONE scatter across
+            # frames): route every VALID in-pool sample to its true row
+            # and zero the non-contributing rows instead — x + 0.0 adds
+            # are identity, so the flushed sums match the contrib-routed
+            # scatter. contrib ⊆ valid & (idx < M) (empty rows read
+            # sigma 0), so no destination is lost.
+            rows_full = jnp.where(
+                contrib.reshape(-1)[:, None], rows_full, 0.0
+            )
+            sidx = jnp.where(
+                jnp.logical_and(valid, idx < M).reshape(-1), gi_flat, M
+            )
+        else:
+            sidx = jnp.where(contrib.reshape(-1), gi_flat, M)
         return (L * cp[-1], acc_after[-1]), _to_local(sidx), rows_full
 
     init = (jnp.ones((C,), dtype), jnp.zeros((C,), dtype))
@@ -1094,6 +1114,17 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
         n_color * opt.basis_dim if opt.format != FORMAT_RGBA else n_color
     )
     ys_bytes = int(xs[0].shape[0]) * K * C * (n_cc + 1) * 4
+    if emit_only:
+        # N-frame combined flush (`_replay_bwd_frames_impl`): emit this
+        # frame's gradient rows only — destinations are frame-invariant
+        # (share_idx) and scattered ONCE by the caller.
+        def body(carry, xs_):
+            (L, acc), _sloc, rows = round_rows(carry[0], carry[1], xs_)
+            return (L, acc), rows
+
+        _, rows_all = jax.lax.scan(body, init, xs)
+        return rows_all
+
     if opt.bwd_bulk_scatter and ys_bytes <= _BULK_YS_MAX_BYTES:
         # Flat-program bulk flush: grad rows leave the scan as ys
         # (written once, never carried — no scan-carry copies), then ONE
@@ -1115,6 +1146,111 @@ def _replay_bwd_impl(tape: RayTape, features, opt: RenderOptions,
 
     (_, _, grad), _ = jax.lax.scan(body, init + (g0,), xs)
     return grad
+
+
+def _bwd_shared_sloc(tape: RayTape, Mloc: int, index_table=None):
+    """Frame-invariant flush destinations for the combined N-frame
+    backward: the exact sidx stream `round_rows(share_idx=True)` routes
+    to, computed WITHOUT features (a cheap integer scan over the tape's
+    backward round program). Returns (rounds, K*C) int32 in [0, Mloc];
+    Mloc is the drop slot."""
+    K = max(1, tape.bwd_prog_K)
+    C = tape.C
+    idx_t, _, _, _ = _pad_tape_to_round(tape, K)
+    nz = tape.n_zero
+    idx_t = idx_t[nz:]
+    counts_t = tape.counts[nz:]
+    slot_k = jnp.arange(K, dtype=jnp.int32)
+
+    def one(carry, xs_):
+        c, s0 = xs_
+        idx = jax.lax.dynamic_slice(idx_t, (c, s0, 0), (1, K, C))[0]
+        if tape.indirect:
+            idx = _resolve_cells(index_table, idx)
+        counts = jax.lax.dynamic_slice(counts_t, (c, 0), (1, C))[0]
+        valid = (s0 + slot_k)[:, None] < counts[None]
+        vf = idx < Mloc
+        sidx = jnp.where(
+            jnp.logical_and(valid, vf), jnp.where(vf, idx, 0), Mloc
+        )
+        return carry, sidx.reshape(-1)
+
+    _, sloc = jax.lax.scan(
+        one, 0, (tape.bwd_round_chunk, tape.bwd_round_s0)
+    )
+    return sloc
+
+
+# Combined N-frame flush cap: the (rounds*K*C, N, D) ys stack plus its
+# transposed copy live simultaneously (~2x) — past this, fall back to
+# per-frame backwards rather than risk device OOM.
+_WIDE_YS_MAX_BYTES = 7 << 30
+
+
+def _replay_bwd_frames_impl(tape: RayTape, features_frames, opt,
+                            grad_outs, outs, spec=None, index_table=None):
+    """Gradients of N independent replays with ONE combined wide flush.
+
+    The bulk flush is row-count-bound, not byte-bound
+    (benchmarks/probe_flush_wide.py: width 29 vs N*29 near-constant at
+    1.57M rows), and its destinations are frame-invariant once the
+    sigma>0 routing moves from the index side to the row side
+    (share_idx). So N frames' gradient rows land in ONE
+    (T, N, D) -> (M, N, D) scatter-add and the single-frame flush cost
+    amortizes to ~1/N per frame.
+
+    ys emission stays an OUTER scan over frames so each frame's inner
+    round scan keeps its own (M, D) table as a pinnable loop invariant
+    (a fused (N*M, D) table would fall off the ~1.7 ns/row VMEM gather
+    regime — CLAUDE.md cost model).
+
+    Falls back to a per-frame scan of the single-frame backward
+    (identical gradients, N flushes) for thresholded modes, sharded
+    pools, bulk-flush opt-outs, or oversized ys stacks."""
+    N, Mloc, D = features_frames.shape
+    dtype = tape.dt.dtype
+    single_pass = opt.sigma_thresh == 0.0 and opt.stop_thresh <= 0.0
+    K = max(1, tape.bwd_prog_K)
+    C = tape.C
+    R = int(tape.bwd_round_chunk.shape[0])
+    wide_bytes = N * R * K * C * D * 4
+    if tape.n_chunks <= tape.n_zero:
+        return jnp.zeros((N, Mloc, D), dtype)
+    if (not single_pass or opt.pool_axis is not None
+            or not opt.bwd_bulk_scatter
+            or wide_bytes > _WIDE_YS_MAX_BYTES):
+        def one(carry, xs_):
+            f, go, o = xs_
+            g = _replay_bwd_impl(tape, f, opt, go, o, spec,
+                                 index_table=index_table)
+            return carry, g
+
+        _, gs = jax.lax.scan(
+            one, 0, (features_frames, grad_outs, outs)
+        )
+        return gs
+
+    def emit(carry, xs_):
+        f, go, o = xs_
+        rows = _replay_bwd_impl(tape, f, opt, go, o, spec,
+                                index_table=index_table,
+                                emit_only=True, share_idx=True)
+        return carry, rows
+
+    _, rows_n = jax.lax.scan(emit, 0, (features_frames, grad_outs, outs))
+    # (N, rounds, K*C, D) -> FLAT (T, N*D): one bandwidth-rate transpose
+    # so the flush reads each destination's N frame-blocks contiguously.
+    # The layout must stay flat 2-D: a shaped (T, N, D) / (M, N, D)
+    # scatter pads the minor dim D=29 -> 128 under T(8,128) (4.4x
+    # memory, OOMs at N=16 — probe_flush_wide.py); flat N*D pads
+    # 464 -> 512 only.
+    T_rows = R * K * C
+    rows_t = rows_n.reshape(N, T_rows, D).transpose(1, 0, 2).reshape(
+        T_rows, N * D
+    )
+    sloc = _bwd_shared_sloc(tape, Mloc, index_table).reshape(-1)
+    g = jnp.zeros((Mloc, N * D), dtype).at[sloc].add(rows_t, mode="drop")
+    return g.reshape(Mloc, N, D).transpose(1, 0, 2)
 
 
 def unsort_output(tape: RayTape, out_sorted):
@@ -1178,6 +1314,68 @@ def replay_render_weighted(tape: RayTape, features, opt: RenderOptions,
     if unsort:
         out_sorted = unsort_output(tape, out_sorted)
     return out_sorted, waccum
+
+
+def replay_render_frames(tape: RayTape, features_frames,
+                         opt: RenderOptions, spec=None, *,
+                         unsort: bool = True, index_table=None):
+    """Replay one recorded tape over a STACK of feature frames in one
+    differentiable program. Forward scans frames (each replay identical
+    to :func:`replay_render`); backward evaluates all N per-frame
+    gradients with ONE combined wide flush (`_replay_bwd_frames_impl`)
+    instead of N single-frame flushes — the flush is the single-frame
+    backward's floor, so gradient-evaluation throughput over a feature
+    stream scales ~N x until ys memory caps it.
+
+    The N gradients are independent per-frame cotangents (frames share
+    the tape's geometry, not values) — the entry point for gradient
+    evaluation over a feature stream: multi-frame fitting, gradient
+    accumulation across time steps of a dynamic sequence (one shared
+    ``index_table``), or scoring a generator's feature stack. A
+    sequential SGD chain (step n+1's forward needs step n's update)
+    cannot share the flush — keep :func:`replay_render` there.
+
+    ``features_frames``: (N, M, D). Returns (N, B, n_color+1)."""
+    out = _replay_call_frames(tape, features_frames, index_table, opt,
+                              spec)
+    if unsort:
+        return jax.vmap(lambda o: unsort_output(tape, o))(out)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _replay_call_frames(tape, features_frames, index_table, opt, spec):
+    def one(carry, f):
+        o, _ = _replay_fwd_impl(tape, f, opt, spec,
+                                index_table=index_table)
+        return carry, o
+
+    _, outs = jax.lax.scan(one, 0, features_frames)
+    return outs
+
+
+def _replay_call_frames_fwd(tape, features_frames, index_table, opt,
+                            spec):
+    outs = _replay_call_frames(tape, features_frames, index_table, opt,
+                               spec)
+    return outs, (tape, features_frames, index_table, spec, outs)
+
+
+def _replay_call_frames_bwd(opt, res, g):
+    from .render import QuantizedFeatures, _zero_cotangent
+
+    tape, features_frames, index_table, spec, outs = res
+    if isinstance(features_frames, QuantizedFeatures):
+        gf = _zero_cotangent(features_frames)
+    else:
+        gf = _replay_bwd_frames_impl(tape, features_frames, opt, g, outs,
+                                     spec, index_table=index_table)
+    return (_zero_cotangent(tape), gf, _zero_cotangent(index_table),
+            _zero_cotangent(spec))
+
+
+_replay_call_frames.defvjp(_replay_call_frames_fwd,
+                           _replay_call_frames_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
