@@ -654,8 +654,11 @@ class VolumeRenderer:
         ``block`` > 1 costs ONE ray per (block x block) pixel block (the
         center) and broadcasts — a block^2-fold cut of the pre-march
         that, with the chunked cost walk (ops/schedule.py), takes plan
-        builds from ~8-20 frame-times to ~1 (round-4 fix of the
-        moving-camera economics). Plans are approximate schedules, never
+        builds from ~8-20 frame-times to ~1-3 (round-4 fix of the
+        moving-camera economics; ~93 ms measured through the relay,
+        bench.py `plan_block_ms`, much of it the fixed dispatch RTT —
+        the scheduled march then runs ~19 Mrays/s vs 23.5 for the
+        per-ray plan). Plans are approximate schedules, never
         semantics: any permutation renders bit-identically; block
         granularity only trades a little chunk homogeneity. block=1
         recovers the exact per-ray plan."""
