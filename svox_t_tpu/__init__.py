@@ -28,7 +28,7 @@ from .ops.grid import grid_weight_render
 from .ops.sh import eval_sh, eval_sh_bases
 from .ops.render import QuantizedFeatures, quantize_features
 from .ops.tape import (RayTape, pack_index_table, record_tape,
-                       replay_render, replay_render_frames)
+                       replay_depth, replay_render, replay_render_frames)
 from .utils.builders import tree_from_occupancy, tree_structure_from_occupancy
 
 __all__ = [
@@ -59,6 +59,7 @@ __all__ = [
     "record_tape",
     "replay_render",
     "replay_render_frames",
+    "replay_depth",
     "pack_index_table",
     "make_tree_spec",
     "DATA_SENTINEL",

@@ -399,12 +399,13 @@ def _dyn_union_jit(tree_spec, tgt_poses, src_pose, points,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt", "per_frame_feats", "use_rot", "unsort"),
+    static_argnames=("opt", "per_frame_feats", "use_rot", "unsort",
+                     "with_depth"),
 )
 def _dynamic_tape_frames_jit(tape, tree_spec, features, tgt_poses,
                              src_pose, points, skinning_weights,
                              joint_index, opt, per_frame_feats, use_rot,
-                             unsort):
+                             unsort, with_depth=False):
     """The fused temporal pipeline served through a data-indirect tape,
     ONE dispatch: per scanned frame — LBS warp, construct_tree re-point,
     pack the frame's index table, replay radiometry (cells resolve to
@@ -437,6 +438,11 @@ def _dynamic_tape_frames_jit(tape, tree_spec, features, tgt_poses,
         out = tape_ops.replay_render(
             tape, f, opt, sp, unsort=unsort, index_table=table
         )
+        if with_depth:
+            depth = tape_ops.replay_depth(
+                tape, f, opt, sp, unsort=unsort, index_table=table
+            )
+            out = (out, depth)
         return (new_flat, lo, hi), out
 
     xs = [tgt_poses]
@@ -770,7 +776,7 @@ class VolumeRenderer:
     def record_rays(self, rays: Rays, features=None, n_features=None,
                     fast=False, compact=True, record_cells=True,
                     chunk_size=0, group_size=1, spec=None, opt=None,
-                    indirect=False):
+                    indirect=False, record_t=False):
         """Record a :class:`~svox_t_tpu.ops.tape.RayTape` for this ray
         batch: the march's structure walk cached per (rays x tree
         structure x geometry options). `render_tape` then replays only
@@ -808,7 +814,7 @@ class VolumeRenderer:
             spec, int(n_features), jnp.asarray(rays.origins),
             jnp.asarray(rays.dirs), jnp.asarray(rays.viewdirs), opt,
             compact=compact, record_cells=record_cells, chunk_size=C,
-            group_size=group_size, indirect=indirect,
+            group_size=group_size, indirect=indirect, record_t=record_t,
         )
 
     def render_tape(self, tape, features, fast=False,
@@ -872,7 +878,7 @@ class VolumeRenderer:
     def _record_persp_core(self, c2w_np, width, height, fx, fy, opt, G,
                            features=None, n_features=None, fast=False,
                            compact=True, spec=None, rec_opt=None,
-                           indirect=False):
+                           indirect=False, record_t=False):
         """Shared perspective tape recording: (bh x bw) block-major ray
         order when the image/chunk config allows it (cheap
         reshape/transpose unsort), else pixel order with a 1-D grouped
@@ -895,6 +901,7 @@ class VolumeRenderer:
                 rays, features=features, n_features=n_features,
                 fast=fast, compact=compact, group_size=G,
                 spec=spec, opt=rec_opt, indirect=indirect,
+                record_t=record_t,
             )
             # pixel i sits at block-major position inv_o[i]
             tape = _dc.replace(
@@ -914,6 +921,7 @@ class VolumeRenderer:
                 rays, features=features, n_features=n_features,
                 fast=fast, compact=compact, group_size=G,
                 spec=spec, opt=rec_opt, indirect=indirect,
+                record_t=record_t,
             )
         else:
             rays, tinv = self._persp_rays(c2w_np, width, height, fx, fy,
@@ -922,6 +930,7 @@ class VolumeRenderer:
                 rays, features=features,
                 n_features=n_features, fast=fast, compact=compact,
                 spec=spec, opt=rec_opt, indirect=indirect,
+                record_t=record_t,
             )
             if tinv is not None:
                 # compose: pixel i -> tile slot tinv[i] -> sorted row
@@ -1375,7 +1384,7 @@ class VolumeRenderer:
 
     def record_dynamic_rays(self, rays: Rays, tgt_poses, src_pose, points,
                             skinning_weights, joint_index, compact=True,
-                            group_size=1):
+                            group_size=1, record_t=False):
         """Record a data-indirect tape for a ray batch over an animation
         (see ops/tape.py): the tape survives every `construct_tree`
         re-point the animation performs — replay per frame resolves
@@ -1386,13 +1395,13 @@ class VolumeRenderer:
         opt = self._dyn_geom_options(False)
         return self.record_rays(
             rays, n_features=Q, compact=compact, group_size=group_size,
-            spec=spec_u, opt=opt, indirect=True,
+            spec=spec_u, opt=opt, indirect=True, record_t=record_t,
         )
 
     def record_dynamic_persp(self, c2w, tgt_poses, src_pose, points,
                              skinning_weights, joint_index, width=800,
                              height=800, fx=1111.111, fy=None,
-                             compact=True, group_size=0):
+                             compact=True, group_size=0, record_t=False):
         """Record (and cache) a data-indirect perspective tape for an
         animation: ONE structure-walk record serves every frame of the
         `render_dynamic_tape_frames` loop (and any feature stream over
@@ -1405,7 +1414,7 @@ class VolumeRenderer:
         opt = self._dyn_geom_options(False)
         key = self._dyn_cache_key(
             ("dyn", int(width), int(height), float(fx), float(fy),
-             bool(compact), G,
+             bool(compact), G, bool(record_t),
              (float(opt.step_size), int(opt.max_steps), int(opt.interp))),
             (c2w_np, np.asarray(tgt_poses, np.float32),
              np.asarray(src_pose, np.float32),
@@ -1422,7 +1431,7 @@ class VolumeRenderer:
         tape = self._record_persp_core(
             c2w_np, int(width), int(height), float(fx), float(fy), opt, G,
             n_features=Q, compact=compact, spec=spec_u, rec_opt=opt,
-            indirect=True,
+            indirect=True, record_t=record_t,
         )
         self._tape_cache_put(key, tape)
         return tape
@@ -1433,7 +1442,8 @@ class VolumeRenderer:
                                    width=800, height=800, fx=1111.111,
                                    fy=None, fast=False,
                                    viewdir_rotation=True, update_tree=True,
-                                   compact=True, group_size=0):
+                                   compact=True, group_size=0,
+                                   with_depth=False):
         """`render_dynamic_frames` served through a data-indirect tape:
         per frame the scan warps the cloud, re-points the octree, and
         REPLAYS recorded radiometry — no structure walk, no bake
@@ -1443,11 +1453,14 @@ class VolumeRenderer:
         (or pass one from `record_dynamic_persp` / `record_dynamic_rays`
         explicitly). Outputs equal `render_dynamic_frames` to the
         compaction license (~1e-7; bit-equal with ``compact=False``).
-        Differentiable wrt `features`. `with_depth` is not supported on
-        the tape path (depth needs a march) — use the fused loop.
+        Differentiable wrt `features`. ``with_depth=True`` also returns
+        per-frame first-hit depth maps replayed from the tape's recorded
+        per-sample t (the tape must be recorded with ``record_t=True``;
+        auto-recording here does that when with_depth is set).
 
         :return: (T, B, n_color+1) for rays, (T, H, W, n_color+1) for a
-            camera
+            camera; with_depth returns (colors, depths) with depths
+            (T, B, 1) / (T, H, W, 1)
         """
         assert (rays is None) != (c2w is None) or tape is not None, (
             "pass exactly one of rays/c2w (or an explicit tape + rays=None"
@@ -1462,18 +1475,23 @@ class VolumeRenderer:
                 tape = self.record_dynamic_persp(
                     c2w, tgt_poses, src_pose, points, skinning_weights,
                     joint_index, width, height, fx, fy, compact=compact,
-                    group_size=group_size,
+                    group_size=group_size, record_t=with_depth,
                 )
             else:
                 tape = self.record_dynamic_rays(
                     rays, tgt_poses, src_pose, points, skinning_weights,
                     joint_index, compact=compact,
                     group_size=max(1, int(group_size)),
+                    record_t=with_depth,
                 )
         if not tape.indirect:
             raise ValueError(
                 "tape is not data-indirect; record with "
                 "record_dynamic_persp/record_dynamic_rays"
+            )
+        if with_depth and tape.tval is None:
+            raise ValueError(
+                "with_depth needs a tape recorded with record_t=True"
             )
         opt = self._dyn_geom_options(fast)
         tree_spec = self.tree._spec()
@@ -1489,12 +1507,19 @@ class VolumeRenderer:
             jnp.asarray(skinning_weights, jnp.float32),
             jnp.asarray(joint_index, jnp.int32),
             opt, per_frame_feats, bool(viewdir_rotation), True,
+            bool(with_depth),
         )
         if update_tree:
             self.tree._adopt_data_flat(tree_spec, data_flat, lo, hi)
-        if c2w is not None:
-            outs = outs.reshape(outs.shape[0], int(height), int(width), -1)
-        return outs
+
+        def _img(o):
+            if c2w is not None:
+                return o.reshape(o.shape[0], int(height), int(width), -1)
+            return o
+
+        if with_depth:
+            return _img(outs[0]), _img(outs[1])
+        return _img(outs)
 
     def motion_render(self, features, rays: Rays, cuda=True, fast=False):
         """First-hit pass: (motion_feature (B, n_joints), depth (B,1),

@@ -214,6 +214,13 @@ class RayTape:
     # padding (benchmarks/probe_tape_group.py). `inv_pos` stays valid
     # either way (ray-level addressing for unsort=False consumers).
     ginv: Optional[jax.Array] = None
+    # Per-sample march parameter t (the recorded t-chain value AT the
+    # sample), present when recorded with ``record_t=True``: the
+    # first-hit depth replay (`replay_depth`) selects each ray's first
+    # over-threshold resident sample and reads its t here. Pure
+    # structure — frame-invariant, so data-indirect tapes keep it
+    # across construct_tree re-points.
+    tval: Optional[jax.Array] = None
     group: int = dataclasses.field(default=1, metadata=dict(static=True))
     # Optional 2-D pixel-block layout (nbh, nbw, bh, bw) per image, set
     # by the perspective recorders: rays were recorded in block-major
@@ -290,11 +297,11 @@ def _count_samples(spec, origins, dirs, skip_base, n_rows, step_size,
 @functools.partial(
     jax.jit,
     static_argnames=("opt", "S_rec", "S_out", "n_features", "record_cells",
-                     "compact"),
+                     "compact", "record_t"),
 )
 def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
                    S_out: int, n_features: int, record_cells: bool,
-                   compact: bool):
+                   compact: bool, record_t: bool = False):
     """Record march: scan chunks, run the EXACT march chain
     (`_march_round` — the same function the renderer marches with), and
     write each round's (K, C) sample block into the chunk's (S_rec, C)
@@ -319,16 +326,17 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
         idx_b = jnp.full((S_rec, C), DATA_SENTINEL, jnp.int32)
         dt_b = jnp.zeros((S_rec, C), origins_.dtype)
         cell_b = jnp.zeros((S_rec, C), jnp.int32)
+        t_b = jnp.zeros((S_rec, C), origins_.dtype)
 
         def cond(carry):
             step0, t, active = carry[0], carry[1], carry[2]
             return jnp.logical_and(step0 < opt.max_steps, jnp.any(active))
 
         def body(carry):
-            step0, t, active, idx_b, dt_b, cell_b, n_valid = carry
-            idx, dt, valid, cell, _, _, t_end, act_end = _march_round(
+            step0, t, active, idx_b, dt_b, cell_b, t_b, n_valid = carry
+            idx, dt, valid, cell, t_at, _, t_end, act_end = _march_round(
                 spec, opt, oxyz, dxyz, ivxyz, tmax, step0, t, active,
-                want_pos=False,
+                want_pos=bool(record_t),
             )
             node = (
                 spec.src_map[cell.reshape(-1)].reshape(cell.shape)
@@ -342,14 +350,17 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
                 cell_b = jax.lax.dynamic_update_slice(
                     cell_b, jnp.where(valid, node, 0), (step0, 0)
                 )
+            if record_t:
+                t_b = jax.lax.dynamic_update_slice(t_b, t_at, (step0, 0))
             n_valid = n_valid + jnp.sum(valid, axis=0, dtype=jnp.int32)
-            return step0 + K, t_end, act_end, idx_b, dt_b, cell_b, n_valid
+            return (step0 + K, t_end, act_end, idx_b, dt_b, cell_b, t_b,
+                    n_valid)
 
         init = (
-            jnp.zeros((), jnp.int32), tmin, hit, idx_b, dt_b, cell_b,
+            jnp.zeros((), jnp.int32), tmin, hit, idx_b, dt_b, cell_b, t_b,
             jnp.zeros((C,), jnp.int32),
         )
-        _, _, _, idx_b, dt_b, cell_b, n_valid = jax.lax.while_loop(
+        _, _, _, idx_b, dt_b, cell_b, t_b, n_valid = jax.lax.while_loop(
             cond, body, init
         )
 
@@ -364,17 +375,20 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
             # needed.
             occ = idx_b < n_features
             key = jnp.logical_not(occ).astype(jnp.int32)
-            ops = (key, idx_b, dt_b) + ((cell_b,) if record_cells else ())
+            ops = (key, idx_b, dt_b)
+            ops += (cell_b,) if record_cells else ()
+            ops += (t_b,) if record_t else ()
             sorted_ops = jax.lax.sort(
                 ops, dimension=0, is_stable=True, num_keys=1
             )
             idx_o = sorted_ops[1][:S_out]
             dt_o = sorted_ops[2][:S_out]
             cell_o = sorted_ops[3][:S_out] if record_cells else cell_b[:S_out]
+            t_o = sorted_ops[-1][:S_out] if record_t else t_b[:S_out]
             counts = jnp.sum(occ, axis=0, dtype=jnp.int32)
         else:
-            idx_o, dt_o, cell_o = (
-                idx_b[:S_out], dt_b[:S_out], cell_b[:S_out]
+            idx_o, dt_o, cell_o, t_o = (
+                idx_b[:S_out], dt_b[:S_out], cell_b[:S_out], t_b[:S_out]
             )
             # S_out == S_rec >= every n_valid on the true uncompacted
             # path; the clamp only bites on the degenerate compact
@@ -382,7 +396,9 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
             counts = jnp.minimum(n_valid, S_out)
         if not record_cells:
             cell_o = jnp.zeros((0, C), jnp.int32)
-        return 0, (idx_o, dt_o, cell_o, counts, dscale)
+        if not record_t:
+            t_o = jnp.zeros((0, C), origins_.dtype)
+        return 0, (idx_o, dt_o, cell_o, t_o, counts, dscale)
 
     _, ys = jax.lax.scan(chunk, 0, (origins_c, dirs_c))
     return ys
@@ -435,7 +451,8 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
                 chunk_size: int = 0,
                 prog_round_size: int = 0,
                 group_size: int = 1,
-                indirect: bool = False) -> RayTape:
+                indirect: bool = False,
+                record_t: bool = False) -> RayTape:
     """Record a :class:`RayTape` for these rays against this structure.
 
     The tape is valid while the tree STRUCTURE and the march-geometry
@@ -460,6 +477,10 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     occupancy over every frame the tape will serve (union index table +
     union cull box — conservative compaction/ordering; see the module
     docstring), and replays take the frame's packed index table.
+
+    ``record_t=True`` additionally records each sample's march
+    parameter t (`RayTape.tval`, +1 f32 per sample), enabling the
+    first-hit depth replay (:func:`replay_depth`).
     """
     if opt.interp:
         raise ValueError("tapes do not support opt.interp (corner cells "
@@ -564,9 +585,9 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
     o_c = o_p.reshape(n_chunks, C, 3)
     d_c = d_p.reshape(n_chunks, C, 3)
 
-    idx, dt, cell, counts, dscale = _record_chunks(
+    idx, dt, cell, tval, counts, dscale = _record_chunks(
         spec, o_c, d_c, opt, S_rec, S_out, int(n_features),
-        bool(record_cells), bool(compact),
+        bool(record_cells), bool(compact), bool(record_t),
     )
 
     # position of original ray i in the sorted+padded layout (pad
@@ -605,6 +626,7 @@ def record_tape(spec, n_features: int, origins, dirs, vdirs,
         bwd_round_chunk=brc, bwd_round_s0=brs,
         prog_K=int(K_prog), bwd_prog_K=int(K_bwd),
         ginv=ginv, group=int(G),
+        tval=(tval if record_t else None),
         indirect=bool(indirect),
     )
 
@@ -1280,6 +1302,123 @@ def unsort_output(tape: RayTape, out_sorted):
             )
         return out
     return out_sorted[tape.inv_pos]
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def _replay_depth_impl(tape: RayTape, features, index_table,
+                       opt: RenderOptions):
+    K = 8
+    C = tape.C
+    dtype = tape.dt.dtype
+    M = tape.n_features
+    if M == 0 or features.shape[0] == 0:
+        return jnp.zeros((tape.n_chunks * C, 1), dtype)
+    sig_col = features[:, -1].astype(dtype)
+    Mrows = features.shape[0]
+    # Pad the sample axis to a multiple of K (pad slots sit past every
+    # count and are masked; indirect pads use cell 0 to keep the
+    # resolve gather in range — same rule as _pad_tape_to_round).
+    S = tape.idx.shape[1]
+    Sp = -(-S // K) * K
+    fill = 0 if tape.indirect else int(DATA_SENTINEL)
+    padw = ((0, 0), (0, Sp - S), (0, 0))
+    idx_t = jnp.pad(tape.idx, padw, constant_values=fill)
+    tv_t = jnp.pad(tape.tval, padw)
+    # Leading all-empty chunks have zero resident samples — depth 0.
+    nz = tape.n_zero
+    idx_t, tv_t = idx_t[nz:], tv_t[nz:]
+    counts_t, ds_t = tape.counts[nz:], tape.dscale[nz:]
+
+    def chunk(_, xs):
+        idx_c, tv_c, counts, ds = xs
+
+        def cond(carry):
+            s0, found = carry[0], carry[1]
+            return jnp.logical_and(
+                s0 < Sp, jnp.logical_not(jnp.all(found))
+            )
+
+        def body(carry):
+            s0, found, t_hit = carry
+            idx = jax.lax.dynamic_slice(idx_c, (s0, 0), (K, C))
+            if tape.indirect:
+                idx = _resolve_cells(index_table, idx)
+            tv = jax.lax.dynamic_slice(tv_c, (s0, 0), (K, C))
+            k_abs = s0 + jnp.arange(K, dtype=jnp.int32)
+            valid = k_abs[:, None] < counts[None, :]
+            resident = jnp.logical_and(valid, idx < M)
+            safe = jnp.where(resident, idx, 0)
+            over = jnp.logical_and(
+                resident, sig_col[safe] > opt.sigma_thresh
+            )
+            first = jnp.logical_and(
+                over, (jnp.cumsum(over, axis=0) - over) == 0
+            )
+            any_f = jnp.any(first, axis=0)
+            t_sel = jnp.sum(jnp.where(first, tv, 0.0), axis=0)
+            newly = jnp.logical_and(any_f, jnp.logical_not(found))
+            t_hit = jnp.where(newly, t_sel, t_hit)
+            found = jnp.logical_or(found, any_f)
+            return s0 + K, found, t_hit
+
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((C,), bool),
+                jnp.zeros((C,), dtype))
+        _, found, t_hit = jax.lax.while_loop(cond, body, init)
+        return 0, jnp.where(found, t_hit * ds, 0.0)
+
+    _, depth_nz = jax.lax.scan(chunk, 0, (idx_t, tv_t, counts_t, ds_t))
+    depth = (
+        jnp.concatenate([jnp.zeros((nz, C), dtype), depth_nz])
+        if nz else depth_nz
+    )
+    return depth.reshape(-1, 1)
+
+
+def replay_depth(tape: RayTape, features, opt: RenderOptions, spec=None,
+                 *, unsort: bool = True, index_table=None):
+    """First-hit depth by tape replay: per ray, the march parameter t
+    of the first sample whose sigma exceeds ``opt.sigma_thresh`` in a
+    RESIDENT leaf, scaled by delta_scale — `render_depth` semantics
+    (rt_kernel.cu:781-834 via ops/render_aux._first_hit), equal to the
+    march pass for ``sigma_thresh >= 0`` (where empty-leaf sigma is
+    masked to 0, so the over-threshold and resident notions coincide;
+    the pathological thresh < 0 case diverges exactly as _first_hit
+    documents). Requires a tape recorded with ``record_t=True``.
+    Data-indirect tapes resolve residency through ``index_table``, so
+    depth follows each FRAME's occupancy under animation. Not
+    differentiable (first-hit selection); nearest mode only.
+
+    Returns (B, 1) in original ray order when ``unsort``, else
+    (n_chunks*C, 1) in tape order."""
+    if tape.tval is None:
+        raise ValueError(
+            "tape has no per-sample t — record with record_t=True for "
+            "depth replay"
+        )
+    if opt.interp:
+        raise ValueError("tapes do not support opt.interp")
+    if isinstance(features, QuantizedFeatures):
+        raise NotImplementedError(
+            "replay_depth: pass the float pool (quantized pools are an "
+            "inference color path)"
+        )
+    if opt.pool_axis is not None:
+        raise NotImplementedError(
+            "replay_depth: sharded pools not supported"
+        )
+    _check_indirect(tape, index_table)
+    _check_geom(tape, spec, opt)
+    features = jnp.asarray(features)
+    if features.shape[0] != tape.n_features:
+        raise ValueError(
+            f"feature pool has {features.shape[0]} rows but the tape "
+            f"was recorded against {tape.n_features} — the structure "
+            "changed; re-record the tape"
+        )
+    out = _replay_depth_impl(tape, features, index_table, opt)
+    if unsort:
+        return unsort_output(tape, out)
+    return out
 
 
 def replay_render(tape: RayTape, features, opt: RenderOptions, spec=None,
