@@ -29,6 +29,9 @@ from .ops.sh import eval_sh, eval_sh_bases
 from .ops.render import QuantizedFeatures, quantize_features
 from .ops.tape import (RayTape, pack_index_table, record_tape,
                        replay_depth, replay_render, replay_render_frames)
+from .ops.tape_subset import (TapeRowSource, replay_render_rows,
+                              subset_tape, train_minibatches,
+                              train_steps)
 from .utils.builders import tree_from_occupancy, tree_structure_from_occupancy
 
 __all__ = [
@@ -61,6 +64,11 @@ __all__ = [
     "replay_render_frames",
     "replay_depth",
     "pack_index_table",
+    "TapeRowSource",
+    "subset_tape",
+    "replay_render_rows",
+    "train_minibatches",
+    "train_steps",
     "make_tree_spec",
     "DATA_SENTINEL",
     "__version__",

@@ -844,7 +844,7 @@ class VolumeRenderer:
 
     def record_persp(self, c2w, width=800, height=800, fx=1111.111,
                      fy=None, fast=False, features=None, n_features=None,
-                     compact=True, group_size=0):
+                     compact=True, group_size=0, record_t=False):
         """Record (and cache) a tape for a perspective camera; the
         tape's output mapping is composed so replay outputs come back
         in PIXEL order. Cached FIFO on (camera, size, tree version,
@@ -853,24 +853,34 @@ class VolumeRenderer:
         ``group_size`` (0 = the measured default) sorts scanline GROUPS
         of that many pixels instead of single rays, making the output
         unsort a cheap block gather (docs/PERFORMANCE.md "output
-        unsort"); pass 1 for the legacy ray-level sort."""
+        unsort"); pass 1 for the legacy ray-level sort. ``record_t``
+        additionally records per-sample march t (+1 f32/sample),
+        enabling first-hit depth replay (`tape_ops.replay_depth`). A
+        cached ``record_t=True`` tape is a strict superset and serves
+        ``record_t=False`` requests."""
         if fy is None:
             fy = fx
         G = int(group_size) or _TAPE_GROUP_DEFAULT
         opt = self._get_options(fast)
         spec = self._render_spec()
         c2w_np = np.asarray(c2w, np.float32)
-        key = ("tape", c2w_np.tobytes(), int(width), int(height),
-               float(fx), float(fy), self.tree._ver,
-               getattr(self.tree, "_occ_ver", 0),
-               tape_ops._geom_key(spec, opt), bool(compact), G)
+
+        def mk_key(rt):
+            return ("tape", c2w_np.tobytes(), int(width), int(height),
+                    float(fx), float(fy), self.tree._ver,
+                    getattr(self.tree, "_occ_ver", 0),
+                    tape_ops._geom_key(spec, opt), bool(compact), G, rt)
+
+        key = mk_key(bool(record_t))
         hit = self._tape_cache.get(key)
+        if hit is None and not record_t:
+            hit = self._tape_cache.get(mk_key(True))
         if hit is not None:
             return hit
         tape = self._record_persp_core(
             c2w_np, width, height, fx, fy, opt, G,
             features=features, n_features=n_features, fast=fast,
-            compact=compact,
+            compact=compact, record_t=bool(record_t),
         )
         self._tape_cache_put(key, tape)
         return tape
@@ -978,7 +988,8 @@ class VolumeRenderer:
 
     def record_persp_rig(self, c2ws, width=800, height=800, fx=1111.111,
                          fy=None, fast=False, features=None,
-                         n_features=None, compact=True, group_size=0):
+                         n_features=None, compact=True, group_size=0,
+                         record_t=False):
         """Record ONE tape covering a V-camera capture rig (the Artemis
         serving configuration: a fixed multi-view rig around an animated
         volume). All V*width*height rays are recorded together, so a
@@ -998,11 +1009,18 @@ class VolumeRenderer:
         spec = self._render_spec()
         c2ws_np = np.asarray(c2ws, np.float32)
         assert c2ws_np.ndim == 3, "c2ws must be (V, 4, 4)"
-        key = ("rig", c2ws_np.tobytes(), int(width), int(height),
-               float(fx), float(fy), self.tree._ver,
-               getattr(self.tree, "_occ_ver", 0),
-               tape_ops._geom_key(spec, opt), bool(compact), G)
+
+        def mk_key(rt):
+            return ("rig", c2ws_np.tobytes(), int(width), int(height),
+                    float(fx), float(fy), self.tree._ver,
+                    getattr(self.tree, "_occ_ver", 0),
+                    tape_ops._geom_key(spec, opt), bool(compact), G, rt)
+
+        key = mk_key(bool(record_t))
         hit = self._tape_cache.get(key)
+        if hit is None and not record_t:
+            # A record_t=True rig tape is a strict superset.
+            hit = self._tape_cache.get(mk_key(True))
         if hit is not None:
             return hit
         import dataclasses as _dc
@@ -1412,17 +1430,27 @@ class VolumeRenderer:
         G = int(group_size) or _TAPE_GROUP_DEFAULT
         c2w_np = np.asarray(c2w, np.float32)
         opt = self._dyn_geom_options(False)
-        key = self._dyn_cache_key(
-            ("dyn", int(width), int(height), float(fx), float(fy),
-             bool(compact), G, bool(record_t),
-             (float(opt.step_size), int(opt.max_steps), int(opt.interp))),
-            (c2w_np, np.asarray(tgt_poses, np.float32),
-             np.asarray(src_pose, np.float32),
-             np.asarray(points, np.float32),
-             np.asarray(skinning_weights, np.float32),
-             np.asarray(joint_index, np.int32)),
-        )
+
+        def mk_key(rt):
+            return self._dyn_cache_key(
+                ("dyn", int(width), int(height), float(fx), float(fy),
+                 bool(compact), G, rt,
+                 (float(opt.step_size), int(opt.max_steps),
+                  int(opt.interp))),
+                (c2w_np, np.asarray(tgt_poses, np.float32),
+                 np.asarray(src_pose, np.float32),
+                 np.asarray(points, np.float32),
+                 np.asarray(skinning_weights, np.float32),
+                 np.asarray(joint_index, np.int32)),
+            )
+
+        key = mk_key(bool(record_t))
         hit = self._tape_cache.get(key)
+        if hit is None and not record_t:
+            # A record_t=True tape is a strict superset (same structure
+            # walk + the t column): serve it rather than re-recording
+            # the full walk for alternating with_depth=False calls.
+            hit = self._tape_cache.get(mk_key(True))
         if hit is not None:
             return hit
         spec_u, Q = self._dyn_union(

@@ -404,24 +404,27 @@ def _record_chunks(spec, origins_c, dirs_c, opt: RenderOptions, S_rec: int,
     return ys
 
 
-def _round_program(caps, K: int, s0_pad: int):
+def _round_program(caps, K: int, s0_pad: int, r_mult: int = 8):
     """Host-built flat round program over non-empty chunks: per round a
-    (chunk, s0) pair; padded to a multiple of 8 with no-op rounds
-    (s0 = s0_pad, past every per-ray count — the padded rounds change
-    nothing and rewrite an identical ys row). The pad is deliberately
-    FINE: pad rounds run the full ~25 us round body (their gathers
-    still execute), and the coarse _size_bucket ladder measured +1.2 ms
-    on the headline replay when the true count crossed a bucket edge;
-    executable reuse across cameras is NOT the ladder's to buy here —
-    the chunk count (n_chunks - n_zero) is a static shape that already
-    varies per camera."""
+    (chunk, s0) pair; padded to a multiple of ``r_mult`` with no-op
+    rounds (s0 = s0_pad, past every per-ray count — the padded rounds
+    change nothing and rewrite an identical ys row). The default pad is
+    deliberately FINE (8): pad rounds run the full ~25 us round body
+    (their gathers still execute), and the coarse _size_bucket ladder
+    measured +1.2 ms on the headline replay when the true count crossed
+    a bucket edge; executable reuse across cameras is NOT the ladder's
+    to buy here — the chunk count (n_chunks - n_zero) is a static shape
+    that already varies per camera. Row-subset replays (tape_subset.py)
+    pass a COARSER r_mult: there the chunk count is batch-size-stable
+    and the round count is the one static that would otherwise
+    recompile per minibatch."""
     chunk_ids, s0s, last = [], [], []
     for c, cap in enumerate(caps):
         r = max(1, -(-int(cap) // K))
         chunk_ids.extend([c] * r)
         s0s.extend(range(0, r * K, K))
         last.append(len(chunk_ids) - 1)
-    R = max(8, -(-len(chunk_ids) // 8) * 8)
+    R = max(r_mult, -(-len(chunk_ids) // r_mult) * r_mult)
     n_pad = R - len(chunk_ids)
     tail_c = caps.shape[0] - 1 if len(caps) else 0
     chunk_ids.extend([tail_c] * n_pad)

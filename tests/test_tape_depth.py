@@ -105,10 +105,14 @@ def _dyn_rays(rng, B=48):
 
 
 @pytest.mark.parametrize("backend", ["baked", "tree"])
-def test_dynamic_depth_matches_fused(backend):
+@pytest.mark.parametrize("compact", [False, True])
+def test_dynamic_depth_matches_fused(backend, compact):
     """with_depth through the data-indirect tape == the fused march
     loop's per-frame depth, bitwise (exact geometry: sample t does not
-    depend on occupancy, and only resident samples can be selected)."""
+    depend on occupancy, and only resident samples can be selected).
+    compact=True (the shipped default) holds too: the compaction sort
+    demotes only union-empty samples, and any frame's first hit is
+    union-resident — it can never be dropped or reordered past."""
     rng = np.random.RandomState(7)
     Q = 400
     pts = (0.5 + 0.15 * rng.randn(Q, 3)).astype(np.float32)
@@ -132,9 +136,46 @@ def test_dynamic_depth_matches_fused(backend):
     )
     taped_c, taped_d = r.render_dynamic_tape_frames(
         feats, poses, src, pts, sw, ji, rays=rays, update_tree=False,
-        compact=False, with_depth=True,
+        compact=compact, with_depth=True,
     )
     assert taped_d.shape == np.asarray(fused_d).shape
     np.testing.assert_array_equal(np.asarray(taped_d),
                                   np.asarray(fused_d))
     assert (np.asarray(taped_d) > 0).any()
+
+
+def test_record_persp_record_t_and_superset_cache(rng):
+    """record_persp plumbs record_t (persp depth replay is reachable
+    through the public recorder), and a cached record_t=True tape — a
+    strict superset — serves a later record_t=False request without
+    re-recording."""
+    t, feats = _scene(rng)
+    r = st.VolumeRenderer(t)
+    # Identity rotation = camera looks along world -z; from above the
+    # cube it sees the shell.
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 2.5]
+    W = H = 32
+    tp = r.record_persp(c2w, W, H, fx=W * 1.1, features=feats,
+                        record_t=True)
+    assert tp.tval is not None
+    opt = r._get_options(False)
+    spec = t._baked_spec()
+    depth = np.asarray(
+        tape_ops.replay_depth(tp, feats, opt, spec)
+    ).reshape(H, W)
+    origins, dirs = st.ops.render.cam2world_rays(
+        jnp.asarray(c2w), W, H, W * 1.1, W * 1.1
+    )
+    # The march's own depth shifts ~1e-7 between chunk shapes (the
+    # documented cross-program ulp class); at C=64 it bit-matches the
+    # replay for ANY record chunk size (probed) — pin that pairing.
+    ref = np.asarray(
+        aux_ops.render_depth(spec, feats, origins, dirs,
+                             dataclasses.replace(opt, chunk_size=64))
+    ).reshape(H, W)
+    np.testing.assert_array_equal(depth, ref)
+    assert (depth > 0).any()  # the camera actually hits the shell
+    # superset cache: the record_t=False request returns the SAME tape
+    tp2 = r.record_persp(c2w, W, H, fx=W * 1.1, features=feats)
+    assert tp2 is tp
