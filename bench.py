@@ -524,6 +524,33 @@ def main():
             dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
             dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
 
+        # Union-occupancy schedule (round-5 verdict #3): a cost plan on
+        # the animation's occupancy UNION is conservative for every
+        # frame — never stale within the animation (the canonical-pose
+        # plan measured 12.9 -> 7.4 fps stale). Plan cost amortizes
+        # across the animation's replays (cached); steady-state
+        # per-frame cost reported here.
+        def dyn_union_run(i, fast):
+            outs = dr.render_dynamic_frames(
+                dfeats * (1.0 + 1e-3 * i), poses, src, pts, sw, ji,
+                c2w=c2w, width=W, height=H, fx=W * 1.1,
+                update_tree=False, fast=fast, schedule="union",
+            )
+            return float(jnp.sum(outs))
+
+        for fast, key in (
+            (False, "dynamic_union"), (True, "dynamic_union_fast")
+        ):
+            _ = dyn_union_run(0, fast)  # compile + plan build
+            dts = []
+            for i in range(3):
+                t0 = time.time()
+                _ = dyn_union_run(i + 1, fast)
+                dts.append(time.time() - t0)
+            dyn_s = min(dts) / n_frames
+            dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
+            dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
+
         # Dynamic TAPE serving (round 4): data-indirect (cell-indexed)
         # replay — ONE record against the animation's union occupancy,
         # then per frame: LBS warp + construct_tree + radiometry replay
@@ -534,6 +561,17 @@ def main():
             c2w, poses, src, pts, sw, ji, W, H, fx=W * 1.1
         )
         dyn["dynamic_tape_record_s"] = round(time.time() - t0, 2)
+        # WARM record (round-5 verdict #2): the production cost of
+        # taping a NEW animation once executables are cached — measured
+        # exactly as bench_tape does for static tapes (clear the tape
+        # cache, re-record). The cold number above includes first
+        # compiles of the union pre-pass + record chunks.
+        dr._tape_cache.clear()
+        t0 = time.time()
+        _ = dr.record_dynamic_persp(
+            c2w, poses, src, pts, sw, ji, W, H, fx=W * 1.1
+        )
+        dyn["dynamic_tape_record_warm_s"] = round(time.time() - t0, 2)
 
         def dyn_tape_run(i, fast):
             outs = dr.render_dynamic_tape_frames(

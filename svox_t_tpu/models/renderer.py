@@ -681,10 +681,22 @@ class VolumeRenderer:
         hit = self._plan_cache.get(key)
         if hit is not None:
             return hit
-        from ..ops.schedule import ray_costs
-
         spec = self._render_spec()
         n_rows, sigmas = self._plan_sigmas(features, n_rows)
+        perm, inv = self._plan_persp_core(
+            spec, opt, c2w_np, width, height, fx, fy, n_rows, sigmas, bs
+        )
+        self._plan_cache_put(key, (perm, inv))
+        return perm, inv
+
+    def _plan_persp_core(self, spec, opt, c2w_np, width, height, fx, fy,
+                         n_rows, sigmas, bs):
+        """The uncached perspective plan build (shared by `plan_persp`
+        and the union-occupancy dynamic plan): block-subsampled cost
+        pre-march over ``spec``, stable cost sort composed with the
+        tile order."""
+        from ..ops.schedule import ray_costs
+
         origins, dirs = render_ops.cam2world_rays(
             jnp.asarray(c2w_np), int(width), int(height), float(fx),
             float(fy),
@@ -717,13 +729,15 @@ class VolumeRenderer:
         else:
             perm = np.argsort(cost, kind="stable").astype(np.int32)
         inv = np.argsort(perm).astype(np.int32)
+        return perm, inv
+
+    def _plan_cache_put(self, key, val):
         while len(self._plan_cache) > 32:
             # FIFO-evict the oldest plan: a camera path cycling through
             # >32 poses must not wipe the whole cache on every insert
             # (each rebuild costs a pre-march dispatch + host argsort).
             self._plan_cache.pop(next(iter(self._plan_cache)))
-        self._plan_cache[key] = (perm, inv)
-        return perm, inv
+        self._plan_cache[key] = val
 
     def render_persp(self, features, c2w, width=800, height=800,
                      fx=1111.111, fy=None, cuda=True, fast=False,
@@ -1249,20 +1263,26 @@ class VolumeRenderer:
             (like the eager loop); False keeps the tree untouched
         :param with_depth: also return per-frame first-hit depth maps
             (the Artemis aux output), computed inside the same scan
+        :param schedule: "tile" (default), "cost" (canonical-pose plan —
+            goes stale under motion), or "union" (cost plan against the
+            animation's UNION occupancy: conservative for every frame,
+            never stale within the animation; one extra union pre-pass,
+            cached per camera x animation x structure). All schedules
+            render bit-identically — plans are never semantics.
         :return: (T, B, n_color+1) for rays, (T, H, W, n_color+1) for
             cameras; with_depth returns (colors, depths) where depths is
             (T, B, 1) / (T, H, W, 1)
         """
         assert (rays is None) != (c2w is None), "pass exactly one of rays/c2w"
-        assert schedule in ("tile", "cost"), schedule
-        if rays is not None and schedule == "cost":
+        assert schedule in ("tile", "cost", "union"), schedule
+        if rays is not None and schedule in ("cost", "union"):
             # No silent no-op: a raw ray batch has no camera to plan
             # against here — order the rays yourself with plan_rays()
             # (the plan-order permutation then lives OUTSIDE the
             # dispatch, which is also the only regime where it pays).
             raise ValueError(
-                "schedule='cost' requires c2w; for raw rays, reorder "
-                "them with plan_rays() and pass schedule='tile'"
+                f"schedule='{schedule}' requires c2w; for raw rays, "
+                "reorder them with plan_rays() and pass schedule='tile'"
             )
         assert self.tree._weight_accum is None, (
             "weight accumulation is per-render; use the eager loop inside "
@@ -1301,6 +1321,20 @@ class VolumeRenderer:
                 f0 = features[0] if features.ndim == 3 else features
                 perm, inv = self.plan_persp(c2w, width, height, fx, fy,
                                             fast, features=f0)
+                opt = self._sched_options(opt)
+            elif (schedule == "union" and not per_frame_rays
+                    and opt.ndc_width < 0):
+                # Plan on the animation's UNION occupancy (round-5
+                # verdict #3): conservative for EVERY frame — a ray
+                # cheap under the union is cheap in all frames, so the
+                # plan can never go stale within the animation (unlike
+                # the canonical-pose plan above). One extra pre-pass
+                # (the same union chain dynamic tapes record against).
+                perm, inv = self._plan_dyn_union(
+                    c2w, width, height, fx, fy, fast, tgt_poses,
+                    src_pose, points, skinning_weights, joint_index,
+                    features,
+                )
                 opt = self._sched_options(opt)
             else:
                 perm, inv = _tile_order(opt, width, height)
@@ -1399,6 +1433,51 @@ class VolumeRenderer:
         for p in parts:
             h.update(np.ascontiguousarray(p).tobytes())
         return (tag, h.hexdigest(), self.tree._ver)
+
+    def _plan_dyn_union(self, c2w, width, height, fx, fy, fast,
+                        tgt_poses, src_pose, points, skinning_weights,
+                        joint_index, features, block=4):
+        """Cost plan against the animation's UNION occupancy (cached on
+        camera x animation x structure): block-subsampled cost pre-march
+        over the union spec + union cull box. Conservative across every
+        frame — the plan never goes stale within the animation; like all
+        plans it is a schedule, never semantics."""
+        if fy is None:
+            fy = fx
+        opt = self._get_options(fast)
+        c2w_np = np.asarray(c2w, np.float32)
+        key = self._dyn_cache_key(
+            ("uplan", int(width), int(height), float(fx), float(fy),
+             opt, int(block)),
+            (c2w_np, np.asarray(tgt_poses, np.float32),
+             np.asarray(src_pose, np.float32),
+             np.asarray(points, np.float32),
+             np.asarray(skinning_weights, np.float32),
+             np.asarray(joint_index, np.int32)),
+        )
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            return hit
+        spec_u, Q = self._dyn_union(
+            tgt_poses, src_pose, points, skinning_weights, joint_index
+        )
+        f = np.asarray(features) if features is not None else None
+        sigmas = None
+        if f is not None and f.ndim in (2, 3) and f.shape[-2] == Q:
+            # Per-frame features: cost with the MAX density per point —
+            # a ray expensive in ANY frame sorts late.
+            col = f[..., -1]
+            sigmas = jnp.asarray(
+                col.max(axis=0) if f.ndim == 3 else col, jnp.float32
+            )
+        bs = int(block)
+        if bs < 1 or int(width) % bs or int(height) % bs:
+            bs = 1
+        perm, inv = self._plan_persp_core(
+            spec_u, opt, c2w_np, width, height, fx, fy, Q, sigmas, bs
+        )
+        self._plan_cache_put(key, (perm, inv))
+        return perm, inv
 
     def record_dynamic_rays(self, rays: Rays, tgt_poses, src_pose, points,
                             skinning_weights, joint_index, compact=True,

@@ -247,3 +247,36 @@ def test_fused_with_depth_matches_eager(scene):
         np.testing.assert_allclose(
             depths[k], np.asarray(r2.render_depth(feats, rays)), atol=1e-6
         )
+
+
+def test_union_schedule_bit_identical(scene):
+    """schedule='union' (cost plan on the animation's UNION occupancy)
+    is a pure permutation: outputs equal schedule='tile' bitwise, and
+    the plan caches on (camera x animation x structure)."""
+    tree, pts, feats, sw, ji, rng = scene
+    poses = _poses(3)
+    src_pose = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.5, 0.5, 2.5]
+
+    r = st.VolumeRenderer(tree)
+    base = np.asarray(
+        r.render_dynamic_frames(
+            feats, poses, src_pose, pts, sw, ji, c2w=c2w, width=24,
+            height=24, fx=26.0, update_tree=False, schedule="tile",
+        )
+    )
+    planned = np.asarray(
+        r.render_dynamic_frames(
+            feats, poses, src_pose, pts, sw, ji, c2w=c2w, width=24,
+            height=24, fx=26.0, update_tree=False, schedule="union",
+        )
+    )
+    np.testing.assert_array_equal(planned, base)
+    # plan cached: second call reuses it (same key)
+    n_plans = len(r._plan_cache)
+    _ = r.render_dynamic_frames(
+        feats, poses, src_pose, pts, sw, ji, c2w=c2w, width=24,
+        height=24, fx=26.0, update_tree=False, schedule="union",
+    )
+    assert len(r._plan_cache) == n_plans
