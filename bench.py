@@ -596,6 +596,72 @@ def main():
     except Exception as e:  # pragma: no cover - defensive for the driver
         dyn = {"dynamic_error": repr(e)[:200]}
 
+    # DEEP dynamic serving (round-5 verdict #6): animated structure on
+    # the depth-9 tree, fixed camera, through the cell-indexed tape.
+    # The canonical cloud lives ON the shell (z-rotations keep it in
+    # refined cells); construct_tree re-points depth-9 leaves per
+    # frame. Mutates dtree (re-pointed at the cloud) — runs LAST among
+    # deep metrics.
+    try:
+        drng9 = np.random.RandomState(2)
+        Q9 = 40000
+        u = drng9.randn(Q9, 3)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        pts9 = (0.5 + 0.30 * u).astype(np.float32)
+        dfeats9 = jnp.asarray(
+            np.concatenate(
+                [drng9.rand(Q9, 3), 8.0 + drng9.rand(Q9, 1)], axis=1
+            ).astype(np.float32)
+        )
+        sw9 = np.stack(
+            [1.0 - pts9[:, 2], pts9[:, 2]], axis=1
+        ).astype(np.float32)
+        ji9 = np.tile(np.array([0, 1], np.int32), (Q9, 1))
+        poses9 = []
+        for i in range(4):
+            a = 0.4 * np.sin(2 * np.pi * i / 4)
+            c_, s_ = np.cos(a), np.sin(a)
+            rot = np.array(
+                [[c_, -s_, 0, 0], [s_, c_, 0, 0], [0, 0, 1, 0],
+                 [0, 0, 0, 1]], np.float32,
+            )
+            poses9.append(np.stack([np.eye(4, dtype=np.float32), rot]))
+        poses9 = np.stack(poses9)
+        # Reset the index table (the shell build pointed every leaf at
+        # a pool row; rows < Q9 would alias point features) and point
+        # the tree at the canonical cloud.
+        dtree._data[:] = st.DATA_SENTINEL
+        dtree._invalidate()
+        dtree.construct_tree(jnp.asarray(pts9))
+        dtree.features = dfeats9
+        dr9 = st.VolumeRenderer(dtree, step_size=1e-3)
+
+        t0 = time.time()
+        _ = dr9.record_dynamic_persp(
+            c2w, poses9, src, pts9, sw9, ji9, W, H, fx=W * 1.1
+        )
+        dyn["deep9_dyn_record_s"] = round(time.time() - t0, 2)
+
+        def deep_dyn_run(i):
+            outs = dr9.render_dynamic_tape_frames(
+                dfeats9 * (1.0 + 1e-3 * i), poses9, src, pts9, sw9, ji9,
+                c2w=c2w, width=W, height=H, fx=W * 1.1,
+                update_tree=False,
+            )
+            return float(jnp.sum(outs))
+
+        _ = deep_dyn_run(0)
+        dts = []
+        for i in range(3):
+            t0 = time.time()
+            _ = deep_dyn_run(i + 1)
+            dts.append(time.time() - t0)
+        dd_s = min(dts) / 4
+        dyn["deep9_dyn_tape_frame_ms"] = round(dd_s * 1e3, 1)
+        dyn["deep9_dyn_tape_mrays_s"] = round(n_rays / dd_s / 1e6, 3)
+    except Exception as e:  # pragma: no cover - defensive
+        dyn["deep9_dyn_error"] = repr(e)[:200]
+
     alpha = float(jnp.mean(out[:, -1]))
     print(
         json.dumps(

@@ -69,8 +69,8 @@ def main():
 
     t0 = time.time()
     src = tsub.TapeRowSource(tape)
-    jax.block_until_ready(src.idx_rm)
-    print(f"row source: {time.time()-t0:.1f}s")
+    jax.block_until_ready(src.packed)
+    print(f"row source (packed): {time.time()-t0:.1f}s")
 
     opt = r._get_options(False)
     spec = tree._baked_spec()
@@ -117,35 +117,40 @@ def main():
     plans = [src.prep(ids[n], chunk_size=CHUNK, r_quant=16)
              for n in range(N)]
     p0 = plans[0]
+    n_zero = min(p.n_zero for p in plans)
     print(f"subset layout: S={p0.S} n_chunks={p0.n_chunks} "
           f"n_zero={p0.n_zero} rounds={len(tape_ops._round_program(p0.caps_nz, src.bwd_prog_K, p0.S, 16)[0])} "
           f"(bwd K={src.bwd_prog_K})")
 
-    leaves = tsub._SrcLeaves.of(src)
-    pos_all = jnp.asarray(np.stack([p.pos_p for p in plans]).astype(np.int32))
+    meta = tsub._SrcMeta.of(src)
 
-    @functools.partial(jax.jit, static_argnames=("S", "C", "NC"))
-    def gather_only(lv, pos, S, C, NC):
+    def stack_pos(plns):
+        return jnp.asarray(np.stack(
+            [p.pos_p[n_zero * p0.C:] for p in plns]).astype(np.int32))
+
+    pos_all = stack_pos(plans)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("S", "C", "NC", "nz", "m"))
+    def gather_only(pk, pos, S, C, NC, nz, m):
         def one(carry, p):
-            arrays = tsub._gather_rows(lv, p, S, C, NC)
+            arrays = tsub._gather_subset(pk, m, p, S, C, NC, nz, False)
             return carry + jnp.sum(arrays[1]), None
         s, _ = jax.lax.scan(one, 0.0, pos)
         return s
 
-    _ = float(gather_only(leaves, pos_all, S=p0.S, C=p0.C,
-                          NC=p0.n_chunks))
+    _ = float(gather_only(src.packed, pos_all, S=p0.S, C=p0.C,
+                          NC=p0.n_chunks, nz=n_zero, m=meta))
     ts = []
     for it in range(3):
-        pos_i = pos_all + 0  # same values; perturb via fresh batches:
-        pos_i = jnp.asarray(
-            np.stack([src.prep(batches()[n], chunk_size=CHUNK,
-                               r_quant=16).pos_p
-                      for n in range(N)]).astype(np.int32))
+        pos_i = stack_pos([src.prep(batches()[n], chunk_size=CHUNK,
+                                    r_quant=16) for n in range(N)])
         th0 = time.time()
-        _ = float(gather_only(leaves, pos_i, S=p0.S, C=p0.C,
-                              NC=p0.n_chunks))
+        _ = float(gather_only(src.packed, pos_i, S=p0.S, C=p0.C,
+                              NC=p0.n_chunks, nz=n_zero, m=meta))
         ts.append(time.time() - th0)
-    print(f"gather only: {min(ts)/N*1e3:.2f} ms/step")
+    print(f"gather only (packed, non-zero suffix): "
+          f"{min(ts)/N*1e3:.2f} ms/step")
 
     # fwd-only and fwd+bwd (no update): one subset tape, scanned replay
     sub = tsub.subset_tape(src, ids[0], chunk_size=CHUNK, r_quant=16)
@@ -177,6 +182,25 @@ def main():
             ts.append(time.time() - th0)
         print(f"subset {name}: {min(ts)/N*1e3:.2f} ms/step -> "
               f"{B/(min(ts)/N)/1e6:.1f} Mrays/s")
+
+    # round-size / chunk sweep (subset override knobs; regroup license)
+    for C in (256, 512, 1024):
+        for K in (8, 16, 32):
+            subk = tsub.subset_tape(src, ids[0], chunk_size=C,
+                                    r_quant=16, prog_K=K, bwd_prog_K=K)
+            line = (f"C={C} K={K}: "
+                    f"bwdR={int(subk.bwd_round_chunk.shape[0])}")
+            for name, fn in [("fwd", fwd_n), ("fwd+bwd", fwdbwd_n)]:
+                _ = float(fn(subk, feats, opt, N))
+                ts = []
+                for it in range(3):
+                    f_i = feats * (1.0 + 1e-7 * (it + 1))
+                    _ = float(jnp.sum(f_i))
+                    th0 = time.time()
+                    _ = float(fn(subk, f_i, opt, N))
+                    ts.append(time.time() - th0)
+                line += f"  {name} {min(ts)/N*1e3:.2f} ms"
+            print(line)
 
 
 if __name__ == "__main__":

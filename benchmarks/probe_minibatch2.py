@@ -81,73 +81,12 @@ def main():
     print(f"total device ms: {t.total_ms:.1f} "
           f"(/{N} steps = {t.total_ms/N:.2f} ms/step)")
 
-    # --- 2. packed single-gather prototype --------------------------
-    S = src.S
-    packed = jnp.concatenate(
-        [src.idx_rm,
-         jax.lax.bitcast_convert_type(src.dt_rm, jnp.int32),
-         jax.lax.bitcast_convert_type(src.vdirs_rm, jnp.int32),
-         jax.lax.bitcast_convert_type(
-             src.dscale_rm[:, None], jnp.int32),
-         src.counts_rm[:, None],
-         jax.lax.bitcast_convert_type(
-             jnp.take(tgt, tape.inv_pos.argsort(), axis=0)
-             if False else jnp.zeros((src.idx_rm.shape[0], 3),
-                                     jnp.float32), jnp.int32)],
-        axis=1,
-    )
-    jax.block_until_ready(packed)
-    print(f"packed row bytes: {packed.shape[1]*4}")
-
-    plans = [src.prep(ids[n], chunk_size=1024) for n in range(N)]
-    pos_all = jnp.asarray(
-        np.stack([p.pos_p for p in plans]).astype(np.int32))
-
-    @jax.jit
-    def packed_gather_scan(pk, pos):
-        def one(carry, p):
-            g = jnp.take(pk, p, axis=0)
-            return carry + jnp.sum(g[:, :S]), None
-        s, _ = jax.lax.scan(one, jnp.zeros((), jnp.int32), pos)
-        return s
-
-    _ = int(packed_gather_scan(packed, pos_all))
-    ts = []
-    for it in range(3):
-        ids2 = batches()
-        pos2 = jnp.asarray(np.stack(
-            [src.prep(ids2[n], chunk_size=1024).pos_p
-             for n in range(N)]).astype(np.int32))
-        t0 = time.time()
-        _ = int(packed_gather_scan(packed, pos2))
-        ts.append(time.time() - t0)
-    print(f"packed ONE gather: {min(ts)/N*1e3:.2f} ms/step")
-
-    # gather + unpack + transpose (the full per-step source build)
-    @jax.jit
-    def packed_unpack_scan(pk, pos):
-        def one(carry, p):
-            g = jnp.take(pk, p, axis=0)
-            idx = g[:, :S].reshape(-1, 1024, S).swapaxes(1, 2)
-            dt = jax.lax.bitcast_convert_type(
-                g[:, S:2 * S], jnp.float32).reshape(
-                -1, 1024, S).swapaxes(1, 2)
-            vd = jax.lax.bitcast_convert_type(
-                g[:, 2 * S:2 * S + 3], jnp.float32)
-            return carry + jnp.sum(dt) + jnp.sum(vd) + jnp.sum(idx), None
-        s, _ = jax.lax.scan(one, jnp.zeros(()), pos)
-        return s
-
-    _ = float(packed_unpack_scan(packed, pos_all))
-    ts = []
-    for it in range(3):
-        pos2 = jnp.asarray(np.stack(
-            [src.prep(batches()[n], chunk_size=1024).pos_p
-             for n in range(N)]).astype(np.int32))
-        t0 = time.time()
-        _ = float(packed_unpack_scan(packed, pos2))
-        ts.append(time.time() - t0)
-    print(f"packed gather+unpack+transpose: {min(ts)/N*1e3:.2f} ms/step")
+    # --- 2. (historical) the packed single-gather prototype measured
+    # here (7.02 ms full-row gather vs 10.31 for 6 separate gathers)
+    # drove the production design: TapeRowSource now stores ONE packed
+    # int32 matrix and the per-step gather touches only the non-zero
+    # suffix (~12% of rows) — see probe_minibatch.py "gather only" for
+    # the production number.
 
     # --- 3. subset chunk-size sweep ---------------------------------
     @functools.partial(jax.jit, static_argnames=("opt_", "n"))

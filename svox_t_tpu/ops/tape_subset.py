@@ -12,8 +12,13 @@ are baked for all recorded rays.
 This module makes tapes serve row subsets:
 
   * :class:`TapeRowSource` — a one-time RAY-MAJOR re-layout of a recorded
-    tape ((rows, S) sample tables instead of (chunks, S, C)), so pulling
-    an arbitrary ray set is a contiguous row gather.
+    tape into ONE packed int32 matrix (idx | dt bits | [t bits] | vdir
+    bits | dscale bits | count per row), so pulling an arbitrary ray set
+    is a SINGLE row gather. Packing matters twice on this hardware: the
+    source is hundreds of MB (never VMEM-pinnable — every subset gather
+    runs at the slow HBM row-gather rate, ~5 GB/s effective measured,
+    benchmarks/probe_minibatch2.py), and per-row fixed costs dominate
+    (6 separate gathers measured 10.3 ms/step vs 7.0 packed at B=64k).
   * :func:`subset_tape` — build a standalone :class:`RayTape` for a host
     array of ray ids: host-side radix sort by sample count (the parent's
     ordering invariant), device row gather + re-chunk, fresh flat round
@@ -23,11 +28,16 @@ This module makes tapes serve row subsets:
   * :func:`replay_render_rows` — subset + replay in one call.
   * :func:`train_minibatches` — the training fast path: N sequential SGD
     steps (step n+1 sees step n's update) over N random minibatches in
-    ONE dispatch; per step the subset gather/re-chunk runs in-graph from
-    the ray-major source, so the host ships only the (N, Bp) row-position
-    array. All N steps share one conservative round program (the union of
-    the batches' per-chunk caps — extra rounds are provable no-ops), so
+    ONE dispatch; per step the subset gather runs in-graph from the
+    packed source, so the host ships only the (N, Bp) row-position
+    array. The gather touches ONLY the non-zero-occupancy suffix of each
+    batch (~12% of rays on the headline scene — the zero prefix replays
+    to the background constant without reading any tape data). All N
+    steps share one conservative round program (the union of the
+    batches' per-chunk caps — extra rounds are provable no-ops), so
     executables are reused across calls.
+  * :func:`train_steps` — the fixed-ray (full-tape) SGD chain, one
+    dispatch.
 
 Semantics: a subset replay of rays R equals the full replay restricted
 to R. Per-ray round grouping is PRESERVED (each ray's recorded slot
@@ -39,6 +49,14 @@ by 1 ulp on a few lanes (the cross-program batch-shape sensitivity
 documented in CLAUDE.md; RGBA is shape-free and exactly bitwise).
 Gradients flow through the standard tape VJP; a subset gradient equals
 the full-batch gradient of a loss masked to R (tested).
+
+Measured cost structure (v5e, 4x800^2 rig source, B=64k, C=512 —
+docs/PERFORMANCE.md "Minibatch training"): the step floor is the
+non-pinnable source gather + the bwd round fixed costs + the gradient
+flush at ~18 ns per ALLOCATED row — all three are per-step serial
+(the SGD chain's flush feeds the next step's forward, so flushes can
+never batch across steps the way `replay_render_frames` batches
+independent per-frame gradients).
 """
 
 from __future__ import annotations
@@ -56,19 +74,39 @@ from .tape import (RayTape, _replay_call, _round_program, _size_bucket,
                    unsort_output)
 
 
+def _bits(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _floats(a):
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+@jax.jit
+def _pack_source(idx_rm, dt_rm, tval_rm, vdirs_rm, dscale_rm, counts_rm):
+    cols = [idx_rm, _bits(dt_rm)]
+    if tval_rm is not None:
+        cols.append(_bits(tval_rm))
+    cols += [_bits(vdirs_rm), _bits(dscale_rm[:, None]),
+             counts_rm[:, None]]
+    return jnp.concatenate(cols, axis=1)
+
+
 class TapeRowSource:
-    """Ray-major view of a recorded tape, built once per (tape) for
+    """Ray-major packed view of a recorded tape, built once per tape for
     row-subset extraction.
 
     Device arrays (``n_rows = n_chunks * C`` padded-layout rows):
-      idx_rm:  (n_rows, S) int32 — per-ray sample index stream
-               (feature rows, or tree-cell ids for indirect parents).
-      dt_rm:   (n_rows, S) f32 — per-ray recorded step lengths.
-      tval_rm: (n_rows, S) f32 or None — recorded march parameter t.
+      packed:  (n_rows, 2S [+S] + 5) int32 — per ray: sample index
+               stream (S), dt bits (S), [t bits (S) when the parent was
+               recorded with record_t], viewdir bits (3), dscale bits
+               (1), count (1). ONE gather pulls everything a replay
+               needs.
       cell_rm: (n_rows, S) int32 or None — tree-cell stream (weight
                accumulation), kept only when ``keep_cells``.
-      o/d/v_rm:(n_rows, 3) f32 ray constants; ds_rm (n_rows,) f32;
-      counts_rm (n_rows,) int32.
+      origins_rm / dirs_rm: (n_rows, 3) f32 — kept for the thresholded
+               backward's march fallback (small; gathered only by
+               :func:`subset_tape`, never in the training hot loop).
 
     Host metadata: the parent's padded-layout counts and the ray-id ->
     padded-row map (``inv_host``), used to order and chunk subsets
@@ -84,23 +122,25 @@ class TapeRowSource:
         def rm(a):
             return a.swapaxes(1, 2).reshape(n_rows, S)
 
-        self.idx_rm = rm(tape.idx)
-        self.dt_rm = rm(tape.dt)
-        self.tval_rm = rm(tape.tval) if tape.tval is not None else None
+        self.has_t = tape.tval is not None
+        self.packed = _pack_source(
+            rm(tape.idx), rm(tape.dt),
+            rm(tape.tval) if self.has_t else None,
+            tape.vdirs.reshape(n_rows, 3),
+            tape.dscale.reshape(n_rows),
+            tape.counts.reshape(n_rows),
+        )
         self.cell_rm = (
             rm(tape.cell) if (keep_cells and tape.cell is not None)
             else None
         )
         self.origins_rm = tape.origins.reshape(n_rows, 3)
         self.dirs_rm = tape.dirs.reshape(n_rows, 3)
-        self.vdirs_rm = tape.vdirs.reshape(n_rows, 3)
-        self.dscale_rm = tape.dscale.reshape(n_rows)
-        self.counts_rm = tape.counts.reshape(n_rows)
 
         # Host copies for ordering (fetched once; ~n_rays ints).
-        self.counts_host = np.asarray(jax.device_get(tape.counts)).reshape(
-            n_rows
-        )
+        self.counts_host = np.asarray(
+            jax.device_get(tape.counts)
+        ).reshape(n_rows)
         self.inv_host = np.asarray(jax.device_get(tape.inv_pos))
         # Parent zero-occupancy prefix (padded rows below this index are
         # rays with zero OCCUPIED samples — the only zero-occupancy
@@ -125,7 +165,7 @@ class TapeRowSource:
             return counts > 0
         return pos >= self._zero_rows
 
-    def prep(self, ids, chunk_size: int = 1024, r_quant: int = 8):
+    def prep(self, ids, chunk_size: int = 512, r_quant: int = 8):
         """Host-side subset layout: sort by sample count (parent
         invariant: zero-occupancy first, then ascending), pad to a chunk
         multiple, derive caps / tape width / zero prefix / round
@@ -193,58 +233,106 @@ class _SubsetPlan:
     r_quant: int
 
 
+@dataclasses.dataclass(frozen=True)
+class _SrcMeta:
+    """Hashable static metadata of a TapeRowSource (trace constants)."""
+
+    S: int
+    has_t: bool
+    compact: bool
+    indirect: bool
+    n_features: int
+    n_cells: int
+    geom: tuple
+    prog_K: int
+    bwd_prog_K: int
+
+    @classmethod
+    def of(cls, src: TapeRowSource):
+        return cls(S=src.S, has_t=src.has_t, compact=src.compact,
+                   indirect=src.indirect, n_features=src.n_features,
+                   n_cells=src.n_cells, geom=src.geom,
+                   prog_K=src.prog_K, bwd_prog_K=src.bwd_prog_K)
+
+
 def _programs(caps_nz, prog_K: int, bwd_K: int, S: int, r_quant: int):
     rc, rs, lr = _round_program(caps_nz, prog_K, S, r_mult=r_quant)
     brc, brs, _ = _round_program(caps_nz, bwd_K, S, r_mult=r_quant)
     return rc, rs, lr, brc, brs
 
 
-def _gather_rows(src: TapeRowSource, pos_p, S: int, C: int,
-                 n_chunks: int):
-    """Device row gather + re-chunk: (Bp,) source rows -> the chunked
-    (n_chunks, S, C) tape layout (+ per-ray constants). Traceable —
-    the minibatch trainer runs it per scan step."""
-    def chunked(a_rm):
-        g = jnp.take(a_rm[:, :S], pos_p, axis=0)
-        return g.reshape(n_chunks, C, S).swapaxes(1, 2)
+def _gather_subset(packed, meta: _SrcMeta, pos_nz, S: int, C: int,
+                   n_chunks: int, n_zero: int, want_t: bool):
+    """Gather + unpack + re-chunk the NON-ZERO suffix of a subset from
+    the packed source, prepending all-zero prefix chunks (their rays
+    have zero occupied samples: the replay never reads their tape slots
+    and emits the background row — verified bitwise). Traceable — the
+    minibatch trainer runs it per scan step.
 
-    idx = chunked(src.idx_rm)
-    dt = chunked(src.dt_rm)
-    cell = chunked(src.cell_rm) if src.cell_rm is not None else None
-    tval = chunked(src.tval_rm) if src.tval_rm is not None else None
-    counts = jnp.take(src.counts_rm, pos_p, axis=0)
-    counts = jnp.minimum(counts, S).reshape(n_chunks, C)
-    o = jnp.take(src.origins_rm, pos_p, axis=0).reshape(n_chunks, C, 3)
-    d = jnp.take(src.dirs_rm, pos_p, axis=0).reshape(n_chunks, C, 3)
-    v = jnp.take(src.vdirs_rm, pos_p, axis=0).reshape(n_chunks, C, 3)
-    ds = jnp.take(src.dscale_rm, pos_p, axis=0).reshape(n_chunks, C)
-    return idx, dt, cell, tval, counts, o, d, v, ds
+    Returns (idx, dt, tval|None, counts, vdirs, dscale) in the chunked
+    (n_chunks, S, C) / (n_chunks, C, ...) tape layout."""
+    Sp = meta.S
+    NC = n_chunks - n_zero
+    g = jnp.take(packed, pos_nz, axis=0)  # (NCp*C, 2S[+S]+5)
+
+    def zfront(a):
+        pre = jnp.zeros((n_zero,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([pre, a]) if n_zero else a
+
+    def grid(block):
+        return block.reshape(NC, C, S).swapaxes(1, 2)
+
+    idx = grid(g[:, :S])
+    # Indirect tapes: the zero prefix must hold IN-RANGE cell ids (0),
+    # which jnp.zeros provides; direct tapes' prefix reads as empty
+    # only if >= n_features — but the replay slices the prefix off
+    # before any use, so 0 is fine there too.
+    dt = grid(_floats(g[:, Sp:Sp + S]))
+    off = 2 * Sp
+    tval = None
+    if meta.has_t:
+        if want_t:
+            tval = grid(_floats(g[:, off:off + S]))
+        off += Sp
+    vd = _floats(g[:, off:off + 3]).reshape(NC, C, 3)
+    ds = _floats(g[:, off + 3:off + 4]).reshape(NC, C)
+    counts = jnp.minimum(g[:, off + 4], S).reshape(NC, C)
+    return (zfront(idx), zfront(dt),
+            zfront(tval) if tval is not None else None,
+            zfront(counts), zfront(vd), zfront(ds))
 
 
-def _build_tape(src: TapeRowSource, plan: _SubsetPlan, arrays,
-                programs, inv_pos) -> RayTape:
-    idx, dt, cell, tval, counts, o, d, v, ds = arrays
+def _build_tape(meta: _SrcMeta, plan: _SubsetPlan, arrays, programs,
+                inv_pos, origins, dirs) -> RayTape:
+    idx, dt, tval, counts, vdirs, dscale = arrays
     rc, rs, lr, brc, brs = programs
     return RayTape(
-        idx=idx, dt=dt, cell=cell, counts=counts,
-        origins=o, dirs=d, vdirs=v, dscale=ds, inv_pos=inv_pos,
+        idx=idx, dt=dt, cell=None, counts=counts,
+        origins=origins, dirs=dirs, vdirs=vdirs, dscale=dscale,
+        inv_pos=inv_pos,
         round_chunk=rc, round_s0=rs, last_round=lr,
         bwd_round_chunk=brc, bwd_round_s0=brs,
-        n_rays=plan.B, C=plan.C, S=plan.S, compact=src.compact,
-        n_features=src.n_features, n_cells=src.n_cells, geom=src.geom,
-        n_zero=plan.n_zero, prog_K=src.prog_K,
-        bwd_prog_K=src.bwd_prog_K, ginv=None, group=1, tval=tval,
-        out_blocks=(), indirect=src.indirect,
+        n_rays=plan.B, C=plan.C, S=plan.S, compact=meta.compact,
+        n_features=meta.n_features, n_cells=meta.n_cells,
+        geom=meta.geom, n_zero=plan.n_zero, prog_K=meta.prog_K,
+        bwd_prog_K=meta.bwd_prog_K, ginv=None, group=1, tval=tval,
+        out_blocks=(), indirect=meta.indirect,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("S", "C", "n_chunks"))
-def _gather_rows_jit(src_leaves, pos_p, S, C, n_chunks):
-    return _gather_rows(src_leaves, pos_p, S, C, n_chunks)
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "S", "C", "n_chunks", "n_zero", "want_t"),
+)
+def _gather_subset_jit(packed, pos_nz, meta, S, C, n_chunks, n_zero,
+                       want_t):
+    return _gather_subset(packed, meta, pos_nz, S, C, n_chunks, n_zero,
+                          want_t)
 
 
-def subset_tape(source, ids, *, chunk_size: int = 1024,
-                r_quant: int = 8) -> RayTape:
+def subset_tape(source, ids, *, chunk_size: int = 512,
+                r_quant: int = 8, with_rays: bool = True,
+                prog_K: int = 0, bwd_prog_K: int = 0) -> RayTape:
     """Standalone :class:`RayTape` over an arbitrary subset of a
     recorded tape's rays.
 
@@ -257,50 +345,49 @@ def subset_tape(source, ids, *, chunk_size: int = 1024,
 
     ``r_quant`` pads the round-program length to a multiple (executable
     reuse across same-size random batches — the round count is the one
-    static that varies between equally-sized subsets)."""
+    static that varies between equally-sized subsets). ``with_rays``
+    gathers the subset's origins/dirs too (needed ONLY by the
+    thresholded-mode backward's march fallback; the exact single-pass
+    VJP never reads them)."""
     if isinstance(source, RayTape):
         source = TapeRowSource(source)
     plan = source.prep(ids, chunk_size=chunk_size, r_quant=r_quant)
-    programs = _programs(plan.caps_nz, source.prog_K, source.bwd_prog_K,
-                         plan.S, plan.r_quant)
-    arrays = _gather_rows_jit(
-        _SrcLeaves.of(source),
-        jnp.asarray(plan.pos_p.astype(np.int32)),
-        S=plan.S, C=plan.C, n_chunks=plan.n_chunks,
-    )
-    return _build_tape(source, plan, arrays, programs,
-                       jnp.asarray(plan.inv))
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class _SrcLeaves:
-    """The device-array subset of TapeRowSource, as a pytree (so the
-    gather can be jitted / scanned over)."""
-
-    idx_rm: jax.Array
-    dt_rm: jax.Array
-    cell_rm: Optional[jax.Array]
-    tval_rm: Optional[jax.Array]
-    counts_rm: jax.Array
-    origins_rm: jax.Array
-    dirs_rm: jax.Array
-    vdirs_rm: jax.Array
-    dscale_rm: jax.Array
-
-    @classmethod
-    def of(cls, src: TapeRowSource):
-        return cls(
-            idx_rm=src.idx_rm, dt_rm=src.dt_rm, cell_rm=src.cell_rm,
-            tval_rm=src.tval_rm, counts_rm=src.counts_rm,
-            origins_rm=src.origins_rm, dirs_rm=src.dirs_rm,
-            vdirs_rm=src.vdirs_rm, dscale_rm=src.dscale_rm,
+    meta = _SrcMeta.of(source)
+    if prog_K or bwd_prog_K:
+        # Subset round-size overrides: compact tapes carry the regroup
+        # license, so any K replays to the same values (~1e-7); for
+        # compact=False parents the parent prog_K preserves bitwise
+        # round grouping — keep the default there.
+        meta = dataclasses.replace(
+            meta,
+            prog_K=int(prog_K) or meta.prog_K,
+            bwd_prog_K=int(bwd_prog_K) or meta.bwd_prog_K,
         )
+    programs = _programs(plan.caps_nz, meta.prog_K, meta.bwd_prog_K,
+                         plan.S, plan.r_quant)
+    pos_nz = jnp.asarray(
+        plan.pos_p[plan.n_zero * plan.C:].astype(np.int32)
+    )
+    arrays = _gather_subset_jit(
+        source.packed, pos_nz, meta, S=plan.S, C=plan.C,
+        n_chunks=plan.n_chunks, n_zero=plan.n_zero, want_t=source.has_t,
+    )
+    if with_rays:
+        pos_p = jnp.asarray(plan.pos_p.astype(np.int32))
+        o = jnp.take(source.origins_rm, pos_p, axis=0).reshape(
+            plan.n_chunks, plan.C, 3)
+        d = jnp.take(source.dirs_rm, pos_p, axis=0).reshape(
+            plan.n_chunks, plan.C, 3)
+    else:
+        o = jnp.zeros((plan.n_chunks, plan.C, 3), source.dtype)
+        d = o
+    return _build_tape(meta, plan, arrays, programs,
+                       jnp.asarray(plan.inv), o, d)
 
 
 def replay_render_rows(source, ids, features, opt: RenderOptions,
                        spec=None, *, unsort: bool = True,
-                       index_table=None, chunk_size: int = 1024):
+                       index_table=None, chunk_size: int = 512):
     """Replay only the rays in ``ids``: :func:`subset_tape` +
     :func:`~.tape.replay_render`. Differentiable wrt ``features``; the
     gradient equals the full replay's gradient of a loss restricted to
@@ -322,22 +409,34 @@ def _sgd(lr: float):
     return update
 
 
+def _check_exact(opt: RenderOptions, who: str):
+    if opt.sigma_thresh != 0.0 or opt.stop_thresh > 0.0:
+        raise ValueError(
+            f"{who} requires exact-mode options (sigma_thresh=0, "
+            "stop_thresh=0): the thresholded tape backward falls back "
+            "to a march over the stored rays, which the packed training "
+            "source does not carry"
+        )
+
+
 def train_minibatches(source, ids_batches, targets, features,
                       opt: RenderOptions, *,
                       lr: float = 1e-2,
                       update_fn: Optional[Callable] = None,
                       update_state=(),
                       spec=None, index_table=None,
-                      chunk_size: int = 1024, r_quant: int = 16,
-                      loss_cols: Optional[int] = None):
+                      chunk_size: int = 512, r_quant: int = 16,
+                      loss_cols: Optional[int] = None,
+                      prog_K: int = 0, bwd_prog_K: int = 0):
     """N sequential SGD steps over N random-ray minibatches in ONE
     dispatch — the canonical random-pixel training loop at tape rates.
 
-    Per step n: gather minibatch n's rows from the ray-major source
-    (in-graph), replay forward, L2 loss against ``targets`` rows, tape
-    backward (bulk flush), apply ``update_fn`` (default SGD with
-    ``lr``); step n+1 replays against the UPDATED features — a true
-    sequential chain, nothing can be hoisted.
+    Per step n: gather minibatch n's NON-ZERO rows from the packed
+    source (in-graph; zero-occupancy rays replay to the background
+    constant without touching tape data), replay forward, L2 loss
+    against ``targets`` rows, tape backward (bulk flush), apply
+    ``update_fn`` (default SGD with ``lr``); step n+1 replays against
+    the UPDATED features — a true sequential chain, nothing hoists.
 
     All N steps share one conservative round program (per-chunk cap =
     max over the N batches): rounds past a batch's true cap have
@@ -345,18 +444,31 @@ def train_minibatches(source, ids_batches, targets, features,
     per-batch programs'. The shared program + size-bucketed tape width
     keep the executable reusable across calls with same-shaped batches.
 
+    LOSS SCOPE: the reported per-step loss sums squared error over the
+    batch's NON-ZERO-OCCUPANCY rays only (divided by batch_size x W).
+    Zero-occupancy rays render the exact background constant regardless
+    of features — their loss terms carry ZERO gradient — so excluding
+    them changes no update while keeping the per-step target gather and
+    the host->device index traffic proportional to the ~12% of rays
+    that do work (measured 15.6 -> see probe_minibatch.py). Add the
+    constant yourself if you need the full L2 value.
+
     :param ids_batches: (N, B) host int array of ray ids per step.
     :param targets: (n_rays, W) device/host array of per-ray targets in
         ORIGINAL ray order; each step compares its rays' outputs
         (first W columns, or ``loss_cols``) against these rows.
     :param update_fn: ``(features, grad, state) -> (features, state)``;
         default plain SGD. State is scanned through (e.g. momentum).
-    :return: (features_out, losses (N,)) — losses are per-step MEANS of
-        squared error over the batch's valid rays x W columns.
+        Pass a stable function object — a fresh lambda per call
+        recompiles.
+    :param prog_K / bwd_prog_K: subset replay round-size overrides
+        (compact parents only — the regroup license; 0 = inherit).
+    :return: (features_out, losses (N,)).
     """
     ids_batches = np.asarray(ids_batches)
     if ids_batches.ndim != 2:
         raise ValueError("ids_batches must be (N, B)")
+    _check_exact(opt, "train_minibatches")
     if isinstance(source, RayTape):
         source = TapeRowSource(source)
     N, B = ids_batches.shape
@@ -374,31 +486,80 @@ def train_minibatches(source, ids_batches, targets, features,
     for n, p in enumerate(plans):
         caps[n, p.n_zero - n_zero:] = np.minimum(p.caps_nz, S_com)
     caps_sh = caps.max(axis=0)
-    programs = _programs(caps_sh, source.prog_K, source.bwd_prog_K,
+    meta = _SrcMeta.of(source)
+    if prog_K or bwd_prog_K:
+        meta = dataclasses.replace(
+            meta,
+            prog_K=int(prog_K) or meta.prog_K,
+            bwd_prog_K=int(bwd_prog_K) or meta.bwd_prog_K,
+        )
+    programs = _programs(caps_sh, meta.prog_K, meta.bwd_prog_K,
                          S_com, r_quant)
-    plan_com = dataclasses.replace(p0, S=S_com, n_zero=n_zero,
-                                   caps_nz=caps_sh)
 
-    pos_all = jnp.asarray(
-        np.stack([p.pos_p for p in plans]).astype(np.int32)
-    )
-    tgt_idx = jnp.asarray(
-        np.stack([p.ids_p for p in plans]).astype(np.int32)
-    )
+    # Only the non-zero suffix ships and gathers (prefix rays replay to
+    # the background constant, zero gradient — see LOSS SCOPE above).
+    pos_nz = jnp.asarray(np.stack(
+        [p.pos_p[n_zero * C:] for p in plans]).astype(np.int32))
+    tgt_idx_nz = jnp.asarray(np.stack(
+        [p.ids_p[n_zero * C:] for p in plans]).astype(np.int32))
     targets = jnp.asarray(targets)
     features = jnp.asarray(features)
     W = int(loss_cols) if loss_cols else int(targets.shape[1])
     upd = update_fn if update_fn is not None else _sgd(float(lr))
 
     return _train_impl(
-        _SrcLeaves.of(source), programs, pos_all, tgt_idx, targets,
+        source.packed, programs, pos_nz, tgt_idx_nz, targets,
         features, update_state, spec, index_table, opt,
-        plan_meta=(plan_com.B, C, pad, n_chunks, n_zero, S_com),
-        src_meta=(source.compact, source.indirect, source.n_features,
-                  source.n_cells, source.geom, source.prog_K,
-                  source.bwd_prog_K),
-        W=W, upd=upd,
+        plan_meta=(B, C, pad, n_chunks, n_zero, S_com),
+        meta=meta, W=W, upd=upd,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "plan_meta", "meta", "W", "upd"),
+)
+def _train_impl(packed, programs, pos_nz, tgt_idx_nz, targets, features,
+                update_state, spec, index_table, opt, *, plan_meta,
+                meta, W, upd):
+    B, C, pad, n_chunks, n_zero, S = plan_meta
+    Bp = n_chunks * C
+    nzr = n_zero * C
+    # pad rows duplicate a real ray at layout rows [0, pad); when the
+    # zero prefix is empty they fall inside the suffix — mask them from
+    # the loss (their cotangent is 0, so no gradient double-counts).
+    mask = (jnp.arange(nzr, Bp) >= pad).astype(targets.dtype)
+    inv_dummy = jnp.zeros((B,), jnp.int32)
+    denom = 1.0 / float(max(B * W, 1))
+    zeros3 = jnp.zeros((n_chunks, C, 3), targets.dtype)
+
+    plan = _SubsetPlan(
+        pos_p=None, ids_p=None, caps_nz=None, inv=None, B=B, C=C,
+        pad=pad, n_chunks=n_chunks, n_zero=n_zero, S=S, r_quant=0,
+    )
+
+    def step(carry, xs):
+        f, state = carry
+        pos, tidx = xs
+        arrays = _gather_subset(packed, meta, pos, S, C, n_chunks,
+                                n_zero, want_t=False)
+        tape = _build_tape(meta, plan, arrays, programs, inv_dummy,
+                           zeros3, zeros3)
+        tgt = jnp.take(targets, tidx, axis=0)
+
+        def loss_fn(ff):
+            out = _replay_call(tape, ff, index_table, opt, spec)
+            err = (out[nzr:, :W] - tgt[:, :W]) * mask[:, None]
+            return jnp.sum(err * err) * denom
+
+        loss, g = jax.value_and_grad(loss_fn)(f)
+        f, state = upd(f, g, state)
+        return (f, state), loss
+
+    (features, update_state), losses = jax.lax.scan(
+        step, (features, update_state), (pos_nz, tgt_idx_nz)
+    )
+    return features, losses
 
 
 def train_steps(tape: RayTape, targets, features, opt: RenderOptions,
@@ -460,58 +621,5 @@ def _train_steps_impl(tape, tgt_tape, features, update_state, spec,
 
     (features, update_state), losses = jax.lax.scan(
         step, (features, update_state), None, length=n_steps
-    )
-    return features, losses
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("opt", "plan_meta", "src_meta", "W", "upd"),
-)
-def _train_impl(src, programs, pos_all, tgt_idx, targets, features,
-                update_state, spec, index_table, opt, *, plan_meta,
-                src_meta, W, upd):
-    B, C, pad, n_chunks, n_zero, S = plan_meta
-    compact, indirect, n_features, n_cells, geom, prog_K, bwd_K = src_meta
-    Bp = n_chunks * C
-    # pad rows sit at [0, pad): mask them from the loss (their
-    # cotangent is 0, so their replay contributes no gradient).
-    mask = (jnp.arange(Bp) >= pad).astype(targets.dtype)
-    inv_dummy = jnp.zeros((B,), jnp.int32)
-    denom = 1.0 / float(max(B * W, 1))
-
-    # Rebuild a RayTape pytree around the step's gathered arrays; the
-    # static fields are trace constants shared by every step.
-    plan = _SubsetPlan(
-        pos_p=None, ids_p=None, caps_nz=None, inv=None, B=B, C=C,
-        pad=pad, n_chunks=n_chunks, n_zero=n_zero, S=S, r_quant=0,
-    )
-
-    class _Src:
-        pass
-
-    meta = _Src()
-    meta.compact, meta.indirect = compact, indirect
-    meta.n_features, meta.n_cells = n_features, n_cells
-    meta.geom, meta.prog_K, meta.bwd_prog_K = geom, prog_K, bwd_K
-
-    def step(carry, xs):
-        f, state = carry
-        pos_p, tidx = xs
-        arrays = _gather_rows(src, pos_p, S, C, n_chunks)
-        tape = _build_tape(meta, plan, arrays, programs, inv_dummy)
-        tgt = jnp.take(targets, tidx, axis=0)
-
-        def loss_fn(ff):
-            out = _replay_call(tape, ff, index_table, opt, spec)
-            err = (out[:, :W] - tgt[:, :W]) * mask[:, None]
-            return jnp.sum(err * err) * denom
-
-        loss, g = jax.value_and_grad(loss_fn)(f)
-        f, state = upd(f, g, state)
-        return (f, state), loss
-
-    (features, update_state), losses = jax.lax.scan(
-        step, (features, update_state), (pos_all, tgt_idx)
     )
     return features, losses

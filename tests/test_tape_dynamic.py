@@ -323,3 +323,53 @@ def test_dynamic_tape_weight_accum(scene):
     np.testing.assert_allclose(
         np.asarray(wa_tape), np.asarray(wa_march), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_dynamic_tape_deep_tree(compact):
+    """Deep-structure dynamic serving (round-5 verdict #6): a depth-6
+    tree (3-stage bake, brick atlas) animated by construct_tree
+    re-points replays through the cell-indexed tape bitwise
+    (compact=False) / to the compaction license — the same contract as
+    the shallow scenes, across the deep bake's multi-stage lookup."""
+    rng = np.random.RandomState(5)
+    Q = 300
+    # Cloud on a small sphere; occupancy grid = dilated union of the
+    # animated cloud (64^3 -> depth-6 leaves).
+    pts = (0.5 + 0.18 * rng.randn(Q, 3)).astype(np.float32)
+    pts = np.clip(pts, 0.15, 0.85)
+    res = 64
+    occ = np.zeros((res, res, res), bool)
+    ijk = np.clip((pts * res).astype(int), 0, res - 1)
+    occ[ijk[:, 0], ijk[:, 1], ijk[:, 2]] = True
+    # dilate generously so warped frames stay in refined cells
+    for ax in range(3):
+        for sh in (-2, -1, 1, 2):
+            occ |= np.roll(occ, sh, axis=ax)
+    tree, _ = st.tree_from_occupancy(occ, data_dim=4)
+    assert tree.depth_limit >= 6
+    feats = jnp.asarray(np.concatenate(
+        [rng.rand(Q, 3), 6.0 + rng.rand(Q, 1)], axis=1
+    ).astype(np.float32))
+    sw = np.stack([1.0 - pts[:, 2], pts[:, 2]], axis=1).astype(np.float32)
+    ji = np.tile(np.array([0, 1], np.int32), (Q, 1))
+    poses = _poses(3)
+    rays = _rays(rng, 40)
+    r = st.VolumeRenderer(tree)
+    fused = np.asarray(
+        r.render_dynamic_frames(
+            feats, poses, _SRC, pts, sw, ji, rays=rays, update_tree=False
+        )
+    )
+    taped = np.asarray(
+        r.render_dynamic_tape_frames(
+            feats, poses, _SRC, pts, sw, ji, rays=rays,
+            update_tree=False, compact=compact,
+        )
+    )
+    if compact:
+        np.testing.assert_allclose(taped, fused, atol=2e-6)
+    else:
+        np.testing.assert_array_equal(taped, fused)
+    # the animation actually renders something
+    assert (np.abs(np.asarray(fused)[..., :-1] - 1.0) > 1e-3).any()

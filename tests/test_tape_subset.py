@@ -196,8 +196,11 @@ def test_subset_indirect_parent(rng):
 
 
 def test_train_minibatches_matches_eager_chain(rng):
-    """The one-dispatch sequential trainer == an eager per-step
-    subset-replay SGD loop (same batches, same lr)."""
+    """The one-dispatch sequential trainer follows the SAME feature
+    trajectory as an eager per-step subset-replay SGD loop with the
+    FULL per-batch loss (zero-occupancy rays carry zero gradient, so
+    excluding their constant loss terms — the trainer's documented
+    scope — changes no update)."""
     t, feats = _scene(rng)
     rays = make_rays(rng, 240)
     tp, opt, spec = _record(t, feats, rays)
@@ -216,10 +219,10 @@ def test_train_minibatches_matches_eager_chain(rng):
     )
     f_out = np.asarray(f_out)
     losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
 
-    # Eager reference chain.
+    # Eager reference chain with the FULL loss (constant terms incl.).
     f = jnp.asarray(f0)
-    ref_losses = []
     for n in range(N):
         ids = ids_b[n]
 
@@ -229,20 +232,22 @@ def test_train_minibatches_matches_eager_chain(rng):
             err = out[:, :n_color] - tgt[ids]
             return jnp.sum(err * err) / (B * n_color)
 
-        l, g = jax.value_and_grad(loss_fn)(f)
-        ref_losses.append(float(l))
+        _, g = jax.value_and_grad(loss_fn)(f)
         f = f - lr * g
 
-    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(f_out, np.asarray(f), rtol=2e-4,
                                atol=2e-6)
-    # The chain actually descends: batch 0's loss under the trained
-    # features is below its recorded step-0 loss (same batch, so the
-    # comparison is like-for-like).
-    out0 = tsub.replay_render_rows(src, ids_b[0], jnp.asarray(f_out),
-                                   opt, spec, chunk_size=32)
+    # Reported losses cover exactly the non-zero-prefix rows: the gap
+    # to the full loss is the zero rays' constant background error.
+    occ = src.counts_host[src.inv_host[ids_b[0]]] > 0
+    out0 = tsub.replay_render_rows(src, ids_b[0], jnp.asarray(f0), opt,
+                                   spec, chunk_size=32)
     err0 = np.asarray(out0)[:, :n_color] - np.asarray(tgt)[ids_b[0]]
-    assert float((err0 * err0).sum() / (B * n_color)) < float(losses[0])
+    full0 = float((err0 * err0).sum() / (B * n_color))
+    zero0 = float((err0[~occ] ** 2).sum() / (B * n_color))
+    # The prefix cut is chunk-granular, so [full - all-zero-terms] <=
+    # reported <= full (boundary-chunk zero rays stay included).
+    assert full0 - zero0 - 1e-6 <= losses[0] <= full0 + 1e-6
 
 
 def test_train_minibatches_custom_update(rng):
