@@ -281,6 +281,91 @@ def main():
     tape_bwd_seq_s = min(times) / N_TAPE_BWD_SEQ
     tape_bwd_seq_mrays = n_rays / tape_bwd_seq_s / 1e6
 
+    # TRUE sequential SGD chain (round-5 verdict #4): N in-dispatch
+    # steps where step n+1 replays the features step n's update wrote —
+    # fwd + tape backward + SGD per step, nothing shareable across
+    # steps (the bulk gradient flush is the serial dependency; see
+    # docs/PERFORMANCE.md "Sequential-chain floor").
+    from svox_t_tpu.ops import tape_subset as tsub
+
+    tgt_chain = tape_ops.replay_render(tape_tr, feats, opt,
+                                       unsort=False)[:, :3]
+    # tape-order targets -> original order for train_steps' contract
+    tgt_chain = tape_ops.unsort_output(tape_tr, tgt_chain)
+    jax.block_until_ready(tgt_chain)
+    N_CHAIN = 8
+
+    def chain_run(i):
+        f_out, _ = tsub.train_steps(
+            tape_tr, tgt_chain, feats * (0.9 + 1e-6 * i), opt, N_CHAIN,
+            lr=0.05,
+        )
+        return float(jnp.sum(f_out))
+
+    _ = chain_run(0)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        _ = chain_run(i + 1)
+        times.append(time.time() - t0)
+    chain_s = min(times) / N_CHAIN
+    chain_mrays = n_rays / chain_s / 1e6
+
+    # Random-pixel minibatch training (round-5 verdict #1): sequential
+    # SGD over random 64k-ray batches drawn across a FOUR-camera rig
+    # tape, 32 steps per dispatch (ops/tape_subset.py). The canonical
+    # NeRF/Artemis loop; per-step floor = packed source gather + round
+    # fixed costs + gradient flush (docs/PERFORMANCE.md "Minibatch
+    # training").
+    mb = {}
+    try:
+        rng_mb = np.random.RandomState(7)
+        c2ws_rig = np.stack(
+            [orbit_camera(theta=0.9 * v, phi=0.3 + 0.1 * v)
+             for v in range(4)]
+        )
+        rig_tape = r.record_persp_rig(c2ws_rig, W, H, fx=W * 1.1,
+                                      features=feats, group_size=1)
+        t0 = time.time()
+        src_mb = tsub.TapeRowSource(rig_tape)
+        jax.block_until_ready(src_mb.packed)
+        mb["minibatch_source_s"] = round(time.time() - t0, 2)
+        tgt_mb = tape_ops.replay_render(rig_tape, feats, opt)[:, :3]
+        jax.block_until_ready(tgt_mb)
+        N_MB, B_MB = 32, 65536
+        n_rig = rig_tape.n_rays
+
+        def mb_batches():
+            return np.stack(
+                [rng_mb.choice(n_rig, size=B_MB, replace=False)
+                 for _ in range(N_MB)]
+            )
+
+        def mb_run(i):
+            f_out, _ = tsub.train_minibatches(
+                src_mb, mb_batches(), tgt_mb, feats * (0.9 + 1e-6 * i),
+                opt, lr=0.05, chunk_size=256,
+            )
+            return float(jnp.sum(f_out))
+
+        _ = mb_run(0)
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            _ = mb_run(i + 1)
+            times.append(time.time() - t0)
+        mb_s = min(times) / N_MB
+        mb["minibatch_rays"] = B_MB
+        mb["minibatch_steps_per_call"] = N_MB
+        mb["minibatch_step_ms"] = round(mb_s * 1e3, 2)
+        mb["minibatch_fwd_bwd_mrays_s"] = round(B_MB / mb_s / 1e6, 3)
+        mb["minibatch_vs_target"] = round(B_MB / mb_s / 1e6 / 25.0, 4)
+        # Free the rig structures before the deep sections build.
+        del src_mb, rig_tape
+        r._tape_cache.clear()
+    except Exception as e:  # pragma: no cover - defensive
+        mb = {"minibatch_error": repr(e)[:200]}
+
     # "fast" mode (sigma_thresh = stop_thresh = 1e-2): the reference's
     # accelerated configuration and the setting PlenOctrees-class FPS
     # numbers are quoted in (early ray termination).
@@ -524,32 +609,16 @@ def main():
             dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
             dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
 
-        # Union-occupancy schedule (round-5 verdict #3): a cost plan on
-        # the animation's occupancy UNION is conservative for every
-        # frame — never stale within the animation (the canonical-pose
-        # plan measured 12.9 -> 7.4 fps stale). Plan cost amortizes
-        # across the animation's replays (cached); steady-state
-        # per-frame cost reported here.
-        def dyn_union_run(i, fast):
-            outs = dr.render_dynamic_frames(
-                dfeats * (1.0 + 1e-3 * i), poses, src, pts, sw, ji,
-                c2w=c2w, width=W, height=H, fx=W * 1.1,
-                update_tree=False, fast=fast, schedule="union",
-            )
-            return float(jnp.sum(outs))
-
-        for fast, key in (
-            (False, "dynamic_union"), (True, "dynamic_union_fast")
-        ):
-            _ = dyn_union_run(0, fast)  # compile + plan build
-            dts = []
-            for i in range(3):
-                t0 = time.time()
-                _ = dyn_union_run(i + 1, fast)
-                dts.append(time.time() - t0)
-            dyn_s = min(dts) / n_frames
-            dyn[key + "_frames_s"] = round(1.0 / dyn_s, 2)
-            dyn[key + "_frame_ms"] = round(dyn_s * 1e3, 1)
+        # Union-occupancy schedule (round-5 verdict #3): MEASURED
+        # NEGATIVE on this loop — 190-269 ms/frame vs 107/73 tile
+        # (probe_dyn_union.py + C=1024 retest). Mechanism: the fused
+        # loop's structure tables are SCAN-CARRIED (refreshed per
+        # frame), so they cannot VMEM-pin; its gathers run at the
+        # locality-SENSITIVE HBM rate, and any cost reordering destroys
+        # the tile locality it needs (the same mechanism as the
+        # in-dispatch render_persp cost case, 69.6 -> 125 ms). The
+        # schedule stays available (semantics-free, cached) but is not
+        # benchmarked; tile order remains the dynamic default.
 
         # Dynamic TAPE serving (round 4): data-indirect (cell-indexed)
         # replay — ONE record against the animation's union occupancy,
@@ -682,6 +751,10 @@ def main():
                 "tape_fwd_bwd_ms": round(tape_bwd_s * 1e3, 1),
                 "tape_fwd_bwd_seq_mrays_s": round(tape_bwd_seq_mrays, 3),
                 "tape_fwd_bwd_seq_ms": round(tape_bwd_seq_s * 1e3, 1),
+                "tape_train_chain_mrays_s": round(chain_mrays, 3),
+                "tape_train_chain_step_ms": round(chain_s * 1e3, 1),
+                "tape_train_chain_steps_per_call": N_CHAIN,
+                **mb,
                 "fwd_march_mrays_s": round(fwd_mrays, 3),
                 "fwd_march_noplan_mrays_s": round(noplan_mrays, 3),
                 "fwd_march_noplan_ms": round(noplan_s * 1e3, 1),

@@ -370,6 +370,25 @@ def config_5():
     fused(0)  # compile
     fused_dt = _timed_min(fused, n=3)
 
+    # Cell-indexed tape serving (round 4/5 — the >30 fps animating
+    # path): ONE record against the animation's union occupancy, per
+    # frame warp -> re-point -> radiometry REPLAY (no structure walk in
+    # the frame loop). Equal to the fused loop to the compaction
+    # license (bitwise with compact=False — tests/test_tape_dynamic).
+    t0 = time.time()
+    _ = r.record_dynamic_rays(rays, T_stack, src, pts, sw, ji)
+    taped_record_s = time.time() - t0
+
+    def taped(i):
+        out = r.render_dynamic_tape_frames(
+            feats0 * (1.0 + 1e-3 * i), T_stack, src, pts, sw, ji,
+            rays=rays, update_tree=False, viewdir_rotation=False,
+        )
+        _fetch(out)
+
+    taped(0)  # compile (tape cached from the record above)
+    taped_dt = _timed_min(taped, n=3)
+
     return {
         "config": 5,
         "frames_per_s": round(n_frames / dt, 2),
@@ -380,6 +399,9 @@ def config_5():
         "rebuilds_per_s": round(n_frames / dt, 2),
         "fused_frames_per_s": round(n_frames / fused_dt, 2),
         "fused_frame_ms": round(fused_dt / n_frames * 1e3, 1),
+        "taped_frames_per_s": round(n_frames / taped_dt, 2),
+        "taped_frame_ms": round(taped_dt / n_frames * 1e3, 1),
+        "taped_record_s": round(taped_record_s, 2),
     }
 
 

@@ -1268,7 +1268,13 @@ class VolumeRenderer:
             animation's UNION occupancy: conservative for every frame,
             never stale within the animation; one extra union pre-pass,
             cached per camera x animation x structure). All schedules
-            render bit-identically — plans are never semantics.
+            render bit-identically — plans are never semantics. NOTE:
+            "union" MEASURED 2x SLOWER than tile on this loop (190-269
+            vs 107/73 ms/frame, benchmarks/probe_dyn_union.py): the
+            scan-carried per-frame structure tables cannot VMEM-pin, so
+            the dynamic march's gathers are locality-SENSITIVE and cost
+            order destroys the tile locality they need. Kept for
+            completeness; tile stays the dynamic default.
         :return: (T, B, n_color+1) for rays, (T, H, W, n_color+1) for
             cameras; with_depth returns (colors, depths) where depths is
             (T, B, 1) / (T, H, W, 1)
@@ -1335,7 +1341,12 @@ class VolumeRenderer:
                     src_pose, points, skinning_weights, joint_index,
                     features,
                 )
-                opt = self._sched_options(opt)
+                # NOTE: unlike the static cost path, the dynamic loop
+                # KEEPS the tile chunk size (C=1024): its scan body
+                # carries the re-pointed index table and cull box, and
+                # the C=2048 sched chunks measured 2x SLOWER here
+                # (VMEM pressure evicts the pinned tables —
+                # benchmarks/probe_dyn_union.py).
             else:
                 perm, inv = _tile_order(opt, width, height)
             c2w = jnp.asarray(c2w, jnp.float32)
