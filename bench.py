@@ -456,6 +456,60 @@ def main():
     blockplan_s = min(times) / N_SUSTAIN
     blockplan_mrays = n_rays / blockplan_s / 1e6
 
+    # TRULY-MOVING-CAMERA orbit (round-5 verdict #7): 32 cameras 2 deg
+    # apart, 4 frames/dispatch, rays GENERATED in plan order in-graph
+    # (a (B,) pixel-id gather — full-ray perms cost ~55 ms), ONE plan
+    # reused across the whole sweep (decay measured flat to 20+ deg:
+    # 33.2-40.1 ms/frame vs 100 raster — probe_plan_decay.py), plan
+    # build INCLUDED. Reduction-consumer regime (no raster unsort).
+    orbit = {}
+    try:
+        thetas = 0.5 + np.arange(32) * np.deg2rad(2.0)
+        c2ws_orbit = jnp.asarray(
+            np.stack([orbit_camera(theta=t) for t in thetas]),
+            jnp.float32,
+        )
+
+        @jax.jit
+        def orbit_frames(f, c2ws_g, pix):
+            def body(acc, c2w_):
+                py = (pix // W).astype(jnp.float32)
+                px = (pix % W).astype(jnp.float32)
+                x = (px + 0.5 - W * 0.5) / (W * 1.1)
+                y = -(py + 0.5 - H * 0.5) / (W * 1.1)
+                d_ = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+                d_ = d_ / jnp.linalg.norm(d_, axis=-1, keepdims=True)
+                d_ = d_ @ c2w_[:3, :3].T
+                o_ = jnp.broadcast_to(c2w_[:3, 3], d_.shape)
+                out = volume_render(baked, f, o_, d_, d_, opt)
+                return acc + jnp.sum(out), None
+
+            s, _ = jax.lax.scan(body, 0.0, c2ws_g)
+            return s
+
+        r._plan_cache.clear()
+        p_np, _ = r.plan_persp(np.asarray(c2ws_orbit[0]), W, H,
+                               fx=W * 1.1, features=feats)
+        perm_d = jnp.asarray(p_np)
+        _ = float(orbit_frames(feats, c2ws_orbit[:4], perm_d))
+        r._plan_cache.clear()
+        t0 = time.time()
+        accs = []
+        p_np, _ = r.plan_persp(np.asarray(c2ws_orbit[0]), W, H,
+                               fx=W * 1.1, features=feats)
+        perm_d = jnp.asarray(p_np)
+        for gi in range(0, 32, 4):
+            accs.append(orbit_frames(
+                feats * (1.0 + 1e-7 * gi), c2ws_orbit[gi:gi + 4],
+                perm_d))
+        _ = sum(float(a) for a in accs)
+        orbit_s = (time.time() - t0) / 32
+        orbit["orbit32_planned_mrays_s"] = round(
+            n_rays / orbit_s / 1e6, 3)
+        orbit["orbit32_planned_frame_ms"] = round(orbit_s * 1e3, 1)
+    except Exception as e:  # pragma: no cover - defensive
+        orbit = {"orbit_error": repr(e)[:200]}
+
     # Deep-scene forward (depth-9 shell, ~2.1M leaves / 1.4M features,
     # bf16 pool): the memory-bound regime — exercises the pinnable-top
     # bake + brick atlas (round 3).
@@ -800,6 +854,7 @@ def main():
                 "scene_build_s": round(build_s, 2),
                 "bake_s": round(bake_s, 2),
                 "device": str(jax.devices()[0]),
+                **orbit,
                 **dyn,
             }
         )

@@ -127,45 +127,56 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, (c2ws_g, perms_g))
         return s
 
+    # One perm per F-frame group (K >= F), shipped once per re-plan
+    # (2.5 MB); dispatches chained async, ONE fetch at the end — the
+    # shape a real serving loop would take.
     print(f"orbit: 32 cameras, {step_deg} deg apart, {F}/dispatch, "
           "in-plan-order raygen, no unsort")
     c2ws_all = jnp.asarray(np.stack([c[0] for c in cams]), jnp.float32)
-    for K in (1, 4, 8, 1000):
-        # warm compiles (plan build + fwd executable), then timed sweep
+
+    @jax.jit
+    def fwd_frames_one_perm(f, c2ws_g, pix):
+        def body(c, c2w_):
+            py = (pix // W).astype(jnp.float32)
+            px = (pix % W).astype(jnp.float32)
+            x = (px + 0.5 - W * 0.5) / (W * 1.1)
+            y = -(py + 0.5 - H * 0.5) / (W * 1.1)
+            d = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            d = d @ c2w_[:3, :3].T
+            o = jnp.broadcast_to(c2w_[:3, 3], d.shape)
+            out = volume_render(baked, f, o, d, d, opt)
+            return c + jnp.sum(out), None
+
+        s, _ = jax.lax.scan(body, 0.0, c2ws_g)
+        return s
+
+    tp, _ = _tile_baseline(r, opt)
+    for K, label in ((4, "re-plan every 4"), (8, "re-plan every 8"),
+                     (32, "re-plan every 32"),
+                     (0, "tile (no plans)")):
         r._plan_cache.clear()
-        p_np, _ = r.plan_persp(cams[0][0], W, H, fx=W * 1.1,
-                               features=feats)
-        perms0 = jnp.asarray(np.stack([p_np] * F))
-        _ = float(fwd_frames_planned(feats, c2ws_all[:F], perms0))
+        if K:
+            p_np, _ = r.plan_persp(cams[0][0], W, H, fx=W * 1.1,
+                                   features=feats)
+        else:
+            p_np = tp
+        perm_d = jnp.asarray(p_np)
+        _ = float(fwd_frames_one_perm(feats, c2ws_all[:F], perm_d))
         r._plan_cache.clear()
         t0 = time.time()
-        perm = None
+        accs = []
         for gi in range(0, 32, F):
-            perms_g = []
-            for ci in range(gi, gi + F):
-                if ci % K == 0:
-                    perm, _ = r.plan_persp(cams[ci][0], W, H,
-                                           fx=W * 1.1, features=feats)
-                perms_g.append(perm)
-            _ = float(fwd_frames_planned(
-                feats * (1.0 + 1e-7 * gi), c2ws_all[gi:gi + F],
-                jnp.asarray(np.stack(perms_g))))
-        dt = time.time() - t0
-        per_frame = dt / 32
-        label = "never re-plan" if K == 1000 else f"re-plan every {K}"
+            if K and gi % K == 0:
+                p_np, _ = r.plan_persp(cams[gi][0], W, H, fx=W * 1.1,
+                                       features=feats)
+                perm_d = jnp.asarray(p_np)
+            accs.append(fwd_frames_one_perm(
+                feats * (1.0 + 1e-7 * gi), c2ws_all[gi:gi + F], perm_d))
+        _ = sum(float(a) for a in accs)
+        per_frame = (time.time() - t0) / 32
         print(f"  {label}: {per_frame*1e3:.1f} ms/frame = "
               f"{n_rays/per_frame/1e6:.1f} Mrays/s (incl. plan builds)")
-    # tile-order baseline through the same streaming harness
-    tp, _ = _tile_baseline(r, opt)
-    perms_t = jnp.asarray(np.stack([tp] * F))
-    _ = float(fwd_frames_planned(feats, c2ws_all[:F], perms_t))
-    t0 = time.time()
-    for gi in range(0, 32, F):
-        _ = float(fwd_frames_planned(
-            feats * (1.0 + 1e-7 * gi), c2ws_all[gi:gi + F], perms_t))
-    per_frame = (time.time() - t0) / 32
-    print(f"  tile baseline: {per_frame*1e3:.1f} ms/frame = "
-          f"{n_rays/per_frame/1e6:.1f} Mrays/s")
 
 
 def _tile_baseline(r, opt):

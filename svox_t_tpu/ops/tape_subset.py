@@ -137,11 +137,17 @@ class TapeRowSource:
         self.origins_rm = tape.origins.reshape(n_rows, 3)
         self.dirs_rm = tape.dirs.reshape(n_rows, 3)
 
-        # Host copies for ordering (fetched once; ~n_rays ints).
+        # Host copies for ordering (fetched once; ~n_rays ints). The
+        # per-batch prep cost is host-gather-bound on this 1-core box
+        # (~5 ms/64k-batch), so everything it touches is int32 and the
+        # ray-id -> count map is precomposed.
         self.counts_host = np.asarray(
             jax.device_get(tape.counts)
-        ).reshape(n_rows)
-        self.inv_host = np.asarray(jax.device_get(tape.inv_pos))
+        ).reshape(n_rows).astype(np.int32)
+        self.inv_host = np.asarray(
+            jax.device_get(tape.inv_pos)
+        ).astype(np.int32)
+        self.counts_by_id = self.counts_host[self.inv_host]
         # Parent zero-occupancy prefix (padded rows below this index are
         # rays with zero OCCUPIED samples — the only zero-occupancy
         # signal available for uncompacted parents, whose counts column
@@ -181,9 +187,20 @@ class TapeRowSource:
                 f"[{ids.min()}, {ids.max()}]"
             )
         pos = self.inv_host[ids]
-        counts = self.counts_host[pos]
+        counts = self.counts_by_id[ids]
         occ = self._occ_flags(pos, counts)
-        order = np.lexsort((counts, occ))
+        if self.compact:
+            # occ == (counts > 0), so ONE stable small-int argsort
+            # (radix) gives zero-occupancy-first count order — measured
+            # 4x the (counts, occ) lexsort on the 1-core host.
+            key = counts + (counts > 0)
+            key = key.astype(np.uint8 if self.S < 255 else np.uint16)
+            order = np.argsort(key, kind="stable")
+        else:
+            # Uncompacted parents: zero-occ rays carry TOTAL counts —
+            # keep the two-key sort so the prefix stays
+            # count-homogeneous.
+            order = np.lexsort((counts, occ))
         pos_s = pos[order]
         counts_s = counts[order]
 
@@ -464,11 +481,57 @@ def train_minibatches(source, ids_batches, targets, features,
     :param prog_K / bwd_prog_K: subset replay round-size overrides
         (compact parents only — the regroup license; 0 = inherit).
     :return: (features_out, losses (N,)).
+
+    PIPELINING: pass a pre-built :func:`prep_minibatches` pack as
+    ``ids_batches`` to overlap the host-side prep of the NEXT batch set
+    with the device executing this one (dispatches are async — prep
+    while the previous call's outputs are still in flight, fetch after).
     """
+    if isinstance(source, RayTape):
+        source = TapeRowSource(source)
+    pack = (
+        ids_batches if isinstance(ids_batches, MinibatchPack)
+        else prep_minibatches(source, ids_batches,
+                              chunk_size=chunk_size, r_quant=r_quant,
+                              prog_K=prog_K, bwd_prog_K=bwd_prog_K)
+    )
+    _check_exact(opt, "train_minibatches")
+    targets = jnp.asarray(targets)
+    features = jnp.asarray(features)
+    W = int(loss_cols) if loss_cols else int(targets.shape[1])
+    upd = update_fn if update_fn is not None else _sgd(float(lr))
+    return _train_impl(
+        source.packed, pack.programs, jnp.asarray(pack.pos_nz),
+        jnp.asarray(pack.tgt_idx_nz), targets, features, update_state,
+        spec, index_table, opt, plan_meta=pack.plan_meta,
+        meta=pack.meta, W=W, upd=upd,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MinibatchPack:
+    """Host-side product of :func:`prep_minibatches` — everything
+    train_minibatches needs besides device data. Build the NEXT pack
+    while the device runs the current dispatch (input-pipeline
+    prefetch)."""
+
+    pos_nz: np.ndarray      # (N, (n_chunks - n_zero) * C) int32
+    tgt_idx_nz: np.ndarray  # (N, (n_chunks - n_zero) * C) int32
+    programs: tuple         # jnp round programs (shared, conservative)
+    plan_meta: tuple        # (B, C, pad, n_chunks, n_zero, S)
+    meta: "_SrcMeta"
+
+
+def prep_minibatches(source, ids_batches, *, chunk_size: int = 512,
+                     r_quant: int = 16, prog_K: int = 0,
+                     bwd_prog_K: int = 0) -> MinibatchPack:
+    """Host-only phase of :func:`train_minibatches`: per-batch count
+    sort + common layout + shared conservative round program. Pure
+    NumPy except the (tiny) program arrays; run it for batch set i+1
+    while the device executes batch set i."""
     ids_batches = np.asarray(ids_batches)
     if ids_batches.ndim != 2:
         raise ValueError("ids_batches must be (N, B)")
-    _check_exact(opt, "train_minibatches")
     if isinstance(source, RayTape):
         source = TapeRowSource(source)
     N, B = ids_batches.shape
@@ -495,23 +558,15 @@ def train_minibatches(source, ids_batches, targets, features,
         )
     programs = _programs(caps_sh, meta.prog_K, meta.bwd_prog_K,
                          S_com, r_quant)
-
     # Only the non-zero suffix ships and gathers (prefix rays replay to
-    # the background constant, zero gradient — see LOSS SCOPE above).
-    pos_nz = jnp.asarray(np.stack(
-        [p.pos_p[n_zero * C:] for p in plans]).astype(np.int32))
-    tgt_idx_nz = jnp.asarray(np.stack(
-        [p.ids_p[n_zero * C:] for p in plans]).astype(np.int32))
-    targets = jnp.asarray(targets)
-    features = jnp.asarray(features)
-    W = int(loss_cols) if loss_cols else int(targets.shape[1])
-    upd = update_fn if update_fn is not None else _sgd(float(lr))
-
-    return _train_impl(
-        source.packed, programs, pos_nz, tgt_idx_nz, targets,
-        features, update_state, spec, index_table, opt,
-        plan_meta=(B, C, pad, n_chunks, n_zero, S_com),
-        meta=meta, W=W, upd=upd,
+    # the background constant, zero gradient — see LOSS SCOPE).
+    nzr = n_zero * C
+    pos_nz = np.stack([p.pos_p[nzr:] for p in plans]).astype(np.int32)
+    tgt_idx_nz = np.stack(
+        [p.ids_p[nzr:] for p in plans]).astype(np.int32)
+    return MinibatchPack(
+        pos_nz=pos_nz, tgt_idx_nz=tgt_idx_nz, programs=programs,
+        plan_meta=(B, C, pad, n_chunks, n_zero, S_com), meta=meta,
     )
 
 
