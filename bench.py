@@ -296,7 +296,7 @@ def main():
     N_CHAIN = 8
 
     def chain_run(i):
-        f_out, _ = tsub.train_steps(
+        f_out, _, _ = tsub.train_steps(
             tape_tr, tgt_chain, feats * (0.9 + 1e-6 * i), opt, N_CHAIN,
             lr=0.05,
         )
@@ -336,23 +336,32 @@ def main():
         n_rig = rig_tape.n_rays
 
         def mb_batches():
-            return np.stack(
-                [rng_mb.choice(n_rig, size=B_MB, replace=False)
-                 for _ in range(N_MB)]
-            )
+            # with-replacement uniform sampling (canonical SGD; a
+            # no-replacement 2.56M choice costs 160 ms/batch on this
+            # host and is a sampling-strategy choice, not framework
+            # cost)
+            return rng_mb.randint(0, n_rig, size=(N_MB, B_MB))
 
-        def mb_run(i):
-            f_out, _ = tsub.train_minibatches(
-                src_mb, mb_batches(), tgt_mb, feats * (0.9 + 1e-6 * i),
-                opt, lr=0.05, chunk_size=256,
-            )
-            return float(jnp.sum(f_out))
+        def mb_prep():
+            return tsub.prep_minibatches(src_mb, mb_batches(),
+                                         chunk_size=256)
 
-        _ = mb_run(0)
+        pack = mb_prep()
+        f_out, _, _ = tsub.train_minibatches(
+            src_mb, pack, tgt_mb, feats * 0.9, opt, lr=0.05,
+        )
+        _ = float(jnp.sum(f_out))
+        # Pipelined steady state: prep of super-batch i+1 overlaps the
+        # device executing i (dispatches are async; fetch afterwards).
         times = []
         for i in range(3):
             t0 = time.time()
-            _ = mb_run(i + 1)
+            f_out, _, _ = tsub.train_minibatches(
+                src_mb, pack, tgt_mb, feats * (0.9 + 1e-6 * i), opt,
+                lr=0.05,
+            )
+            pack = mb_prep()
+            _ = float(jnp.sum(f_out))
             times.append(time.time() - t0)
         mb_s = min(times) / N_MB
         mb["minibatch_rays"] = B_MB

@@ -480,7 +480,9 @@ def train_minibatches(source, ids_batches, targets, features,
         recompiles.
     :param prog_K / bwd_prog_K: subset replay round-size overrides
         (compact parents only — the regroup license; 0 = inherit).
-    :return: (features_out, losses (N,)).
+    :return: (features_out, losses (N,), update_state_out) — feed the
+        state back into the next call for stateful optimizers (Adam,
+        momentum).
 
     PIPELINING: pass a pre-built :func:`prep_minibatches` pack as
     ``ids_batches`` to overlap the host-side prep of the NEXT batch set
@@ -614,7 +616,7 @@ def _train_impl(packed, programs, pos_nz, tgt_idx_nz, targets, features,
     (features, update_state), losses = jax.lax.scan(
         step, (features, update_state), (pos_nz, tgt_idx_nz)
     )
-    return features, losses
+    return features, losses, update_state
 
 
 def train_steps(tape: RayTape, targets, features, opt: RenderOptions,
@@ -634,7 +636,7 @@ def train_steps(tape: RayTape, targets, features, opt: RenderOptions,
     overhead amortized across ``n_steps``.
 
     :param targets: (n_rays, W) per-ray target rows, original order.
-    :return: (features_out, losses (n_steps,)).
+    :return: (features_out, losses (n_steps,), update_state_out).
     """
     targets = jnp.asarray(targets)
     features = jnp.asarray(features)
@@ -677,4 +679,4 @@ def _train_steps_impl(tape, tgt_tape, features, update_state, spec,
     (features, update_state), losses = jax.lax.scan(
         step, (features, update_state), None, length=n_steps
     )
-    return features, losses
+    return features, losses, update_state

@@ -214,7 +214,7 @@ def test_train_minibatches_matches_eager_chain(rng):
     ids_b = np.stack([rng.choice(240, size=B, replace=False)
                       for _ in range(N)])
 
-    f_out, losses = tsub.train_minibatches(
+    f_out, losses, _ = tsub.train_minibatches(
         src, ids_b, tgt, f0, opt, lr=lr, spec=spec, chunk_size=32,
     )
     f_out = np.asarray(f_out)
@@ -262,7 +262,7 @@ def test_train_minibatches_custom_update(rng):
         v = 0.9 * state - 0.5 * g
         return f + v, v
 
-    f_out, losses = tsub.train_minibatches(
+    f_out, losses, v_out = tsub.train_minibatches(
         tsub.TapeRowSource(tp),
         np.stack([rng.choice(120, size=32) for _ in range(3)]),
         tgt, f0, opt, update_fn=momentum,
@@ -296,8 +296,8 @@ def test_train_steps_matches_eager_chain(rng):
     f0 = feats * 0.85
     N, lr = 4, 0.4
 
-    f_out, losses = tsub.train_steps(tp, tgt, f0, opt, N, lr=lr,
-                                     spec=spec)
+    f_out, losses, _ = tsub.train_steps(tp, tgt, f0, opt, N, lr=lr,
+                                        spec=spec)
     f_out, losses = np.asarray(f_out), np.asarray(losses)
 
     f = jnp.asarray(f0)
