@@ -91,7 +91,7 @@ def main():
     # --- 1. full training chain -------------------------------------
     ids = batches()
     t0 = time.time()
-    f_out, losses = tsub.train_minibatches(
+    f_out, losses, _ = tsub.train_minibatches(
         src, ids, tgt, f0, opt, lr=0.05, spec=spec, chunk_size=CHUNK,
     )
     _ = float(jnp.sum(f_out))
@@ -102,7 +102,7 @@ def main():
     for it in range(4):
         ids = batches()
         th0 = time.time()
-        f_out, losses = tsub.train_minibatches(
+        f_out, losses, _ = tsub.train_minibatches(
             src, ids, tgt, f0 * (1.0 + 1e-6 * it), opt, lr=0.05,
             spec=spec, chunk_size=CHUNK,
         )

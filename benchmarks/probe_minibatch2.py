@@ -69,11 +69,11 @@ def main():
 
     # --- 1. trace one chain dispatch --------------------------------
     ids = batches()
-    f_out, _ = tsub.train_minibatches(src, ids, tgt, f0, opt, lr=0.05,
+    f_out, _, _ = tsub.train_minibatches(src, ids, tgt, f0, opt, lr=0.05,
                                       spec=spec, chunk_size=1024)
     _ = float(jnp.sum(f_out))
     with device_trace("/tmp/mb_trace") as t:
-        f_out, _ = tsub.train_minibatches(src, ids, tgt, f0, opt,
+        f_out, _, _ = tsub.train_minibatches(src, ids, tgt, f0, opt,
                                           lr=0.05, spec=spec,
                                           chunk_size=1024)
         _ = float(jnp.sum(f_out))
