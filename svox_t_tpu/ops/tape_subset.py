@@ -491,12 +491,20 @@ def train_minibatches(source, ids_batches, targets, features,
     """
     if isinstance(source, RayTape):
         source = TapeRowSource(source)
-    pack = (
-        ids_batches if isinstance(ids_batches, MinibatchPack)
-        else prep_minibatches(source, ids_batches,
-                              chunk_size=chunk_size, r_quant=r_quant,
-                              prog_K=prog_K, bwd_prog_K=bwd_prog_K)
-    )
+    if isinstance(ids_batches, MinibatchPack):
+        pack = ids_batches
+        base = _SrcMeta.of(source)
+        got = dataclasses.replace(pack.meta, prog_K=base.prog_K,
+                                  bwd_prog_K=base.bwd_prog_K)
+        if got != base:
+            raise ValueError(
+                "MinibatchPack was prepped against a different source "
+                f"(geometry/pool mismatch: {pack.meta} vs {base})"
+            )
+    else:
+        pack = prep_minibatches(source, ids_batches,
+                                chunk_size=chunk_size, r_quant=r_quant,
+                                prog_K=prog_K, bwd_prog_K=bwd_prog_K)
     _check_exact(opt, "train_minibatches")
     targets = jnp.asarray(targets)
     features = jnp.asarray(features)
