@@ -470,3 +470,29 @@ def test_frames_api_under_ray_sharding(mesh):
     stack_r = jax.device_put(stack, NamedSharding(mesh, P()))
     sharded = np.asarray(r.render_frames(stack_r, rays_s))
     np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_subset_tape_replay_sharded(mesh):
+    """Row-subset tapes (ops/tape_subset.py) are ordinary RayTapes:
+    `shard_tape`/`replay_sharded` apply unchanged, so minibatch
+    training composes with ray-sharded multi-chip replay."""
+    import dataclasses
+
+    from svox_t_tpu.ops import tape as tape_ops
+    from svox_t_tpu.ops import tape_subset as tsub
+    from svox_t_tpu.parallel import replay_sharded
+
+    rng = np.random.RandomState(5)
+    t, feats, _ = build_tree(rng)
+    rays = make_rays(rng, 300)
+    r = st.VolumeRenderer(t)
+    opt = dataclasses.replace(r._get_options(False), chunk_size=64)
+    spec = t._baked_spec()
+    tp = tape_ops.record_tape(spec, feats.shape[0], rays.origins,
+                              rays.dirs, rays.viewdirs, opt)
+    ids = rng.choice(300, size=96, replace=False)
+    # chunk size divisible by the 8-device rays axis
+    sub = tsub.subset_tape(tp, ids, chunk_size=32)
+    single = np.asarray(tape_ops.replay_render(sub, feats, opt, spec))
+    sharded = np.asarray(replay_sharded(mesh, sub, feats, opt, spec))
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
