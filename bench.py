@@ -527,6 +527,10 @@ def main():
             p_np, _ = r.plan_persp(np.asarray(c2ws_orbit[ci]), W, H,
                                    fx=W * 1.1, features=feats, block=1)
             perms_c.append(jnp.asarray(p_np))
+        # one untimed warm sweep (perm H2D transfers + executable)
+        _ = sum(float(orbit_frames(feats, c2ws_orbit[gi:gi + 4],
+                                   perms_c[gi]))
+                for gi in range(0, 32, 4))
         t0 = time.time()
         accs = []
         for gi in range(0, 32, 4):
