@@ -369,6 +369,37 @@ def main():
         mb["minibatch_step_ms"] = round(mb_s * 1e3, 2)
         mb["minibatch_fwd_bwd_mrays_s"] = round(B_MB / mb_s / 1e6, 3)
         mb["minibatch_vs_target"] = round(B_MB / mb_s / 1e6 / 25.0, 4)
+
+        # Batch-size knee: the same chain at 256k-ray steps (per-step
+        # fixed costs amortize 4x; docs/PERFORMANCE.md "Minibatch
+        # training" floor terms).
+        N_MB2, B_MB2 = 8, 262144
+
+        def mb_prep2():
+            return tsub.prep_minibatches(
+                src_mb, rng_mb.randint(0, n_rig, size=(N_MB2, B_MB2)),
+                chunk_size=512,
+            )
+
+        pack2 = mb_prep2()
+        f_out, _, _ = tsub.train_minibatches(
+            src_mb, pack2, tgt_mb, feats * 0.9, opt, lr=0.05,
+        )
+        _ = float(jnp.sum(f_out))
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            f_out, _, _ = tsub.train_minibatches(
+                src_mb, pack2, tgt_mb, feats * (0.9 + 1e-6 * i), opt,
+                lr=0.05,
+            )
+            pack2 = mb_prep2()
+            _ = float(jnp.sum(f_out))
+            times.append(time.time() - t0)
+        mb2_s = min(times) / N_MB2
+        mb["minibatch256k_step_ms"] = round(mb2_s * 1e3, 2)
+        mb["minibatch256k_fwd_bwd_mrays_s"] = round(
+            B_MB2 / mb2_s / 1e6, 3)
         # Free the rig structures before the deep sections build.
         del src_mb, rig_tape
         r._tape_cache.clear()
