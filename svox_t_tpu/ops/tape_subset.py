@@ -69,9 +69,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.spec import DATA_SENTINEL, RenderOptions
-from .tape import (RayTape, _replay_call, _round_program, _size_bucket,
-                   unsort_output)
+from ..utils.spec import RenderOptions
+from .tape import RayTape, _replay_call, _round_program, _size_bucket
 
 
 def _bits(a):
@@ -320,11 +319,11 @@ def _gather_subset(packed, meta: _SrcMeta, pos_nz, S: int, C: int,
 
 
 def _build_tape(meta: _SrcMeta, plan: _SubsetPlan, arrays, programs,
-                inv_pos, origins, dirs) -> RayTape:
+                inv_pos, origins, dirs, cell=None) -> RayTape:
     idx, dt, tval, counts, vdirs, dscale = arrays
     rc, rs, lr, brc, brs = programs
     return RayTape(
-        idx=idx, dt=dt, cell=None, counts=counts,
+        idx=idx, dt=dt, cell=cell, counts=counts,
         origins=origins, dirs=dirs, vdirs=vdirs, dscale=dscale,
         inv_pos=inv_pos,
         round_chunk=rc, round_s0=rs, last_round=lr,
@@ -398,8 +397,17 @@ def subset_tape(source, ids, *, chunk_size: int = 512,
     else:
         o = jnp.zeros((plan.n_chunks, plan.C, 3), source.dtype)
         d = o
+    cell = None
+    if source.cell_rm is not None:
+        # Weight-accumulating subsets (TapeRowSource(keep_cells=True)):
+        # the tree-cell stream rides along like the ray constants —
+        # zero-prefix chunks accumulate nothing (cell 0, never read).
+        pos_p = jnp.asarray(plan.pos_p.astype(np.int32))
+        cell = jnp.take(
+            source.cell_rm[:, :plan.S], pos_p, axis=0
+        ).reshape(plan.n_chunks, plan.C, plan.S).swapaxes(1, 2)
     return _build_tape(meta, plan, arrays, programs,
-                       jnp.asarray(plan.inv), o, d)
+                       jnp.asarray(plan.inv), o, d, cell=cell)
 
 
 def replay_render_rows(source, ids, features, opt: RenderOptions,

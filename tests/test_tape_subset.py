@@ -317,3 +317,24 @@ def test_train_steps_matches_eager_chain(rng):
     np.testing.assert_allclose(f_out, np.asarray(f), rtol=2e-4,
                                atol=2e-6)
     assert losses[-1] < losses[0]  # same loss every step: must descend
+
+
+def test_subset_weight_accum(rng):
+    """Weight accumulation through a subset (TapeRowSource
+    keep_cells=True): equals the march's accumulation over the
+    identical rays."""
+    from svox_t_tpu.ops.render import volume_render_with_weight_accum
+
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 150)
+    tp, opt, spec = _record(t, feats, rays)
+    src = tsub.TapeRowSource(tp, keep_cells=True)
+    ids = rng.choice(150, size=48, replace=False)
+    sub = tsub.subset_tape(src, ids, chunk_size=32)
+    _, wa_sub = tape_ops.replay_render_weighted(sub, feats, opt, spec)
+    _, wa_ref = volume_render_with_weight_accum(
+        spec, feats, rays.origins[ids], rays.dirs[ids],
+        rays.viewdirs[ids], opt)
+    np.testing.assert_allclose(np.asarray(wa_sub), np.asarray(wa_ref),
+                               rtol=2e-5, atol=2e-6)
+    assert float(np.asarray(wa_sub).sum()) > 0
