@@ -338,3 +338,35 @@ def test_subset_weight_accum(rng):
     np.testing.assert_allclose(np.asarray(wa_sub), np.asarray(wa_ref),
                                rtol=2e-5, atol=2e-6)
     assert float(np.asarray(wa_sub).sum()) > 0
+
+
+def test_prep_minibatches_pack_equals_direct(rng):
+    """A prep_minibatches pack passed to train_minibatches gives the
+    SAME chain as passing raw ids (the pipelining API is pure
+    factoring), and a pack from a different source raises."""
+    t, feats = _scene(rng)
+    rays = make_rays(rng, 160)
+    tp, opt, spec = _record(t, feats, rays)
+    src = tsub.TapeRowSource(tp)
+    tgt = tape_ops.replay_render(tp, feats, opt, spec)[:, :3]
+    ids_b = np.stack([rng.choice(160, size=32) for _ in range(3)])
+    f0 = feats * 0.9
+
+    f_a, l_a, _ = tsub.train_minibatches(src, ids_b, tgt, f0, opt,
+                                         lr=0.2, spec=spec,
+                                         chunk_size=32)
+    pack = tsub.prep_minibatches(src, ids_b, chunk_size=32)
+    f_b, l_b, _ = tsub.train_minibatches(src, pack, tgt, f0, opt,
+                                         lr=0.2, spec=spec)
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+    np.testing.assert_array_equal(np.asarray(l_a), np.asarray(l_b))
+
+    # mismatched source raises
+    t2, feats2 = _scene(np.random.RandomState(99))
+    rays2 = make_rays(np.random.RandomState(98), 160)
+    tp2, opt2, spec2 = _record(t2, feats2, rays2, chunk=32)
+    src2 = tsub.TapeRowSource(tp2)
+    if tsub._SrcMeta.of(src2) != tsub._SrcMeta.of(src):
+        with pytest.raises(ValueError, match="different source"):
+            tsub.train_minibatches(src2, pack, tgt, f0, opt2, lr=0.2,
+                                   spec=spec2)
